@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale posture (SURVEY.md §4): AQE on (runtime coalesce / join-strategy switch
+/ skew splitting), UTC session timezone so timestamp semantics match the
+DuckDB oracle and are cluster-location-independent, Arrow enabled for the few
+Pandas-UDF paths, and shuffle partitions sized to the local core count rather
+than the 200 default (wrong for both 6k-row tests and 100 TB — on a real
+cluster this is set per-job from input size; AQE coalesces down from a high
+initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dataselector_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real cluster the
+    ``master`` and memory settings come from the submitter; everything set
+    here is safe cluster-side too.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # ANSI off: the engine follows permissive SQL semantics (sentinel data
+        # contains out-of-range values by design; oracle queries are written
+        # to be ANSI-agnostic).
+        .config("spark.sql.ansi.enabled", "false")
+        # Streaming tests use small deterministic micro-batches.
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

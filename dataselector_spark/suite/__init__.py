@@ -1,0 +1,23 @@
+"""Named query suite — the driver-checkable contract (SURVEY.md §2).
+
+Each entry pairs a PySpark callable `(spark, sf_dir) -> DataFrame` with an
+equivalent ANSI-SQL oracle string for DuckDB (None → rows-only check for
+genuinely non-SQL-expressible ops). `__spark_entry__.py` re-exports these.
+"""
+
+from .base import QUERIES, Query, query  # noqa: F401
+
+# Importing registers every suite module's queries.
+from . import reference_parity  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
+from . import window_suite  # noqa: F401,E402
+from . import llm_pipeline  # noqa: F401,E402
+from . import streaming_suite  # noqa: F401,E402
+
+
+def queries():
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
