@@ -1,0 +1,84 @@
+"""As-of join (nearest-earlier match per key) — SURVEY.md §2 B5.
+
+Spark has no native ASOF JOIN. The naive encoding (theta-join on
+``l.ts >= r.ts`` + row_number) materializes every (left, earlier-right) pair
+before pruning — quadratic per key, hopeless at 100 TB. This implementation
+uses the merge-asof pattern instead:
+
+    union both sides into one stream tagged left/right
+    -> single hash shuffle on the key
+    -> per-key sort by (ts, side)
+    -> ``last(right_payload, ignorenulls=True)`` over rows UNBOUNDED PRECEDING
+
+One shuffle, one sort, linear output — the same work a groupBy would do.
+Right rows sort before left rows at equal timestamps, giving the standard
+``l.ts >= r.ts`` (inclusive) semantics of DuckDB/pandas ``merge_asof``.
+
+Skew note: a hot key degrades to one big sorted partition; pre-salt by a
+coarse time bucket (carrying the previous bucket's closing state) if a single
+key exceeds executor memory. Not needed at driver scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (left-outer: nulls when
+    no earlier right row exists).
+
+    ``right_payload`` — right columns to carry (default: all but key/ts),
+    emitted as ``<col><suffix>``.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, right_ts)]
+
+    payload_out = [f"{c}{suffix}" for c in right_payload]
+
+    # Tag and union. side=0 (right) sorts before side=1 (left) at equal ts so
+    # an exactly-simultaneous right row is visible to the left row (>= join).
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}") for c in right_payload],
+        *[F.col(c) for c in left.columns],
+    )
+    # Align schemas: right side carries nulls for left columns.
+    r_full = r.select(
+        "__k",
+        "__ts",
+        "__side",
+        *payload_out,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    unioned = r_full.unionByName(l.select("__k", "__ts", "__side", *payload_out, *left.columns))
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left.columns,
+        F.col("__side").alias("__side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_out],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
