@@ -1,0 +1,128 @@
+"""Text-analysis column expressions (SURVEY.md §2 B15) — all JVM built-ins.
+
+Tokenization here is exact single-space split (the documents table is
+single-space separated; `n_chars == length(text)` verified at sf0.01). For
+messier corpora swap `TOKEN_SEP` for a regex split — every downstream
+expression only sees the token array.
+
+Higher-order functions (`transform`/`filter`/`aggregate` over arrays) keep
+n-gram generation, stopword scoring and rolling-hash fingerprinting inside
+whole-stage codegen — no Python UDFs, so these run at scan throughput over
+100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SEP = " "
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the heuristic is a cheap first-pass router,
+# not a classifier of record.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "ein"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(_c(col), TOKEN_SEP)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings (shingles for Jaccard /
+    MinHash). Empty array when the document has < n tokens."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column | str, k: int) -> Column:
+    """Character k-shingles."""
+    c = _c(col)
+    return F.when(
+        F.length(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - k + 1), lambda i: F.substring(c, i, k)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    """Number of token occurrences that are stopwords (with multiplicity)."""
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, F.lower(t))))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    n_punct = F.length(F.regexp_replace(c, r"[^.,!?;:'\"]", ""))
+    return n_punct.cast("double") / F.length(c)
+
+
+def quality_score(col: Column | str, lang: str = "en") -> Column:
+    """Composite heuristic quality score in [0,1]: length band + stopword
+    density + low punctuation noise — the standard cheap pre-filter in LLM
+    data pipelines (C4-style)."""
+    c = _c(col)
+    tc = token_count(c).cast("double")
+    length_ok = F.when((tc >= 20) & (tc <= 10000), 1.0).otherwise(
+        F.least(tc / 20.0, F.lit(1.0))
+    )
+    stop_density = F.least(
+        stopword_hits(c, LANG_PROFILES.get(lang, LANG_PROFILES["en"])).cast("double")
+        / F.greatest(tc, F.lit(1.0)) * 5.0,
+        F.lit(1.0),
+    )
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    return (length_ok + stop_density + punct_ok) / 3.0
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts,
+    'und' when nothing matches. CJK shortcut first (codepoint range test)."""
+    c = _c(col)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(c, words).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, words in LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    guess = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return F.when(c.rlike("[\\u4e00-\\u9fff]"), F.lit("zh")).otherwise(guess)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling-hash document fingerprint:
+    fold(h -> h*31 + codepoint, mod 1e9+7) over the character stream.
+    Stays in int64 (h < 1e9, h*31 + c < 2^35); deterministic and
+    SQL-portable (DuckDB list_reduce/ord oracle)."""
+    codes = F.transform(F.split(_c(col), ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
+    )

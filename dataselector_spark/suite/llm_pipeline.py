@@ -1,1 +1,351 @@
-"""Placeholder — filled in by later milestones."""
+"""LLM-data-pipeline queries (SURVEY.md §2 B12-B16): dedup ladder, similarity
+search, text analysis, multimodal plumbing.
+
+Oracle policy: everything expressible in portable SQL gets a DuckDB oracle
+(exact dedup, n-gram Jaccard, cosine brute force with an explicit double
+fold — DuckDB's `list_cosine_similarity` accumulates in float32 and does NOT
+match, so oracles spell out the fold). Hash-based ops (MinHash/SimHash/LSH)
+are engine-specific by construction → rows-only checks + pytest recall
+assertions against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.keys import composite_key
+from ..functions.text import (
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from ..multimodal import extract_features, synthesize_media
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from ..operators.similarity import neardup_pairs_cosine, topk_cosine, topk_cosine_lsh
+from .base import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _query_vector(spark, sf_dir):
+    """The corpus vector with vec_id=0, fetched once driver-side (64 floats)."""
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+# --- B12: exact dedup -------------------------------------------------------
+
+
+@query(
+    "b12_dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="B12: exact dedup with a deterministic survivor (earliest row per "
+    "key) — dropDuplicates keeps an arbitrary row and is unstable; this is "
+    "the reproducible form. Generalizes the reference's 2-flasks-per-minute "
+    "composite-key dedup (index.js:23-24).",
+)
+def b12_dedup_exact(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    kept = dedup_exact(
+        e, keys=["user_id", "event_type"], order_by=[F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return kept.select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "b12_dedup_composite_key",
+    oracle="""
+    SELECT date_key, n FROM (
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') || ' ' || CAST(user_id AS VARCHAR) AS date_key,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ) WHERE n > 1
+    """,
+    doc="B12/A15: composite-key collision census — which minute+salt keys "
+    "still collide (the reference's flask-pair problem).",
+)
+def b12_dedup_composite_key(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(composite_key("ts", "user_id").alias("date_key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# --- B13: fuzzy dedup -------------------------------------------------------
+
+
+@query(
+    "b13_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    doc="B13: exact word-3-gram Jaccard near-dup pairs via inverted shingle "
+    "index (cost ∝ shingle co-occurrence, not |docs|²).",
+)
+def b13_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@query(
+    "b13_minhash_lsh",
+    oracle=None,  # murmur3-seeded signatures are engine-specific; recall vs
+    # exact jaccard asserted in tests/test_llm_ops.py
+    doc="B13: MinHash(16) + LSH(4 bands) candidate pairs with estimated "
+    "Jaccard — the sub-quadratic fuzzy-dedup path for 100 TB corpora.",
+)
+def b13_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=16, n=3)
+    return minhash_lsh_pairs(sigs, bands=4, est_threshold=0.5)
+
+
+@query(
+    "b13_simhash",
+    oracle=None,  # xxhash64 fingerprints are engine-specific
+    doc="B13: 64-bit SimHash fingerprints + hamming-banded near-pairs "
+    "(pigeonhole over 4×16-bit chunks).",
+)
+def b13_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fps = simhash64(d)
+    return simhash_near_pairs(fps, max_hamming=3, bands=4)
+
+
+# --- B14: similarity search -------------------------------------------------
+
+# DuckDB oracle for cosine: explicit double fold (list_cosine_similarity
+# accumulates in float32 and diverges in the 7th decimal — not usable).
+_SQL_COSINE_FOLD = """
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+            (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)))
+"""
+
+
+@query(
+    "b14_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_SQL_COSINE_FOLD} AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    doc="B14: exact brute-force top-10 cosine against the vec_id=0 query "
+    "vector — broadcast literal, one corpus pass, TakeOrderedAndProject.",
+)
+def b14_topk_cosine(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir)
+    return topk_cosine(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+@query(
+    "b14_embedding_neardup",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+    FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.2
+    """,
+    doc="B14: embedding near-dup pairs, label-blocked (one shuffle on the "
+    "blocking key; within-block brute pairs, never |corpus|²).",
+)
+def b14_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs_cosine(e, block_col="label", threshold=0.2)
+
+
+@query(
+    "b14_ann_lsh",
+    oracle=None,  # approximate by construction; recall vs brute force in tests
+    doc="B14: sign-random-projection LSH ANN — bucket the corpus on an 8-bit "
+    "hyperplane signature, exact re-rank only inside the query's bucket.",
+)
+def b14_ann_lsh(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir)
+    return topk_cosine_lsh(_t(spark, sf_dir, "embeddings"), qv, k=10, num_planes=8)
+
+
+# --- B15: text analysis -----------------------------------------------------
+
+
+@query(
+    "b15_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           length(text) = n_chars AS chars_ok,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+           len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the','and','of','to','a','in','is','that'], lower(t)))) AS en_stop_hits
+    FROM documents
+    """,
+    doc="B15: per-document token/char statistics + stopword hits (all "
+    "higher-order array built-ins, scan-speed).",
+)
+def b15_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return d.select(
+        "doc_id",
+        tc.alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+        (F.length("text").cast("double") / tc).alias("chars_per_token"),
+        stopword_hits("text", ["the", "and", "of", "to", "a", "in", "is", "that"]).alias(
+            "en_stop_hits"
+        ),
+    )
+
+
+@query(
+    "b15_lang_summary",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="B15: per-language corpus summary (integer-exact sums).",
+)
+def b15_lang_summary(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(token_count("text")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "b15_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007) AS fp
+    FROM documents
+    """,
+    doc="B15: polynomial rolling-hash document fingerprint (mod 1e9+7) — "
+    "portable across engines, char-stream fold.",
+)
+def b15_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "b15_lang_id_quality",
+    oracle=None,  # heuristic classifier — accuracy asserted in tests
+    doc="B15: stopword-profile language ID + composite quality score (the "
+    "cheap first-pass router/filter of an LLM data pipeline).",
+)
+def b15_lang_id_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+# --- B16: multimodal --------------------------------------------------------
+
+
+@query(
+    "b16_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 12 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="B16: binary media column + typed metadata struct (payload bytes, "
+    "dimensions) — the columnar envelope for image/audio at 100 TB.",
+)
+def b16_multimodal_meta(spark, sf_dir):
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query(
+    "b16_multimodal_features",
+    oracle=None,  # decode stub — plumbing check only (Arrow batch path)
+    doc="B16: Arrow-batched mapInPandas feature extraction over binary "
+    "payloads (decode stubbed; batch shape, schema and partitioning real).",
+)
+def b16_multimodal_features(spark, sf_dir):
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media)

@@ -1,1 +1,128 @@
-"""Placeholder — filled in by later milestones."""
+"""Streaming queries (SURVEY.md §2 B17-B20).
+
+Each entry ACTUALLY RUNS Structured Streaming — parquet file source →
+availableNow trigger → memory sink — and returns the materialized sink, so
+the driver's check covers true incremental execution, not a batch stand-in.
+The oracles are the batch-equivalent SQL (exact for a single-batch replay:
+no rows are late relative to the watermark, which is the defined semantics).
+"""
+
+from __future__ import annotations
+
+from ..streaming import (
+    run_stream_to_table,
+    session_windows,
+    sliding_counts,
+    stream_dedup,
+    stream_events,
+    tumbling_counts,
+    watermarked_tumbling,
+)
+from .base import query
+
+
+@query(
+    "b17_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS wstart,
+           time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS wend,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="B17: tumbling 10-minute event-time windows per type — run as a real "
+    "stream (file source → availableNow → memory sink).",
+)
+def b17_stream_tumbling(spark, sf_dir):
+    return run_stream_to_table(tumbling_counts(stream_events(spark, sf_dir)))
+
+
+@query(
+    "b17_stream_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * (INTERVAL 5 MINUTE) AS wstart,
+               event_type, ts
+        FROM events, (SELECT unnest([0, 1]) AS k)
+        WHERE ts >= time_bucket(INTERVAL 5 MINUTE, ts) - k * (INTERVAL 5 MINUTE)
+          AND ts <  time_bucket(INTERVAL 5 MINUTE, ts) - k * (INTERVAL 5 MINUTE) + INTERVAL 10 MINUTE
+    )
+    SELECT wstart, wstart + INTERVAL 10 MINUTE AS wend, event_type, count(*) AS n
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+    doc="B17: sliding windows (10 min width / 5 min slide) as a real stream; "
+    "oracle replicates Spark's epoch-aligned overlapping-window assignment.",
+)
+def b17_stream_sliding(spark, sf_dir):
+    return run_stream_to_table(sliding_counts(stream_events(spark, sf_dir)))
+
+
+@query(
+    "b18_stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="B18: per-user session windows (30-min gap) as a real stream — the "
+    "streaming cousin of the reference's interactive session; oracle is the "
+    "gaps-and-islands batch equivalent.",
+)
+def b18_stream_session(spark, sf_dir):
+    return run_stream_to_table(session_windows(stream_events(spark, sf_dir)))
+
+
+@query(
+    "b19_stream_watermark",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS wstart,
+               time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS wend,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE wend <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    doc="B19: watermarked (1 h) tumbling aggregation in append mode — append "
+    "emits only FINALIZED windows (window end ≤ final watermark = max event "
+    "time − 1 h); the oracle applies the same horizon. State for closed "
+    "windows is evicted. Multi-batch late-drop semantics covered in "
+    "tests/test_streaming.py.",
+)
+def b19_stream_watermark(spark, sf_dir):
+    return run_stream_to_table(
+        watermarked_tumbling(stream_events(spark, sf_dir)), output_mode="append"
+    )
+
+
+@query(
+    "b20_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="B20: stateful streaming dedup with watermark-bounded state "
+    "(dropDuplicatesWithinWatermark) — key-only output so the survivor "
+    "choice is irrelevant.",
+)
+def b20_stream_dedup(spark, sf_dir):
+    return run_stream_to_table(
+        stream_dedup(stream_events(spark, sf_dir)), output_mode="append"
+    )

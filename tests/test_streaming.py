@@ -1,0 +1,98 @@
+"""True streaming semantics that a single-batch replay can't show: watermark
+late-row dropping across micro-batches, and incremental session-window
+emission. Micro-batch boundaries are forced by adding source files between
+`processAllAvailable()` calls on a live query."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dataselector_spark.schemas import EVENTS_PHYSICAL
+from dataselector_spark.streaming import session_windows, tumbling_counts
+
+
+def _write_events(path: str, rows: list[tuple[int, str, int, str, float]]):
+    """rows: (event_id, ts_iso, user_id, event_type, value) → ns-timestamp
+    parquet matching the testdata events layout."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [int(pd.Timestamp(r[1]).value) for r in rows],  # ns epoch int64
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}" for _ in rows],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), path)
+
+
+BATCH1 = [
+    (1, "2024-01-01 10:00:00", 1, "x", 1.0),
+    (2, "2024-01-01 10:05:00", 1, "x", 1.0),
+    (3, "2024-01-01 12:00:00", 1, "x", 1.0),
+]
+# Late relative to the post-batch-1 watermark (12:00 − 10 min = 11:50),
+# plus one fresh event that advances the watermark further.
+BATCH2 = [
+    (4, "2024-01-01 10:05:30", 1, "x", 1.0),
+    (5, "2024-01-01 13:00:00", 1, "x", 1.0),
+]
+
+
+def _run_two_batches(spark, tmp_path, build_agg, name):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events(os.path.join(src, "a.parquet"), BATCH1)
+    raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        build_agg(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark advances to 11:50
+        _write_events(os.path.join(src, "b.parquet"), BATCH2)
+        q.processAllAvailable()  # batch 2: late row dropped, window emitted
+    finally:
+        q.stop()
+    return spark.table(name).collect()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    rows = _run_two_batches(
+        spark,
+        tmp_path,
+        lambda ev: tumbling_counts(ev.withWatermark("ts", "10 minutes"), "10 minutes"),
+        "wm_test",
+    )
+    by_start = {str(r.wstart): r.n for r in rows}
+    # 10:00-10:10 window: finalized with batch-1 rows only — the late
+    # batch-2 row (10:05:30) arrived behind the 11:50 watermark and was
+    # dropped, NOT merged (would show n=3) nor re-emitted.
+    assert by_start["2024-01-01 10:00:00"] == 2
+    # 12:00 window finalized once the 13:00 event pushed the watermark past
+    # its end; the 13:00 window stays open (never emitted).
+    assert by_start["2024-01-01 12:00:00"] == 1
+    assert "2024-01-01 13:00:00" not in by_start
+
+
+def test_session_window_emits_closed_sessions(spark, tmp_path):
+    rows = _run_two_batches(
+        spark,
+        tmp_path,
+        lambda ev: session_windows(ev.withWatermark("ts", "10 minutes"), "30 minutes"),
+        "sess_test",
+    )
+    sessions = {str(r.session_start): r.n_events for r in rows}
+    # 10:00 + 10:05 merged into one session [10:00, 10:35); the late 10:05:30
+    # row was dropped (did not extend the closed session).
+    assert sessions["2024-01-01 10:00:00"] == 2
+    # 12:00 session closed by the 13:00 watermark advance.
+    assert sessions["2024-01-01 12:00:00"] == 1
