@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline suite queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query executes its FULL physical plan into a noop sink (no driver
+collect cost, no result pruning shortcuts). Timings are per-query wall
+seconds after a shared session warm-up, so they measure plan execution, not
+JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataselector_spark.session import get_spark  # noqa: E402
+from dataselector_spark.suite import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",  # B6 aggregation throughput
+    "b02_join_revenue_per_nation",  # B2 multi-way join
+    "b05_asof_join",  # B5 merge-asof (shuffle+sort window)
+    "b04_interval_join_bucketed",  # B4 bucketed range join
+    "b08_outlier_zscore",  # B8 window QC pass
+    "b09_topk_per_group",  # B9 ranking window
+    "b12_dedup_exact",  # B12 exact dedup
+    "b13_minhash_lsh",  # B13 fuzzy dedup (explode+agg+self-join)
+    "b14_topk_cosine",  # B14 vector scan
+    "b15_text_stats",  # B15 text pass (higher-order funcs)
+    "b17_stream_tumbling",  # B17 streaming windowed agg
+    "flagship_minute_flag_counts",  # reference read path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("dataselector-bench", cpus=cpus, shuffle_partitions=cpus)
+    # Warm the JVM / file listing with a trivial action so query timings
+    # exclude one-time startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        best = float("inf")
+        for _ in range(2):  # report warm time: second run excludes first-touch
+            t0 = time.perf_counter()  # file-footer reads + codegen compilation
+            df = fn(spark, sf_dir)
+            if df.isStreaming:  # streaming entries already materialize a table
+                raise AssertionError("suite streaming entries must return batch DFs")
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,13 +31,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table with its declared schema (no inference pass)."""
-    # Timestamp→string keys (functions/keys.py) are session-TZ-dependent and
-    # the session may be caller-owned (the driver builds its own): pin UTC so
-    # key semantics are location-independent and oracle-comparable.
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the two session settings the engine's semantics depend on, since
+    the session may be caller-owned (the driver builds its own):
+
+    * UTC timezone — timestamp→string keys (functions/keys.py) must be
+      location-independent and oracle-comparable;
+    * ANSI off — the engine declares permissive SQL semantics: hash mixing
+      (operators/dedup.py) uses wrapping int64 arithmetic, which Spark 4's
+      default ANSI mode would reject with ARITHMETIC_OVERFLOW.
+    """
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.ansi.enabled") != "false":
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table with its declared schema (no inference pass)."""
+    ensure_session_defaults(spark)
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLE_SCHEMAS)}")
     path = table_path(sf_dir, name)

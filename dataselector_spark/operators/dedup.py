@@ -89,6 +89,11 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+# Fixed odd multipliers / offsets for the affine MinHash permutation family
+# (splitmix64-style constants, deterministic across runs and engines).
+_MIX_A = [(0x9E3779B97F4A7C15 * (2 * i + 1)) & ((1 << 63) - 1) | 1 for i in range(64)]
+_MIX_B = [(0xBF58476D1CE4E5B9 * (i + 1)) & ((1 << 63) - 1) for i in range(64)]
+
 
 def minhash_signatures(
     docs: DataFrame,
@@ -100,11 +105,21 @@ def minhash_signatures(
     """(id, sig ARRAY<INT>) — per-document MinHash signature: for each of
     ``num_hashes`` seeded murmur3 permutations, the min hash over the
     document's distinct word-n-gram shingles. One explode + one groupBy."""
+    # One string hash per shingle; the k "permutations" are affine mixes of
+    # that 64-bit hash (wrapping long arithmetic — deterministic), which is
+    # ~k× cheaper than k independent string hashes. Duplicate shingles are
+    # NOT removed: min() is duplicate-insensitive, so array_distinct would be
+    # pure overhead.
     shingles = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
+        F.explode(
+            F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("h"),
     )
-    mins = [F.min(F.hash(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    mins = [
+        F.min(F.col("h") * F.lit(_MIX_A[i]) + F.lit(_MIX_B[i])).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
     sig = shingles.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -113,6 +128,7 @@ def minhash_lsh_pairs(
     signatures: DataFrame,
     bands: int = 4,
     est_threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: split each signature into
     ``bands`` equal bands, hash each band, join on (band index, band hash) —
@@ -121,7 +137,15 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, est_jaccard), id_a < id_b. The band join touches
     only colliding documents — the property that makes fuzzy dedup feasible
-    at 100 TB (candidates ≈ true near-dups, not |docs|²)."""
+    at 100 TB (candidates ≈ true near-dups, not |docs|²).
+
+    ``materialize``: the self-join consumes the signature subplan twice and
+    Spark does not reuse the exchange across the two sides; materializing
+    signatures once (localCheckpoint) halves the dominant cost. At warehouse
+    scale you would persist signatures as a table anyway — they are reused
+    across every dedup run."""
+    if materialize:
+        signatures = signatures.localCheckpoint()
     banded = signatures.select(
         "id",
         "sig",

@@ -24,13 +24,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table_path
+from ..catalog import ensure_session_defaults, table_path
 from ..schemas import EVENTS_PHYSICAL
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (same ns→µs conversion as the
     batch catalog)."""
+    ensure_session_defaults(spark)
     # The file-stream source requires a directory basePath; restrict the
     # listing to the events file via glob (new matching files would be picked
     # up incrementally — the production layout is a directory of arriving

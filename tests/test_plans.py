@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions: the 100 TB posture checks (SURVEY.md §4).
+A correct-but-unoptimized plan is a failure here even though results match."""
+
+from pyspark.sql import functions as F
+
+from dataselector_spark.catalog import load_table
+from dataselector_spark.plans import (
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from dataselector_spark.suite import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_range_filter_pushdown(spark):
+    """A5's conjunctive range predicate must reach the parquet scan."""
+    df = QUERIES["a05_range_filter"].fn(spark, SF)
+    filters = " ".join(pushed_filters(df))
+    assert "value" in filters, filters
+    # ts is derived (timestamp_micros over raw ns) so only value can push;
+    # the raw scan must still prune columns:
+    schemas = read_schemas(df)
+    assert schemas and "props" not in schemas[0], schemas
+
+
+def test_column_pruning_q1(spark):
+    """TPC-H Q1 touches 7 of 11 lineitem columns — scan must not read the rest."""
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF)
+    (schema,) = read_schemas(df)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+    assert "l_quantity" in schema and "l_shipdate" in schema, schema
+
+
+def test_dim_join_broadcasts(spark):
+    """Nation (25 rows) must broadcast, never shuffle the fact side for it."""
+    df = QUERIES["b02_join_revenue_per_nation"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_topk_plans_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (heap), not a full sort."""
+    df = QUERIES["b09_topk_global"].fn(spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_topk_cosine_plans_take_ordered(spark):
+    df = QUERIES["b14_topk_cosine"].fn(spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The merge-asof encoding must cost exactly one hash shuffle of the
+    unioned stream (plus none for the window sort, which reuses it)."""
+    e = load_table(spark, SF, "events")
+    from dataselector_spark.operators.asof import asof_join
+
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("prev_id")
+    )
+    out = asof_join(e.select("event_id", "user_id", "ts"), errors, on="user_id")
+    assert shuffle_count(out) == 1, shuffle_count(out)
+
+
+def test_selection_semi_join_broadcasts(spark):
+    """A16 re-apply must broadcast the (small) selection set."""
+    df = QUERIES["a16_semi_join_apply"].fn(spark, SF)
+    assert has_broadcast_join(df)
