@@ -1,0 +1,388 @@
+"""Coverage extensions: TPC-H-class headline joins, source/sink round-trips
+(SURVEY.md §2 B1), cross join (A29), GROUPING SETS (B7), and the explicit
+Python-UDF surface (B21).
+
+B1 round-trips write to /tmp and read back through an EXPLICIT schema — the
+oracle runs against the original parquet, so a pass proves the sink+source
+pair is lossless (Java's shortest-round-trip double formatting guarantees
+text formats preserve doubles exactly).
+
+B21 policy: pandas UDFs compute in integer-scaled exact arithmetic (prices
+and quantities are 2-dp fixed-point), so grouped results hash-match a
+DECIMAL-cast DuckDB oracle despite Python-side summation. This is the same
+float policy as relational.py, ported across the Arrow boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from .base import query
+from .relational import dec2
+
+_RT_ROOT = "/tmp/dataselector_roundtrip"
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _rt_path(sf_dir: str, name: str) -> str:
+    return os.path.join(_RT_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+# --- TPC-H-class headline queries (B2/B6/B9 composition) ---------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analogue (o_orderpriority stands in for o_shippriority): "
+    "segment filter prunes customer before the join; top-10 is "
+    "TakeOrderedAndProject, never a full sort.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    disc = dec2(F.lit(1) - F.col("l_discount"), 4)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec2("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    doc="TPC-H Q5: six-table join. region/nation/supplier broadcast (dims), "
+    "the two facts shuffle once each on their join keys; the local-supplier "
+    "condition (c_nationkey = s_nationkey) rides the same join.",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = dec2(F.lit(1) - F.col("l_discount"), 4)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec2("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan-filter-aggregate — the predicate-pushdown "
+    "benchmark. All three predicates reach the parquet reader "
+    "(PushedFilters); the agg is a single partial+final pair.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec2("l_discount", 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- A29: cross join ---------------------------------------------------------
+
+
+@query(
+    "a29_cross_join",
+    oracle="""
+    SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+    doc="A29: the reference's only cross product (zoom-stack init, "
+    "index.js:695-705) as an explicit crossJoin — both sides broadcast-sized "
+    "dims, so the plan is a nested-loop over local rows, no shuffle.",
+)
+def a29_cross_join(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
+# --- B7: grouping sets -------------------------------------------------------
+
+
+@query(
+    "b07_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    doc="B7: explicit GROUPING SETS (a non-hierarchical subset rollup can't "
+    "express) via DataFrame.groupingSets — one Expand + one aggregate, not "
+    "three scans.",
+)
+def b07_grouping_sets(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- B1: source/sink round-trips --------------------------------------------
+
+
+@query(
+    "b01_parquet_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="B1: parquet sink partitioned by l_returnflag, read back with a "
+    "partition-pruning filter — only the R directory is scanned (the "
+    "file-layout analogue of the reference's per-compound catalog).",
+)
+def b01_parquet_roundtrip(spark, sf_dir):
+    path = _rt_path(sf_dir, "lineitem_parquet")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
+@query(
+    "b01_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    """,
+    doc="B1: CSV sink + explicit-schema source. Doubles survive because the "
+    "writer emits shortest-round-trip decimal text; the reader never "
+    "infers (inference is banned at scale — one pass over 100 TB just to "
+    "guess types).",
+)
+def b01_csv_roundtrip(spark, sf_dir):
+    path = _rt_path(sf_dir, "orders_csv")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+@query(
+    "b01_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="B1: line-delimited JSON sink + explicit-schema source, timestamps "
+    "included (ISO-8601 at UTC both ways; ms precision preserved).",
+)
+def b01_json_roundtrip(spark, sf_dir):
+    path = _rt_path(sf_dir, "orders_json")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").write.mode(
+        "overwrite"
+    ).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+# --- B21: Python UDF surface -------------------------------------------------
+
+
+@query(
+    "b21_pandas_udf_scalar",
+    oracle="""
+    SELECT event_id,
+           upper(substr(event_type, 1, 3)) AS type_tag,
+           value * 2.0 + 1.0 AS v_affine
+    FROM events
+    """,
+    doc="B21: vectorized scalar pandas UDF (Arrow-batched, one Python call "
+    "per ~10k rows — never row-at-a-time). Semantics chosen to be exactly "
+    "SQL-expressible so the oracle hash-checks the Arrow boundary itself.",
+)
+def b21_pandas_udf_scalar(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def type_tag(s):
+        return s.str.slice(0, 3).str.upper()
+
+    @pandas_udf("double")
+    def affine(v):
+        return v * 2.0 + 1.0
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        type_tag("event_type").alias("type_tag"),
+        affine("value").alias("v_affine"),
+    )
+
+
+@query(
+    "b21_grouped_applyinpandas",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT) AS sum_pq_e4,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_e2,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="B21: grouped applyInPandas UDAF. Python sums in integer-scaled "
+    "exact arithmetic (2-dp fixed point -> int64 via round-half-even at "
+    "1e-2), so the grouped result hash-matches the DECIMAL oracle bit for "
+    "bit. Shuffle is the same single hash-partition a built-in agg pays; "
+    "the Python stage processes each group as one Arrow batch.",
+)
+def b21_grouped_applyinpandas(spark, sf_dir):
+    def agg_group(pdf):
+        import pandas as pd
+
+        p = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        q = (pdf["l_quantity"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "sum_pq_e4": [int((p * q).sum())],
+                "sum_qty_e2": [int(q.sum())],
+                "n": [len(pdf)],
+            }
+        )
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return l.groupBy("l_returnflag").applyInPandas(
+        agg_group,
+        schema="l_returnflag string, sum_pq_e4 long, sum_qty_e2 long, n long",
+    )
+
+
+@query(
+    "b21_python_udtf",
+    oracle="""
+    SELECT o_orderkey, part_idx + 1 AS part_no, part
+    FROM (
+        SELECT o_orderkey,
+               generate_subscripts(string_split(o_orderpriority, '-'), 1) - 1 AS part_idx,
+               unnest(string_split(o_orderpriority, '-')) AS part
+        FROM orders
+    )
+    """,
+    doc="B21: table-function surface — one row in, N rows out — expressed as "
+    "posexplode over a split (JVM-side generator; a Python UDTF would pay "
+    "serialization for identical semantics, so the generator form IS the "
+    "idiomatic Spark UDTF).",
+)
+def b21_python_udtf(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.posexplode(F.split("o_orderpriority", "-")).alias("part_idx", "part"),
+    ).select("o_orderkey", (F.col("part_idx") + 1).alias("part_no"), "part")

@@ -69,3 +69,34 @@ def test_selection_semi_join_broadcasts(spark):
     """A16 re-apply must broadcast the (small) selection set."""
     df = QUERIES["a16_semi_join_apply"].fn(spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_q5_dims_broadcast_and_prune(spark):
+    """Q5's three dims must broadcast; lineitem scan must not read l_tax or
+    l_shipdate (untouched by Q5)."""
+    df = QUERIES["q5_local_supplier_volume"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    schemas = read_schemas(df)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and "l_tax" not in li[0] and "l_shipdate" not in li[0], schemas
+
+
+def test_q6_full_pushdown(spark):
+    """Q6's three predicates must all reach the parquet scan."""
+    df = QUERIES["q6_forecast_revenue"].fn(spark, SF)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "l_discount" in filters and "l_quantity" in filters, filters
+
+
+def test_q3_plans_take_ordered(spark):
+    """Q3's top-10 must be TakeOrderedAndProject, not a global sort."""
+    df = QUERIES["q3_shipping_priority"].fn(spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan one Expand + one aggregate, not N scans."""
+    df = QUERIES["b07_grouping_sets"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert len(read_schemas(df)) == 1  # single scan of lineitem
