@@ -126,3 +126,37 @@ def b20_stream_dedup(spark, sf_dir):
     return run_stream_to_table(
         stream_dedup(stream_events(spark, sf_dir)), output_mode="append"
     )
+
+
+@query(
+    "b20_stream_toggle",
+    oracle="""
+    SELECT event_type AS compound,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS date_key,
+           count(*) % 2 = 1 AS selected,
+           count(*) AS n_toggles
+    FROM events GROUP BY 1, 2
+    """,
+    doc="B20: the reference's selection toggle (updateClicked, "
+    "index.js:510-534) as a custom stateful streaming operator "
+    "(applyInPandasWithState). Clicks = events keyed by (event_type, minute); "
+    "membership depends only on click parity, so the finite-replay oracle is "
+    "exact: selected <=> odd total count. Final state recovered from the "
+    "update-mode sink via max_by(batch_seq), not sink row order.",
+)
+def b20_stream_toggle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..functions.keys import minute_key
+    from ..streaming import run_stream_to_table, stream_events
+    from ..streaming.stateful import toggle_stream
+
+    clicks = stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("compound"),
+        minute_key("ts").alias("date_key"),
+    )
+    sink = run_stream_to_table(toggle_stream(clicks), output_mode="update")
+    return sink.groupBy("compound", "date_key").agg(
+        F.max_by("selected", "batch_seq").alias("selected"),
+        F.sum("n_toggles").alias("n_toggles"),
+    )

@@ -96,3 +96,48 @@ def test_session_window_emits_closed_sessions(spark, tmp_path):
     assert sessions["2024-01-01 10:00:00"] == 2
     # 12:00 session closed by the 13:00 watermark advance.
     assert sessions["2024-01-01 12:00:00"] == 1
+
+
+def test_stateful_toggle_carries_state_across_batches(spark, tmp_path):
+    """B20 toggle: a key clicked in batch 1 and again in batch 2 must come
+    back OFF in batch 2 — i.e. the selected-set state survives the
+    micro-batch boundary (the streaming analogue of updateClicked's
+    remove-on-dupe, index.js:516-526)."""
+    from pyspark.sql import functions as F
+
+    from dataselector_spark.functions.keys import minute_key
+    from dataselector_spark.streaming.stateful import toggle_stream
+
+    src = str(tmp_path / "toggle_src")
+    os.makedirs(src)
+    # batch 1: clicks at minutes 10:00 (k1) and 10:05 (k2)
+    _write_events(os.path.join(src, "a.parquet"), [
+        (1, "2024-01-01 10:00:00", 1, "A", 1.0),
+        (2, "2024-01-01 10:05:00", 1, "A", 1.0),
+    ])
+    raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+    clicks = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        F.col("event_type").alias("compound"), minute_key("ts").alias("date_key")
+    )
+    q = (
+        toggle_stream(clicks)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("toggle_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: re-click k2 (must toggle OFF), click new k3
+        _write_events(os.path.join(src, "b.parquet"), [
+            (3, "2024-01-01 10:05:30", 1, "A", 1.0),  # same minute as k2
+            (4, "2024-01-01 11:00:00", 1, "A", 1.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r.batch_seq, r.date_key): r.selected for r in spark.table("toggle_test").collect()}
+    assert rows[(1, "2024-01-01 10:00")] is True
+    assert rows[(1, "2024-01-01 10:05")] is True
+    assert rows[(2, "2024-01-01 10:05")] is False  # state carried, toggled off
+    assert rows[(2, "2024-01-01 11:00")] is True
