@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from ..functions.text import word_ngrams
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` up to the session's parallelism if
+    the scan under-partitioned it (a few-MB parquet file arrives as ONE
+    partition, serializing the expensive shingle-explode work onto one
+    core). The repartition is CHEAP relative to the explode it parallelizes,
+    and because it hash-partitions on the downstream groupBy key, the
+    aggregation reuses the exchange instead of shuffling again. On real
+    multi-hundred-partition inputs this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def dedup_exact(
     df: DataFrame, keys: list[str], order_by: list[Column | str]
 ) -> DataFrame:
@@ -58,8 +72,8 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    shingles = docs.select(
-        F.col(id_col).alias("id"),
+    shingles = _fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id",
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
     )
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -110,8 +124,8 @@ def minhash_signatures(
     # ~k× cheaper than k independent string hashes. Duplicate shingles are
     # NOT removed: min() is duplicate-insensitive, so array_distinct would be
     # pure overhead.
-    shingles = docs.select(
-        F.col(id_col).alias("id"),
+    shingles = _fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id",
         F.explode(
             F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
         ).alias("h"),
@@ -202,8 +216,8 @@ def simhash64(
     """(id, simhash BIGINT) — 64-bit SimHash over xxhash64 token hashes:
     bit i of the fingerprint is the sign of Σ_tokens (±1 on bit i of the
     token hash). One explode + one groupBy with 64 conditional sums."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    toks = _fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
