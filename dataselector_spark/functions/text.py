@@ -126,3 +126,17 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
     )
+
+
+# GPT-2-style pre-tokenizer pattern: contractions, space-prefixed letter
+# runs, space-prefixed digit runs, space-prefixed punctuation runs, residual
+# whitespace. Backreference-free, so it behaves identically under Java
+# regex (Spark) and RE2 (DuckDB `regexp_extract_all`).
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish subword-boundary token count (the standard LLM-pipeline
+    size estimate when a real tokenizer is too expensive to run over the
+    whole corpus): number of GPT-2 pre-tokenizer matches."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN))

@@ -349,3 +349,27 @@ def b16_multimodal_meta(spark, sf_dir):
 def b16_multimodal_features(spark, sf_dir):
     media = synthesize_media(_t(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@query(
+    "b15_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS bpe_tokens
+    FROM documents
+    """,
+    doc="B15: token counting both ways — whitespace split and the GPT-2-style "
+    "pre-tokenizer regex (the cheap corpus-wide LLM size estimate). The "
+    "pattern is backreference-free so Java regex and RE2 agree match-for-"
+    "match.",
+)
+def b15_token_counts(spark, sf_dir):
+    from ..functions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
