@@ -105,3 +105,90 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Binary-in / binary-out transform (the resize stage of an image
+    pipeline) via mapInPandas. The codec is stubbed deterministically —
+    payload truncated/cycled to exactly width*height bytes — but the
+    plumbing is the real thing: binary columns both ways, metadata struct
+    rebuilt to reflect the new dimensions, map-only (no shuffle).
+    Swap the stub for PIL's `Image.resize` and nothing else changes."""
+    w, h = int(width), int(height)
+
+    def batches(it):
+        import pandas as pd
+
+        target = w * h
+
+        def fake_resize(payload: bytes) -> bytes:
+            # Deterministic stand-in for a real resample: cycle the source
+            # bytes to the target length (empty source -> zero bytes).
+            if not payload:
+                return bytes(target)
+            reps = target // len(payload) + 1
+            return (payload * reps)[:target]
+
+        for pdf in it:
+            resized = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "media_type": m["media_type"],
+                            "width": w,
+                            "height": h,
+                            "n_bytes": len(p),
+                        }
+                        for m, p in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int, every_n: int = 2) -> DataFrame:
+    """Row-expanding transform (the frame-sampling stage of a video
+    pipeline): treat each payload as consecutive ``frame_bytes`` chunks and
+    emit every ``every_n``-th chunk as its own row — 1 row in, N rows out,
+    the generator shape `explode` can't give you when the expansion needs
+    imperative logic. Map-only; output partition count follows input."""
+    fb, k = int(frame_bytes), int(every_n)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // fb
+                for i in range(0, n_frames, k):
+                    chunk = payload[i * fb : (i + 1) * fb]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(chunk)
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -386,3 +386,37 @@ def b21_python_udtf(spark, sf_dir):
         "o_orderkey",
         F.posexplode(F.split("o_orderpriority", "-")).alias("part_idx", "part"),
     ).select("o_orderkey", (F.col("part_idx") + 1).alias("part_no"), "part")
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    doc="TPC-H Q17: correlated scalar subquery, run through spark.sql so "
+    "Catalyst's decorrelation rewrites it into the aggregate+join plan — "
+    "proving the subquery surface, not hand-decorrelating. The per-part avg "
+    "is exact (integer-valued doubles sum exactly in IEEE), so the boundary "
+    "comparison is deterministic across engines. Brand filter broadcasts "
+    "part; one shuffle per lineitem branch.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               count(*) AS n
+        FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM q17_lineitem l2
+              WHERE l2.l_partkey = q17_lineitem.l_partkey
+          )
+    """)

@@ -373,3 +373,50 @@ def b15_token_counts(spark, sf_dir):
         token_count("text").alias("ws_tokens"),
         bpe_token_count("text").alias("bpe_tokens"),
     )
+
+
+@query(
+    "b16_resize",
+    oracle="""
+    SELECT doc_id, 32 AS width, 24 AS height, CAST(768 AS BIGINT) AS n_bytes,
+           substr(text, 1, 8) AS prefix8
+    FROM documents
+    """,
+    doc="B16: binary-in/binary-out resize stage (mapInPandas, codec stubbed "
+    "as deterministic byte-cycling). Oracle-exact because the corpus is "
+    "ASCII: the resized payload's first 8 bytes equal the text's first 8 "
+    "chars, and the new meta reflects the target geometry.",
+)
+def b16_resize(spark, sf_dir):
+    from ..multimodal import resize_media, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    resized = resize_media(synthesize_media(d), width=32, height=24)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.decode(F.expr("substring(payload, 1, 8)"), "UTF-8").alias("prefix8"),
+    )
+
+
+@query(
+    "b16_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(unnest(range(0, strlen(text) // 64, 2)) AS INT) AS frame_idx,
+           CAST(64 AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE strlen(text) >= 64
+    """,
+    doc="B16: video-style frame sampling — payload chunked into 64-byte "
+    "frames, every 2nd frame emitted as its own row (row-expanding "
+    "mapInPandas; imperative 1->N generation explode can't express). "
+    "Oracle derives the same (doc, frame) grid arithmetically.",
+)
+def b16_frame_sample(spark, sf_dir):
+    from ..multimodal import sample_frames, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(d), frame_bytes=64, every_n=2)
+    return frames.select("doc_id", "frame_idx", "n_bytes")

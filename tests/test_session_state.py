@@ -86,3 +86,23 @@ def test_hold_toggle_fires_on_nth_trigger_then_rearms():
     ht.reset(False)
     assert ht.state() is False
     assert ht.ct == 0
+
+
+def test_affine_map_invert_roundtrip(spark):
+    """A11/A12: data→pixel scale and its inverse compose to identity (the
+    shift-drag zoom's pixel→data path, index.js:225-228)."""
+    import pyspark.sql.functions as F
+
+    from dataselector_spark.operators.extents import affine_invert, affine_map
+
+    df = spark.range(11).select((F.col("id") * 10.0).alias("v"))
+    out = df.select(
+        "v",
+        affine_map(F.col("v"), 0.0, 100.0, 0.0, 640.0).alias("px"),
+        affine_invert(
+            affine_map(F.col("v"), 0.0, 100.0, 0.0, 640.0), 0.0, 100.0, 0.0, 640.0
+        ).alias("back"),
+    ).collect()
+    for r in out:
+        assert abs(r.back - r.v) < 1e-9
+        assert 0.0 <= r.px <= 640.0
