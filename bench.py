@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",  # B2/B9 join + top-k
     "q5_local_supplier_volume",  # B2 six-table join, broadcast dims
     "q6_forecast_revenue",  # scan-filter-agg, full pushdown
+    "q18_large_volume_customer",  # HAVING semi-join + top-100
+    "q19_discounted_revenue",  # disjunctive broadcast join
     "b02_join_revenue_per_nation",  # B2 multi-way join
     "b05_asof_join",  # B5 merge-asof (shuffle+sort window)
     "b04_interval_join_bucketed",  # B4 bucketed range join

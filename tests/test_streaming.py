@@ -141,3 +141,45 @@ def test_stateful_toggle_carries_state_across_batches(spark, tmp_path):
     assert rows[(1, "2024-01-01 10:05")] is True
     assert rows[(2, "2024-01-01 10:05")] is False  # state carried, toggled off
     assert rows[(2, "2024-01-01 11:00")] is True
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Fault-tolerance posture: stop a checkpointed stream, add data,
+    restart from the same checkpoint — the windowed counts must reflect
+    every source row exactly once (no reprocessing of batch-1 rows, no
+    loss of batch-2 rows). This is the recovery contract a 1000-executor
+    deployment leans on; complete-mode output lets us assert totals."""
+    src = str(tmp_path / "ck_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_events(os.path.join(src, "a.parquet"), BATCH1)
+
+    def start():
+        raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+        events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            tumbling_counts(events, "10 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ck_test")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_events(os.path.join(src, "b.parquet"), BATCH2)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    totals = {str(r.wstart): r.n for r in spark.table("ck_test").collect()}
+    # 10:00 window: rows 1,2 from batch1 + late row 4 (no watermark here) = 3
+    assert totals["2024-01-01 10:00:00"] == 3
+    assert totals["2024-01-01 12:00:00"] == 1
+    assert totals["2024-01-01 13:00:00"] == 1
+    assert sum(totals.values()) == len(BATCH1) + len(BATCH2)  # exactly once
