@@ -420,3 +420,21 @@ def b16_frame_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     frames = sample_frames(synthesize_media(d), frame_bytes=64, every_n=2)
     return frames.select("doc_id", "frame_idx", "n_bytes")
+
+
+@query(
+    "b14_ann_ivf",
+    oracle=None,  # approximate by construction; recall vs brute force in tests
+    doc="B14: IVF ANN — corpus coarse-quantized into 16 inverted lists "
+    "(max-cosine centroid assignment), query probes the 4 nearest lists, "
+    "exact re-rank inside them (~4/16 of the corpus scanned). The scale "
+    "path writes assignments partitioned by cell so probes prune at the "
+    "storage layer.",
+)
+def b14_ann_ivf(spark, sf_dir):
+    from ..operators.similarity import topk_cosine_ivf
+
+    qv = _query_vector(spark, sf_dir)
+    return topk_cosine_ivf(
+        _t(spark, sf_dir, "embeddings"), qv, k=10, num_centroids=16, nprobe=4
+    )

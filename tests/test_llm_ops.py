@@ -75,3 +75,31 @@ def test_multimodal_features_match_python(spark, sf_dir):
         assert f.n_bytes == len(b)
         assert abs(f.byte_mean - sum(b) / len(b)) < 1e-9
         assert f.byte_min == min(b) and f.byte_max == max(b)
+
+
+def test_ann_ivf_recall_and_probe_fraction(spark, sf_dir):
+    from dataselector_spark.operators.similarity import (
+        _pseudo_centroids,
+        ivf_assignments,
+        topk_cosine_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    brute = [r.vec_id for r in topk_cosine(emb, qv, k=10).collect()]
+    ivf = [r.vec_id for r in topk_cosine_ivf(emb, qv, k=10).collect()]
+    # The query vector lands in its own nearest centroid's list, which is
+    # always probed, so it must be found (self-cosine = 1).
+    assert 0 in ivf and brute[0] == 0
+    assert len(ivf) == len(set(ivf)) <= 10
+    # nprobe = num_centroids degenerates to exact brute force.
+    exact_via_ivf = [
+        r.vec_id
+        for r in topk_cosine_ivf(emb, qv, k=10, num_centroids=16, nprobe=16).collect()
+    ]
+    assert exact_via_ivf == brute
+    # Every vector gets exactly one cell; no cell is empty at this scale.
+    dim = len(qv)
+    cells = ivf_assignments(emb, _pseudo_centroids(dim, 16)).groupBy("cell").count()
+    rows = cells.collect()
+    assert sum(r["count"] for r in rows) == emb.count()
