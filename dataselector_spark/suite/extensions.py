@@ -500,3 +500,132 @@ def q19_discounted_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- B22: data-quality validation battery ------------------------------------
+
+
+@query(
+    "b22_quality_checks",
+    oracle=r"""
+    SELECT 'not_null:event_type' AS check_name,
+           count(*) FILTER (WHERE event_type IS NULL) AS violations,
+           count(*) AS total,
+           count(*) FILTER (WHERE event_type IS NULL) = 0 AS ok
+    FROM events
+    UNION ALL
+    SELECT 'in_range:value',
+           count(*) FILTER (WHERE value IS NOT NULL AND value NOT BETWEEN 0 AND 200),
+           count(*),
+           count(*) FILTER (WHERE value IS NOT NULL AND value NOT BETWEEN 0 AND 200) = 0
+    FROM events
+    UNION ALL
+    SELECT 'matches:props',
+           count(*) FILTER (WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\{')),
+           count(*),
+           count(*) FILTER (WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\{')) = 0
+    FROM events
+    UNION ALL
+    SELECT 'unique:event_id',
+           (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM events GROUP BY event_id)),
+           (SELECT count(*) FROM events),
+           (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM events GROUP BY event_id)) = 0
+    UNION ALL
+    SELECT 'ref:l_orderkey->o_orderkey',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+    """,
+    doc="B22: declarative data-quality battery (the reference's QC purpose, "
+    "machine-checked): null/range/format checks fold into ONE conditional-"
+    "sum pass over one scan; uniqueness and referential integrity are "
+    "aggregate / anti-join counts. The in_range check intentionally "
+    "flags rows (value > 200 exists) to prove detection.",
+)
+def b22_quality_checks(spark, sf_dir):
+    from ..operators.validate import (
+        in_range,
+        matches,
+        not_null,
+        referential_violations,
+        run_checks,
+        uniqueness_violations,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    row_checks = run_checks(
+        e,
+        [
+            not_null("event_type"),
+            in_range("value", 0, 200),
+            matches("props", r"^\{"),
+        ],
+    )
+    return (
+        row_checks.unionByName(uniqueness_violations(e, ["event_id"]))
+        .unionByName(referential_violations(l, "l_orderkey", o, "o_orderkey"))
+    )
+
+
+@query(
+    "b06_pivot",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+    doc="B6: pivot (long->wide) with EXPLICIT pivot values — omitting them "
+    "costs an extra distinct-collect job and makes the output schema "
+    "data-dependent, both wrong at scale. Plans as one conditional-count "
+    "aggregation, same as the oracle's FILTER form.",
+)
+def b06_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "b06_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           25.0 * floor(value / 25.0) AS bin_lo,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="B6: fixed-width histogram by arithmetic binning — one partial-agg "
+    "pass, O(bins) shuffle; the building block for quality-score and "
+    "length distributions over a 100 TB corpus.",
+)
+def b06_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0)
+    return e.groupBy(
+        bin_.cast("bigint").alias("bin"), (bin_ * 25.0).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "b22_stratified_sample",
+    oracle=None,  # sampling is engine-specific RNG; fractions pinned in tests
+    doc="B22: per-stratum Bernoulli sampling (sampleBy on lang, seeded) — "
+    "the standard corpus down-sampling/rebalancing step in LLM data "
+    "pipelines. Deterministic for a fixed seed and partitioning; fraction "
+    "accuracy asserted in tests, not hash-compared.",
+)
+def b22_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -103,3 +103,31 @@ def test_ann_ivf_recall_and_probe_fraction(spark, sf_dir):
     cells = ivf_assignments(emb, _pseudo_centroids(dim, 16)).groupBy("cell").count()
     rows = cells.collect()
     assert sum(r["count"] for r in rows) == emb.count()
+
+
+def test_stratified_sample_fractions(spark, sf_oracle_dir):
+    """Seeded sampleBy: per-stratum observed fraction within a loose
+    binomial tolerance, deterministic across two runs."""
+    fn = QUERIES["b22_stratified_sample"].fn
+    got1 = fn(spark, sf_oracle_dir).groupBy("lang").count().collect()
+    got2 = fn(spark, sf_oracle_dir).groupBy("lang").count().collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # deterministic
+    totals = {
+        r.lang: r["count"]
+        for r in load_table(spark, sf_oracle_dir, "documents").groupBy("lang").count().collect()
+    }
+    want = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
+    for r in got1:
+        frac = r["count"] / totals[r.lang]
+        assert abs(frac - want[r.lang]) < 0.15, (r.lang, frac)
+
+
+def test_quality_checks_detect_and_pass(spark, sf_oracle_dir):
+    """The battery flags the intentionally-violating range check and passes
+    the structurally-true ones."""
+    rows = {r.check_name: r for r in QUERIES["b22_quality_checks"].fn(spark, sf_oracle_dir).collect()}
+    assert rows["in_range:value"].violations > 0 and not rows["in_range:value"].ok
+    assert rows["not_null:event_type"].ok
+    assert rows["unique:event_id"].ok
+    assert rows["ref:l_orderkey->o_orderkey"].ok
+    assert all(r.total > 0 for r in rows.values())
