@@ -629,3 +629,29 @@ def b22_stratified_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query(
+    "b06_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="B6: exact continuous percentiles per group — both engines define "
+    "quantiles by sort + linear interpolation over identical doubles, so "
+    "the result hash-matches despite being order-statistics. At 100 TB the "
+    "drop-in substitute is approx_percentile (t-digest sketch, fixed "
+    "memory); the exact form is the oracle-parity variant.",
+)
+def b06_percentiles(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
