@@ -655,3 +655,30 @@ def b06_percentiles(spark, sf_dir):
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "b02_join_salted",
+    oracle="""
+    SELECT l_orderkey, o_orderpriority, count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_orderpriority
+    """,
+    doc="B2: skew-salted equi-join (operators/skew.py) — the skewed side "
+    "salted per-row, the other side replicated over the salt range; result "
+    "set identical to the plain join (this oracle IS the plain join), cost "
+    "is an 8x blow-up of the replicated side in exchange for spreading a "
+    "hot key over 8 shuffle partitions. Manual fallback for pathological "
+    "skew beyond AQE's runtime splitting.",
+)
+def b02_join_salted(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_linenumber"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on="l_orderkey", buckets=8, entropy_cols=("l_linenumber",))
+    return joined.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )

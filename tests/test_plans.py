@@ -100,3 +100,34 @@ def test_grouping_sets_single_expand(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") >= 1
     assert len(read_schemas(df)) == 1  # single scan of lineitem
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """SCALE.md's bucketing claim, executed: co-bucketed fact tables join
+    with ZERO exchanges (the storage layout replaces the shuffle). Broadcast
+    is disabled for the assertion so the zero can't come from a broadcast."""
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    l.write.mode("overwrite").option("path", str(tmp_path / "lb")).bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("lineitem_bucketed")
+    o.write.mode("overwrite").option("path", str(tmp_path / "ob")).bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("orders_bucketed")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lb, ob = spark.table("lineitem_bucketed"), spark.table("orders_bucketed")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        # one exchange for the groupBy is allowed; the JOIN itself adds none
+        n_join_side_shuffles = shuffle_count(
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        )
+        assert n_join_side_shuffles == 0, n_join_side_shuffles
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
