@@ -135,3 +135,24 @@ def run_stream_to_table(
     q.awaitTermination()
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: same ``key``, right event inside
+    [left_ts, left_ts + within]. Both inputs MUST be watermarked — the time
+    bound plus the watermarks is what lets Spark evict join state (buffered
+    rows older than watermark + bound can never match again), keeping state
+    proportional to the time window instead of the stream history."""
+    cond = (
+        (left[key] == right[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner")

@@ -160,3 +160,48 @@ def b20_stream_toggle(spark, sf_dir):
         F.max_by("selected", "batch_seq").alias("selected"),
         F.sum("n_toggles").alias("n_toggles"),
     )
+
+
+@query(
+    "b20_stream_stream_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+    doc="B20: stream-stream inner join — signups joined to the same user's "
+    "purchases within the following hour, BOTH sides live watermarked "
+    "streams. The event-time bound + watermarks let Spark evict buffered "
+    "join state; single-batch replay makes the batch join the exact oracle.",
+)
+def b20_stream_stream_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..streaming import run_stream_to_table, stream_events, stream_stream_join
+
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "2 hours")
+    )
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "2 hours")
+    )
+    joined = stream_stream_join(
+        s, p.withColumnRenamed("p_user", "user_id"), key="user_id", within="1 hour"
+    ).select("signup_id", "purchase_id", s["user_id"])
+    return run_stream_to_table(joined, output_mode="append")
