@@ -104,3 +104,20 @@ def referential_violations(
         [(f"ref:{child_key}->{parent_key}", orphans, total, orphans == 0)],
         "check_name string, violations long, total long, ok boolean",
     )
+
+
+def observed_checks(df: DataFrame, checks: list[Check]):
+    """Attach the checks to ``df`` as an Observation so violation counts are
+    collected DURING whatever action the caller already runs — zero extra
+    scans, zero extra jobs. Returns (df, observation); read
+    ``observation.get`` AFTER an action on the returned df.
+
+    This is the 100 TB shape of continuous validation: the QC metrics ride
+    the production pipeline's own pass instead of doubling the read."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_checks")
+    metrics = [F.sum(c.violation.cast("long")).alias(c.name) for c in checks] + [
+        F.count(F.lit(1)).alias("__total")
+    ]
+    return df.observe(obs, *metrics), obs

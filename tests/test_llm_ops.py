@@ -131,3 +131,28 @@ def test_quality_checks_detect_and_pass(spark, sf_oracle_dir):
     assert rows["unique:event_id"].ok
     assert rows["ref:l_orderkey->o_orderkey"].ok
     assert all(r.total > 0 for r in rows.values())
+
+
+def test_observed_checks_ride_the_main_action(spark, sf_oracle_dir):
+    """df.observe collects violation counts during the pipeline's own
+    action — no second scan. Counts must equal the standalone battery's."""
+    from dataselector_spark.operators.validate import (
+        in_range,
+        not_null,
+        observed_checks,
+        run_checks,
+    )
+
+    e = load_table(spark, sf_oracle_dir, "events")
+    checks = [not_null("event_type"), in_range("value", 0, 200)]
+    observed, obs = observed_checks(e, checks)
+    # The "production pipeline": some unrelated aggregation.
+    observed.groupBy("event_type").count().collect()
+    got = obs.get
+    want = {
+        r.check_name: r.violations
+        for r in run_checks(e, checks).collect()
+    }
+    assert got["not_null:event_type"] == want["not_null:event_type"]
+    assert got["in_range:value"] == want["in_range:value"]
+    assert got["__total"] == e.count()
