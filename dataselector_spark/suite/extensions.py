@@ -682,3 +682,21 @@ def b02_join_salted(spark, sf_dir):
     return joined.groupBy("l_orderkey", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "b06_unpivot",
+    oracle="""
+    SELECT event_id, 'value' AS metric, value AS v FROM events
+    UNION ALL
+    SELECT event_id, 'user_id', CAST(user_id AS DOUBLE) FROM events
+    """,
+    doc="B6: unpivot/melt (wide->long, the inverse of b06_pivot) — plans as "
+    "one Expand over one scan, the same shape the oracle spells as "
+    "UNION ALL without re-reading the table.",
+)
+def b06_unpivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("value"), F.col("user_id").cast("double").alias("user_id")
+    )
+    return e.unpivot("event_id", ["value", "user_id"], "metric", "v")

@@ -140,3 +140,22 @@ def test_apply_selections_semi_join_marks_membership(spark, ethane):
     sel = select_insert(empty, _sel(ethane, "ethane", 12))
     marked = apply_selections(ethane, sel, "date_key")
     assert marked.select("date_key").distinct().count() == 12
+
+
+def test_write_export_round_trips_reference_format(spark, ethane, tmp_path):
+    """A21 sink: the exported JSON reloads to exactly the export relation —
+    date keys with their sorted compound arrays (the distributed analogue of
+    the reference's downloaded date->[compounds] map, index.js:818-836)."""
+    from dataselector_spark.operators.selection import export_selections, write_export
+
+    sel = select_insert(
+        spark.createDataFrame([], f"{KEY} string, compound string"),
+        _sel(ethane, "ethane", 8),
+    )
+    sel = select_insert(sel, _sel(ethane, "propane", 4))
+    out = str(tmp_path / "export")
+    write_export(sel, out)
+    back = spark.read.schema("date_key string, compounds array<string>").json(out)
+    want = {(r[KEY], tuple(r.compounds)) for r in export_selections(sel).collect()}
+    got = {(r.date_key, tuple(r.compounds)) for r in back.collect()}
+    assert got == want and len(got) > 0
