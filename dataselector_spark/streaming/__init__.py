@@ -119,21 +119,38 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def run_stream_to_table(
-    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over all available input
     (availableNow trigger → memory sink) and return the materialized result.
-    Deterministic: one pass over the file source, then the query stops."""
+    Deterministic: one pass over the file source, then the query stops.
+
+    ``state_partitions`` sizes `spark.sql.shuffle.partitions` for THIS query
+    (stateful operators create one state-store instance per shuffle
+    partition, and the count is pinned into the checkpoint at first start —
+    per-query sizing is the real-world posture, not a local hack). The
+    default 8 suits these bounded replays; a production deployment sizes it
+    to peak throughput because it cannot be changed after the first run.
+    Session conf is restored afterward."""
     name = name or f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = sdf.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
