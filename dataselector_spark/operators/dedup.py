@@ -284,3 +284,77 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- near-dup clustering: pairs -> components -> survivors -------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``: component = min node id
+    reachable through the pair graph — the step that turns PAIRWISE near-dup
+    evidence into dedup CLUSTERS (A ~ B ~ C collapse together even when A/C
+    were never directly compared).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in O(graph diameter) rounds
+    (near-dup clusters are shallow — a handful of rounds in practice, capped
+    at ``max_iter``). Each round is one shuffle join + aggregation;
+    localCheckpoint truncates the growing lineage so round N doesn't replay
+    rounds 1..N-1. This is the GraphX/GraphFrames algorithm expressed in
+    plain DataFrame ops — no extra library, works on any cluster."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("comp"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """One row per near-dup cluster (the min-id member) plus every unpaired
+    document — the final output of a fuzzy-dedup pass. Non-survivors =
+    clustered nodes whose id != their component id; removed with a
+    broadcastable anti-join (the near-dup set is small relative to the
+    corpus)."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

@@ -438,3 +438,71 @@ def b14_ann_ivf(spark, sf_dir):
     return topk_cosine_ivf(
         _t(spark, sf_dir, "embeddings"), qv, k=10, num_centroids=16, nprobe=4
     )
+
+
+_JACCARD_PAIRS_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+"""
+
+
+@query(
+    "b13_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE}
+    SELECT id, min(r) AS comp FROM reach GROUP BY id
+    """,
+    doc="B13: pairwise near-dup evidence -> dedup CLUSTERS via connected "
+    "components (iterative min-label propagation in plain DataFrame ops — "
+    "A~B~C collapse even when A/C were never compared). Oracle is a "
+    "recursive-CTE transitive closure over the same exact-Jaccard pairs.",
+)
+def b13_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return connected_components(pairs)
+
+
+@query(
+    "b13_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+    """,
+    doc="B13: the fuzzy-dedup END PRODUCT — one survivor (min id) per "
+    "near-dup cluster plus all unpaired documents, removed with a broadcast "
+    "anti-join.",
+)
+def b13_dedup_survivors(spark, sf_dir):
+    from ..operators.dedup import dedup_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup_survivors(d, pairs).select("doc_id", "lang")

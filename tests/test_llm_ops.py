@@ -156,3 +156,27 @@ def test_observed_checks_ride_the_main_action(spark, sf_oracle_dir):
     assert got["not_null:event_type"] == want["not_null:event_type"]
     assert got["in_range:value"] == want["in_range:value"]
     assert got["__total"] == e.count()
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Hand-built graph: chain 1-2-3 (transitive collapse without a direct
+    1-3 pair), clique 10-11-12, isolated pair 20-21."""
+    from dataselector_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_survivors_keep_min_and_unpaired(spark):
+    from dataselector_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, name string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
+    assert got == [1, 10, 99]  # min of each cluster + the unpaired doc
