@@ -151,3 +151,53 @@ def b08_outlier_zscore(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     flagged = zscore_outliers(e, group=["event_type"], value="value", z_thresh=2.0)
     return flagged.select("event_id", "g_mean", "g_std", "z", "is_outlier")
+
+
+@query(
+    "b08_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="B8: batch sessionization (gaps-and-islands): lag marks gap starts, "
+    "a running sum numbers sessions, one grouped agg summarizes — two "
+    "window passes over ONE shuffle on user_id (both windows and the "
+    "final groupBy share the partitioning). The batch twin of "
+    "b18_stream_session.",
+)
+def b08_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .withColumn("sid", F.sum("new_session").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -131,3 +131,11 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes AND the final (user_id, sid) groupBy must reuse
+    the one hash partitioning on user_id (a superset grouping key is
+    satisfied by the coarser partitioning)."""
+    df = QUERIES["b08_sessionize"].fn(spark, SF)
+    assert shuffle_count(df) == 1, shuffle_count(df)
