@@ -15,6 +15,7 @@ extents result — no distributed work.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -69,4 +70,45 @@ def zoom_window(
         lo = max(full.lo, center - min_window / 2)
         hi = min(full.hi, lo + min_window)
         lo = max(full.lo, hi - min_window)
+    return Window1D(lo, hi)
+
+
+def _tick_increment(start: float, stop: float, count: int) -> float:
+    """d3-array tickIncrement semantics (public d3 algorithm): the tick step
+    for a [start, stop] domain at ~count ticks, returned as a positive
+    integer step or a NEGATIVE reciprocal for fractional steps (so the
+    caller can stay in exact integer arithmetic either way)."""
+    e10, e5, e2 = 50 ** 0.5, 10 ** 0.5, 2 ** 0.5
+    step = (stop - start) / max(0, count)
+    power = math.floor(math.log10(step))
+    error = step / 10 ** power
+    factor = 10 if error >= e10 else 5 if error >= e5 else 2 if error >= e2 else 1
+    if power >= 0:
+        return factor * 10 ** power
+    return -(10 ** -power) / factor
+
+
+def nice_domain(lo: float, hi: float, count: int = 10) -> Window1D:
+    """A10: d3 `scale.nice()` (index.js:310 — the reference nices every
+    linear y-scale with the default tick count): expand the domain outward
+    to tick-aligned bounds, iterating until the step stabilizes, exactly as
+    d3-scale does."""
+    if lo > hi:
+        lo, hi = hi, lo
+    if lo == hi:
+        return Window1D(lo, hi)
+    prestep = None
+    for _ in range(10):
+        step = _tick_increment(lo, hi, count)
+        if step == prestep:
+            break
+        if step > 0:
+            lo = math.floor(lo / step) * step
+            hi = math.ceil(hi / step) * step
+        elif step < 0:
+            lo = math.ceil(lo * step) / step
+            hi = math.floor(hi * step) / step
+        else:
+            break
+        prestep = step
     return Window1D(lo, hi)

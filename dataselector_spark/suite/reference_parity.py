@@ -365,3 +365,54 @@ def flagship_minute_flag_counts(spark, sf_dir):
         )
         .orderBy("date_key")
     )
+
+
+@query(
+    "a11_affine_scale",
+    oracle="""
+    SELECT event_id,
+           (value - 0.0) / 500.0 * 640.0 AS px,
+           ((value - 0.0) / 500.0 * 640.0) / 640.0 * 500.0 AS back
+    FROM events
+    """,
+    doc="A11/A12: the d3 linear scale and its inverse as arithmetic "
+    "projections (index.js:308-310, 225-228) — fixed domain/range literals "
+    "so both engines run the identical IEEE expression; `back` round-trips "
+    "through the inverse.",
+)
+def a11_affine_scale(spark, sf_dir):
+    from ..operators.extents import affine_invert, affine_map
+
+    e = _events(spark, sf_dir)
+    px = affine_map(F.col("value"), 0.0, 500.0, 0.0, 640.0)
+    return e.select(
+        "event_id",
+        px.alias("px"),
+        affine_invert(px, 0.0, 500.0, 0.0, 640.0).alias("back"),
+    )
+
+
+@query(
+    "a06_box_select_pixel",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE (epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00'))
+          / (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(TIMESTAMP '2024-01-01 00:00:00'))
+          * 640.0 BETWEEN 100.0 AND 300.0
+      AND (value - 0.0) / 500.0 * 480.0 BETWEEN 50.0 AND 250.0
+    """,
+    doc="A6/A14: the drag-rectangle hit test (index.js:245-250) in pixel "
+    "space — both axes affine-mapped to the rendered coordinate system, "
+    "then the same conjunctive between() as A5. Equivalent to inverse-"
+    "transforming the box corners into data space (A12); expressed "
+    "forward so the oracle shares the exact arithmetic.",
+)
+def a06_box_select_pixel(spark, sf_dir):
+    from ..operators.extents import affine_map
+
+    e = _events(spark, sf_dir)
+    t0 = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")).cast("double")
+    t1 = F.unix_timestamp(F.lit("2024-02-01 00:00:00").cast("timestamp")).cast("double")
+    x = (F.unix_timestamp("ts").cast("double") - t0) / (t1 - t0) * 640.0
+    y = affine_map(F.col("value"), 0.0, 500.0, 0.0, 480.0)
+    return e.filter(x.between(100.0, 300.0) & y.between(50.0, 250.0)).select("event_id")

@@ -106,3 +106,19 @@ def test_affine_map_invert_roundtrip(spark):
     for r in out:
         assert abs(r.back - r.v) < 1e-9
         assert 0.0 <= r.px <= 640.0
+
+
+def test_nice_domain_matches_d3_examples():
+    """A10: d3 scale.nice() replay — canonical examples from d3-scale's
+    documented behavior (the reference nices every linear y-scale,
+    index.js:310)."""
+    from dataselector_spark.operators.extents import Window1D, nice_domain
+
+    assert nice_domain(1.1, 10.9) == Window1D(1, 11)
+    assert nice_domain(0.201, 0.996) == Window1D(0.2, 1.0)
+    assert nice_domain(-13, 207) == Window1D(-20, 220)
+    w = nice_domain(0, 0.96)
+    assert w.lo == 0 and w.hi == 1.0
+    assert nice_domain(5, 5) == Window1D(5, 5)  # degenerate domain unchanged
+    # idempotence: nicing a nice domain is a no-op
+    assert nice_domain(1, 11) == Window1D(1, 11)
