@@ -516,3 +516,70 @@ def b11_scalar_battery(spark, sf_dir):
         F.greatest(F.col("value"), F.lit(100.0)).alias("v_hi"),
         F.least(F.col("value"), F.lit(100.0)).alias("v_lo"),
     )
+
+
+@query(
+    "b10_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'except_all' AS op, l_suppkey, count(*) AS n FROM (
+        SELECT * FROM a EXCEPT ALL SELECT * FROM b
+    ) GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all', l_suppkey, count(*) FROM (
+        SELECT * FROM a INTERSECT ALL SELECT * FROM b
+    ) GROUP BY 2
+    """,
+    doc="B10: multiset (bag) semantics — EXCEPT ALL / INTERSECT ALL respect "
+    "multiplicities, unlike the distinct variants in b10_set_ops; counted "
+    "per key so the oracle comparison is order-free.",
+)
+def b10_multiset_ops(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") >= 25).select("l_suppkey")
+    b = l.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_suppkey", "n")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_suppkey", "n")
+    )
+    return ex.unionByName(inter)
+
+
+@query(
+    "b02_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+    doc="B2/B9: LATERAL correlated subquery with per-row ORDER BY + LIMIT "
+    "(top-2 orders per nation) — Catalyst decorrelates it into a ranked "
+    "window join; run through spark.sql to exercise the SQL surface "
+    "itself, like q17.",
+)
+def b02_lateral_topk(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM lat_nation n, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM lat_orders JOIN lat_customer ON o_custkey = c_custkey
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+    """)

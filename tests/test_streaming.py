@@ -183,3 +183,43 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     assert totals["2024-01-01 12:00:00"] == 1
     assert totals["2024-01-01 13:00:00"] == 1
     assert sum(totals.values()) == len(BATCH1) + len(BATCH2)  # exactly once
+
+
+def test_foreachbatch_idempotent_parquet_sink(spark, tmp_path):
+    """foreachBatch + per-batch-id overwrite = the idempotent custom-sink
+    pattern: a retried/reprocessed micro-batch overwrites its own directory
+    instead of appending duplicates, giving exactly-once delivery to sinks
+    with no native transaction support."""
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    os.makedirs(src)
+    _write_events(os.path.join(src, "a.parquet"), BATCH1)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    def start():
+        raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            ev.select("event_id", "ts", "user_id")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_events(os.path.join(src, "b.parquet"), BATCH2)
+    q = start()  # restart from checkpoint — batch 1 must NOT be re-delivered
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == len(BATCH1) + len(BATCH2)
+    assert got.select("event_id").distinct().count() == 5
