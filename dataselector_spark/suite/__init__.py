@@ -14,6 +14,7 @@ from . import window_suite  # noqa: F401,E402
 from . import llm_pipeline  # noqa: F401,E402
 from . import streaming_suite  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import tpch_full  # noqa: F401,E402
 
 
 def queries():
