@@ -30,6 +30,8 @@ HEADLINE = [
     "q6_forecast_revenue",  # scan-filter-agg, full pushdown
     "q18_large_volume_customer",  # HAVING semi-join + top-100
     "q19_discounted_revenue",  # disjunctive broadcast join
+    "q9_product_type_profit",  # five-table join, two decimal aggregates
+    "q21_waiting_supplier",  # non-equi semi/anti joins on deduped pairs
     "b02_join_revenue_per_nation",  # B2 multi-way join
     "b05_asof_join",  # B5 merge-asof (shuffle+sort window)
     "b04_interval_join_bucketed",  # B4 bucketed range join

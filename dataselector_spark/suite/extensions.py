@@ -869,3 +869,128 @@ def q14_promo_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- B1 (continued): ORC + text sources, B23: incremental refresh -----------
+
+
+@query(
+    "b01_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="B1: ORC sink + explicit-schema source (ORC ships in Spark core — "
+    "the second columnar format besides Parquet; same pushdown/pruning "
+    "machinery). Timestamps survive at µs precision both ways.",
+)
+def b01_orc_roundtrip(spark, sf_dir):
+    path = _rt_path(sf_dir, "orders_orc")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate").write.mode(
+        "overwrite"
+    ).orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)
+
+
+@query(
+    "b01_text_roundtrip",
+    oracle="SELECT text AS value FROM documents",
+    doc="B1: whole-line text sink + source (the raw-corpus format LLM "
+    "pipelines start from). documents.text is single-line ASCII "
+    "(TESTDATA), so line-per-row round-trips exactly.",
+)
+def b01_text_roundtrip(spark, sf_dir):
+    path = _rt_path(sf_dir, "documents_text")
+    d = _t(spark, sf_dir, "documents").select("text")
+    d.write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@query(
+    "b23_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(3,0)) AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(3,0)) AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    UNION ALL
+    SELECT * FROM src
+    """,
+    doc="B23: keyed SCD-1 MERGE (operators/merge.py merge_upsert) — the "
+    "batch generalization of the reference's insert-or-replace session "
+    "store (index.js:510-534). Source = urgent orders repriced ×2 plus the "
+    "same rows re-keyed as inserts; target rows lose on key collision. One "
+    "anti-join shuffle; bucket both sides by key to make it co-located.",
+)
+def b23_merge_upsert(spark, sf_dir):
+    from ..operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    repriced = dec2("o_totalprice") * F.lit(2).cast("decimal(3,0)")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    updates = urgent.withColumn("o_totalprice", repriced.cast("double"))
+    inserts = updates.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+    src = updates.select(*cols).unionByName(inserts.select(*cols))
+    return merge_upsert(o.select(*cols), src, ["o_orderkey"])
+
+
+@query(
+    "b23_apply_changelog",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey AS k, l_linenumber AS v,
+             CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY k
+        ORDER BY v DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+                 l_quantity, l_extendedprice
+      ) AS rn FROM c
+    )
+    SELECT k, v, op, l_quantity, l_extendedprice FROM r
+    WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="B23: CDC changelog compaction (operators/merge.py apply_changelog) "
+    "— latest version per key wins, winning deletes drop the key. The "
+    "changelog is synthesized from lineitem (key=orderkey, "
+    "version=linenumber, returnflag R ⇒ delete); compaction is one "
+    "row_number window per key; ties prefer the delete, then fall to "
+    "payload columns ((k,v) is NOT unique in this data — without a total "
+    "order the survivor is engine-dependent).",
+)
+def b23_apply_changelog(spark, sf_dir):
+    from ..operators.merge import apply_changelog
+
+    l = _t(spark, sf_dir, "lineitem")
+    changelog = l.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("v"),
+        F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return apply_changelog(
+        changelog, ["k"], "v", tiebreakers=["l_quantity", "l_extendedprice"]
+    )

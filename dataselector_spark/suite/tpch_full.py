@@ -476,39 +476,36 @@ def q20_part_promotion_suppliers(spark, sf_dir):
     LIMIT 20
     """,
     doc="TPC-H Q21 analogue: in finished multi-supplier orders, suppliers "
-    "who were the ONLY late one (ship > order+60d). EXISTS/NOT EXISTS "
-    "become semi/anti joins with a non-equi suppkey<>suppkey conjunct on "
-    "the deduplicated (order, supplier) relation — state is bounded by "
-    "distinct pairs, not lineitems. Ordering is total (s_name unique per "
-    "group), so LIMIT 20 is deterministic.",
+    "who were the ONLY late one (ship > order+60d). The oracle states it "
+    "as EXISTS/NOT EXISTS self-joins; the Spark plan is the algebraic "
+    "rewrite — one deduplicated (order, supplier, was_late) relation, then "
+    "per-order window counts: 'another supplier exists' ⇔ n_sup > 1, 'no "
+    "other late supplier' ⇔ n_late = 1. One scan of lineitem, no "
+    "self-joins, and both shuffles are on the order key (the second is a "
+    "co-partitioned window). Ordering is total (s_name unique per group), "
+    "so LIMIT 20 is deterministic.",
 )
 def q21_waiting_supplier(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
     s = _t(spark, sf_dir, "supplier")
-    late = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    was_late = (
+        (F.col("o_orderstatus") == "F")
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
     )
-    allsup = l.select("l_orderkey", "l_suppkey").distinct()
-    a = allsup.select(
-        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    # Left join so the pairs relation covers every lineitem even without a
+    # matching order (order-less lines simply can't be late) — keeps the
+    # rewrite equivalent to the oracle without assuming FK integrity.
+    pairs = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(was_late, 1).otherwise(0)).alias("is_late"))
     )
-    l2 = late.select(
-        F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk")
-    )
+    w = Window.partitionBy("l_orderkey")
     lonely_late = (
-        late.join(
-            a,
-            (F.col("l_orderkey") == F.col("a_ok")) & (F.col("l_suppkey") != F.col("a_sk")),
-            "left_semi",
-        ).join(
-            l2,
-            (F.col("l_orderkey") == F.col("b_ok")) & (F.col("l_suppkey") != F.col("b_sk")),
-            "left_anti",
-        )
+        pairs.withColumn("n_sup", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_sup") > 1) & (F.col("n_late") == 1))
     )
     return (
         lonely_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
