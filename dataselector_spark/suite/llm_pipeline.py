@@ -11,6 +11,7 @@ assertions against the exact operators.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -22,6 +23,7 @@ from ..functions.text import (
     quality_score,
     stopword_hits,
     token_count,
+    tokens,
 )
 from ..multimodal import extract_features, synthesize_media
 from ..operators.dedup import (
@@ -506,3 +508,49 @@ def b13_dedup_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
     return dedup_survivors(d, pairs).select("doc_id", "lang")
+
+
+@query(
+    "b15_tfidf_top_term",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      GROUP BY doc_id, t.term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df,
+           (SELECT count(*) FROM documents) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+    doc="B15: TF-IDF retrieval primitive — each document's highest-tf term "
+    "with its collection document frequency. The score's exact rational "
+    "components (tf, df, n_docs) are emitted instead of tf*ln(N/df): ln "
+    "is not bit-identical across libm implementations, so the transcendent "
+    "step stays out of the hash-checked contract (callers fold it in one "
+    "double op). Plan: explode → two keyed aggregations → window top-1; "
+    "the df relation is term-keyed (vocabulary-sized) and broadcast back.",
+)
+def b15_tfidf_top_term(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.join(F.broadcast(df_rel), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", "df", "n_docs")
+    )

@@ -583,3 +583,65 @@ def b02_lateral_topk(spark, sf_dir):
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         ) t
     """)
+
+
+@query(
+    "b06_correlation_exact_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xi) AS DOUBLE) AS sx,
+             CAST(sum(yi) AS DOUBLE) AS sy,
+             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+             CAST(sum(yi * yi) AS DOUBLE) AS syy,
+             CAST(sum(xi * yi) AS DOUBLE) AS sxy
+      FROM (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(19,0)) AS xi,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(19,0)) AS yi
+        FROM lineitem
+      ) GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * n) / 10000.0 AS cov_pop_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="B6: Pearson correlation + population covariance per return flag "
+    "from EXACT integer moment sums. The 2-dp inputs are scaled to "
+    "integer-valued DECIMAL(19,0) (so every product/sum is an exact "
+    "integer and each decimal->double cast is ONE correctly-rounded "
+    "conversion — a fractional-scale decimal cast rounds differently "
+    "across engines by an ulp); the moments then combine through an "
+    "identical IEEE expression (add/mul/div/sqrt are correctly rounded). "
+    "Correlation is scale-invariant; covariance divides the 100x100 "
+    "scaling back out at the end. Unlike built-in corr()/covar_pop(), "
+    "whose float accumulation order is engine- and partition-specific, "
+    "this is deterministic AND parallel: one aggregation pass, |groups| "
+    "output rows.",
+)
+def b06_correlation_exact_moments(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    xi = (dec2("l_quantity") * F.lit(100)).cast("decimal(19,0)")
+    yi = (dec2("l_extendedprice") * F.lit(100)).cast("decimal(19,0)")
+    scaled = l.select("l_returnflag", xi.alias("xi"), yi.alias("yi"))
+    m = scaled.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).cast("double").alias("syy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n) / F.lit(10000.0)).alias("cov_pop_qty_price"),
+    ).orderBy("l_returnflag")

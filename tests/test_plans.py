@@ -139,3 +139,47 @@ def test_sessionize_single_shuffle(spark):
     satisfied by the coarser partitioning)."""
     df = QUERIES["b08_sessionize"].fn(spark, SF)
     assert shuffle_count(df) == 1, shuffle_count(df)
+
+
+def test_q21_single_lineitem_scan_no_self_join(spark):
+    """The Q21 window rewrite must scan lineitem ONCE (the EXISTS/NOT
+    EXISTS formulation scans it three times) and never fall back to a
+    nested-loop join for the non-equi conditions it no longer has."""
+    from dataselector_spark.plans import physical_plan
+
+    df = QUERIES["q21_waiting_supplier"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_lineitem_single_shuffle_dims_broadcast(spark):
+    """Q2's fact table shuffles exactly once (into the offers aggregation);
+    every dim and the correlated-min window ride broadcasts / the existing
+    partitioning."""
+    from dataselector_spark.plans import has_broadcast_join, physical_plan
+
+    df = QUERIES["q2_min_cost_supplier"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_changelog_compaction_single_shuffle(spark):
+    """CDC compaction is one hash shuffle on the key; the row_number sort
+    happens inside the same exchange."""
+    from dataselector_spark.plans import shuffle_count
+
+    df = QUERIES["b23_apply_changelog"].fn(spark, SF)
+    assert shuffle_count(df) == 1, shuffle_count(df)
+
+
+def test_merge_upsert_no_nested_loop(spark):
+    from dataselector_spark.plans import physical_plan
+
+    df = QUERIES["b23_merge_upsert"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
