@@ -223,3 +223,47 @@ def test_foreachbatch_idempotent_parquet_sink(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(BATCH1) + len(BATCH2)
     assert got.select("event_id").distinct().count() == 5
+
+
+def test_streaming_upsert_sink_merges_across_restart(spark, tmp_path):
+    """foreachBatch MERGE sink (B20+B23): revisions streaming in are folded
+    into a parquet target by event_id — later revisions replace earlier
+    rows, new keys insert, and a checkpoint restart neither loses nor
+    re-applies batches."""
+    from dataselector_spark.streaming import upsert_sink
+
+    src = str(tmp_path / "up_src")
+    target = str(tmp_path / "up_target")
+    ckpt = str(tmp_path / "up_ckpt")
+    os.makedirs(src)
+
+    def start():
+        raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            ev.select("event_id", "ts", "user_id", "value")
+            .writeStream.foreachBatch(upsert_sink(target, ["event_id"]))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_events(os.path.join(src, "a.parquet"), BATCH1)  # ids 1,2,3 value=1.0
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Revisions: id 2 gets value 9.0, id 6 is brand new.
+    _write_events(
+        os.path.join(src, "b.parquet"),
+        [(2, "2024-01-01 10:05:00", 1, "x", 9.0), (6, "2024-01-01 14:00:00", 2, "y", 5.0)],
+    )
+    q = start()  # restart from checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 1.0, 6: 5.0}
