@@ -645,3 +645,71 @@ def b06_correlation_exact_moments(spark, sf_dir):
         ).alias("corr_qty_price"),
         ((n * sxy - sx * sy) / (n * n) / F.lit(10000.0)).alias("cov_pop_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "b06_approx_percentile",
+    oracle=None,  # sketch-based: engines' t-digest/GK summaries differ by design
+    doc="B6: approximate percentiles via Spark's Greenwald-Khanna summary — "
+    "the scale path for quantiles (mergeable fixed-size state, one "
+    "partial-agg pass, no sort), complementing the exact interpolated "
+    "percentiles in b06_percentiles. Rows-only check: approximation "
+    "differs across engines by construction; the exact twin is the "
+    "hash-checked one.",
+)
+def b06_approx_percentile(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+                "price_p50_p95_p99"
+            ),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "b06_multires_rollup",
+    oracle="""
+    WITH per_minute AS (
+      SELECT date_trunc('minute', ts) AS minute_ts,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT date_trunc('hour', minute_ts) AS hour_ts,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS value_sum,
+           CAST(count(*) AS BIGINT) AS active_minutes
+    FROM per_minute GROUP BY 1 ORDER BY 1
+    """,
+    doc="B6: hypertable-style multi-resolution rollup — the hourly "
+    "aggregate is computed FROM the per-minute aggregate, not from raw "
+    "events (algebraic re-aggregation of sums/counts). At 100 TB this is "
+    "the continuous-aggregate pattern: materialize the finest grain once, "
+    "derive every coarser resolution from it at 1/the-compression-ratio "
+    "of the cost; 'active_minutes' falls out for free as the coarse "
+    "count of fine groups. events.value is 2-dp, so the standard "
+    "DECIMAL(12,2) float policy applies.",
+)
+def b06_multires_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_minute = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("minute_ts"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+    )
+    return (
+        per_minute.groupBy(F.date_trunc("hour", "minute_ts").alias("hour_ts"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("value_sum"),
+            F.count("*").alias("active_minutes"),
+        )
+        .orderBy("hour_ts")
+    )
