@@ -554,3 +554,48 @@ def b15_tfidf_top_term(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", "tf", "df", "n_docs")
     )
+
+
+@query(
+    "b15_sequence_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS bin_id
+    FROM runs
+    """,
+    doc="B15: sequence packing — assign documents to ~512-token training "
+    "bins per source via a running token count (bin = floor(tokens-"
+    "before-me / budget)), the streaming-order packing a pretokenized "
+    "pipeline uses. One window shuffle on source; integer arithmetic "
+    "end-to-end so the oracle is exact. At 100 TB the partition key is "
+    "(source, shard) so no single source serializes into one task; "
+    "doc_id order stands in for the pipeline's arrival order.",
+)
+def b15_sequence_packing(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return runs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 512)
+        .cast("long")
+        .alias("bin_id"),
+    )
