@@ -496,8 +496,14 @@ def q21_waiting_supplier(spark, sf_dir):
     # Left join so the pairs relation covers every lineitem even without a
     # matching order (order-less lines simply can't be late) — keeps the
     # rewrite equivalent to the oracle without assuming FK integrity.
+    # One explicit shuffle on the order key serves BOTH the (order, supplier)
+    # aggregation (hash partitioning on a subset of the grouping keys
+    # satisfies its clustering) and the per-order window — without it Spark
+    # plans two back-to-back exchanges. Map-side combine is worthless here
+    # (|pairs| ≈ |lineitems|), so pre-partitioning raw rows costs nothing.
     pairs = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(was_late, 1).otherwise(0)).alias("is_late"))
     )
