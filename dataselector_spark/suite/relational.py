@@ -713,3 +713,30 @@ def b06_multires_rollup(spark, sf_dir):
         )
         .orderBy("hour_ts")
     )
+
+
+@query(
+    "b10_union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="B10: schema-evolution union — two corpus shards whose schemas "
+    "drifted (one gained o_orderpriority, the other kept o_orderstatus) "
+    "merged by NAME with nulls for absent columns "
+    "(unionByName(allowMissingColumns=True) / UNION ALL BY NAME). The "
+    "shard-merge every long-lived 100 TB corpus hits; positional UNION "
+    "would silently misalign columns.",
+)
+def b10_union_schema_evolution(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    old_shard = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new_shard = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return old_shard.unionByName(new_shard, allowMissingColumns=True)
