@@ -994,3 +994,35 @@ def b23_apply_changelog(spark, sf_dir):
     return apply_changelog(
         changelog, ["k"], "v", tiebreakers=["l_quantity", "l_extendedprice"]
     )
+
+
+@query(
+    "b22_mixture_resample",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000 <
+          CASE source
+            WHEN 'src0' THEN 300
+            WHEN 'src1' THEN 900
+            WHEN 'src2' THEN 700
+            ELSE 500
+          END
+    """,
+    doc="B22: deterministic mixture resampling — per-source keep rates "
+    "applied through a Knuth-hash gate on the stable doc key instead of "
+    "an RNG, so the sample is reproducible across runs, engines, and "
+    "partitionings (resumable/auditable corpus builds; rand()-based "
+    "sample() is none of those). Pure filter: pushes to the scan, no "
+    "shuffle. Rates here: src0 30%, src1 90%, src2 70%, default 50%.",
+)
+def b22_mixture_resample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", 300)
+        .when(F.col("source") == "src1", 900)
+        .when(F.col("source") == "src2", 700)
+        .otherwise(500)
+    )
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return d.filter(gate < rate).select("doc_id", "source", "lang")
