@@ -39,6 +39,8 @@ HEADLINE = [
     "b09_topk_per_group",  # B9 ranking window
     "b12_dedup_exact",  # B12 exact dedup
     "b13_minhash_lsh",  # B13 fuzzy dedup (explode+agg+self-join)
+    "b13_ngram_jaccard",  # B13 inverted-index jaccard with DF-cap skew guard
+    "b13_dedup_survivors",  # B13 pairs→components→anti-join (iterative CC)
     "b14_topk_cosine",  # B14 vector scan
     "b15_text_stats",  # B15 text pass (higher-order funcs)
     "b15_sequence_packing",  # B15 running-token-count bin assignment

@@ -8,7 +8,12 @@ uses the merge-asof pattern instead:
     union both sides into one stream tagged left/right
     -> single hash shuffle on the key
     -> per-key sort by (ts, side)
-    -> ``last(right_payload, ignorenulls=True)`` over rows UNBOUNDED PRECEDING
+    -> ``last(struct(right_payload), ignorenulls=True)`` over rows
+       UNBOUNDED PRECEDING, unpacked after
+
+The payload travels as ONE struct column so the entire matched right row is
+attached atomically — NULLs inside the nearest row stay NULL instead of
+being back-filled per-column from older rows (pandas/DuckDB ASOF semantics).
 
 One shuffle, one sort, linear output — the same work a groupBy would do.
 Right rows sort before left rows at equal timestamps, giving the standard
@@ -44,21 +49,22 @@ def asof_join(
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
 
-    payload_out = [f"{c}{suffix}" for c in right_payload]
-
     # Tag and union. side=0 (right) sorts before side=1 (left) at equal ts so
     # an exactly-simultaneous right row is visible to the left row (>= join).
+    # The payload is packed into ONE struct: last(struct, ignorenulls=True)
+    # attaches the whole nearest-earlier row atomically, so a NULL inside the
+    # matched row is preserved rather than filled from an older right row.
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__p"),
     )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}") for c in right_payload],
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[F.col(c) for c in left.columns],
     )
     # Align schemas: right side carries nulls for left columns.
@@ -66,10 +72,10 @@ def asof_join(
         "__k",
         "__ts",
         "__side",
-        *payload_out,
+        "__p",
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
-    unioned = r_full.unionByName(l.select("__k", "__ts", "__side", *payload_out, *left.columns))
+    unioned = r_full.unionByName(l.select("__k", "__ts", "__side", "__p", *left.columns))
 
     w = (
         Window.partitionBy("__k")
@@ -79,6 +85,15 @@ def asof_join(
     filled = unioned.select(
         *left.columns,
         F.col("__side").alias("__side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_out],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col("__p").getField(c).alias(f"{c}{suffix}")
+                for c in right_payload
+            ],
+        )
+    )

@@ -26,6 +26,33 @@ from pyspark.sql import functions as F
 from ..functions.text import word_ngrams
 
 
+def _materialize(df: DataFrame, mode: str | bool) -> DataFrame:
+    """Cut lineage / force one computation of a reused subplan.
+
+    ``mode``:
+      - ``"local"`` (default) — ``localCheckpoint``: fast, but blocks are
+        stored only on executors; an executor loss loses them and the lineage
+        that could recompute them is gone.  Fine on local[*] and for short
+        jobs.
+      - ``"reliable"`` — ``checkpoint``: writes to the SparkContext's
+        checkpoint directory (HDFS/object store on a real cluster).  The
+        right choice for a multi-hour 100 TB dedup where executor churn is
+        expected; requires ``sc.setCheckpointDir`` to have been called.
+      - ``"persist"`` — cache without lineage truncation (re-computable after
+        executor loss, but lineage replays grow per CC round).
+      - ``False`` — no materialization (pure lazy plan).
+    """
+    if mode is False:
+        return df
+    if mode == "reliable":
+        return df.checkpoint()
+    if mode == "persist":
+        df = df.persist()
+        df.count()
+        return df
+    return df.localCheckpoint()
+
+
 def _fan_out(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` up to the session's parallelism if
     the scan under-partitioned it (a few-MB parquet file arrives as ONE
@@ -63,12 +90,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-``n``-gram sets for every document
     pair sharing at least one shingle. Inverted-index join: cost is driven by
     shingle co-occurrence, not |docs|² — hot shingles (stop-phrases) are the
-    skew risk; AQE skew-join splitting handles moderate cases, and a document-
-    frequency cap on shingles is the 100 TB mitigation.
+    skew risk; AQE skew-join splitting handles moderate cases, and ``df_cap``
+    is the 100 TB mitigation: shingles appearing in more than ``df_cap``
+    documents are dropped from the index BEFORE the self-join, bounding every
+    join bucket to ≤ df_cap·(df_cap−1)/2 pairs (a stop-phrase shingle shared
+    by k docs otherwise produces a quadratic k² hot bucket). With a cap, the
+    Jaccard is computed over the capped shingle universe on BOTH sides of the
+    ratio (sizes and intersections), so it stays an exact set similarity —
+    just over the discriminative shingles, which is what you want for dedup.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
@@ -76,6 +110,18 @@ def ngram_jaccard_pairs(
         "id",
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
     )
+    if df_cap is not None:
+        # Pre-aggregate document frequency per shingle (map-side combine makes
+        # this O(distinct shingles), far cheaper than the join it protects)
+        # and keep only discriminative shingles.  The window form
+        # count(*) OVER (PARTITION BY sh) reuses the same hash exchange the
+        # join needs anyway.
+        w = Window.partitionBy("sh")
+        shingles = (
+            shingles.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -142,7 +188,7 @@ def minhash_lsh_pairs(
     signatures: DataFrame,
     bands: int = 4,
     est_threshold: float = 0.5,
-    materialize: bool = True,
+    materialize: str | bool = "local",
 ) -> DataFrame:
     """LSH banding over MinHash signatures: split each signature into
     ``bands`` equal bands, hash each band, join on (band index, band hash) —
@@ -155,11 +201,13 @@ def minhash_lsh_pairs(
 
     ``materialize``: the self-join consumes the signature subplan twice and
     Spark does not reuse the exchange across the two sides; materializing
-    signatures once (localCheckpoint) halves the dominant cost. At warehouse
-    scale you would persist signatures as a table anyway — they are reused
-    across every dedup run."""
-    if materialize:
-        signatures = signatures.localCheckpoint()
+    signatures once halves the dominant cost. See ``_materialize`` for the
+    modes — default ``"local"`` (localCheckpoint) suits local/short runs;
+    pass ``"reliable"`` on a real cluster so executor loss mid-dedup doesn't
+    kill the job. At warehouse scale you would persist signatures as a table
+    anyway — they are reused across every dedup run."""
+    if materialize is not False:
+        signatures = _materialize(signatures, materialize)
     banded = signatures.select(
         "id",
         "sig",
@@ -294,6 +342,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    materialize: str | bool = "local",
 ) -> DataFrame:
     """(id, component) for every node in ``pairs``: component = min node id
     reachable through the pair graph — the step that turns PAIRWISE near-dup
@@ -303,16 +352,19 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the min of
     its own and its neighbors' labels; converges in O(graph diameter) rounds
     (near-dup clusters are shallow — a handful of rounds in practice, capped
-    at ``max_iter``). Each round is one shuffle join + aggregation;
-    localCheckpoint truncates the growing lineage so round N doesn't replay
-    rounds 1..N-1. This is the GraphX/GraphFrames algorithm expressed in
-    plain DataFrame ops — no extra library, works on any cluster."""
+    at ``max_iter``). Each round is one shuffle join + aggregation; per-round
+    materialization truncates the growing lineage so round N doesn't replay
+    rounds 1..N-1 (``materialize="reliable"`` checkpoints to durable storage
+    for cluster runs — see ``_materialize``). This is the GraphX/GraphFrames
+    algorithm expressed in plain DataFrame ops — no extra library, works on
+    any cluster."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("comp"))
-    ).localCheckpoint()
+    edges = _materialize(edges, materialize)
+    labels = _materialize(
+        edges.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("comp")),
+        materialize,
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.b == labels.id)
@@ -327,8 +379,8 @@ def connected_components(
                     labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
+        new = _materialize(new, materialize)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")
@@ -350,11 +402,17 @@ def dedup_survivors(
 ) -> DataFrame:
     """One row per near-dup cluster (the min-id member) plus every unpaired
     document — the final output of a fuzzy-dedup pass. Non-survivors =
-    clustered nodes whose id != their component id; removed with a
-    broadcastable anti-join (the near-dup set is small relative to the
-    corpus)."""
+    clustered nodes whose id != their component id, removed with an
+    anti-join.
+
+    Deliberately NO broadcast hint on the loser set: on a dedup-heavy corpus
+    (web crawls run 30-50% near-dup) the losers are a large fraction of the
+    input, and forcing a broadcast would OOM the driver/executors at scale.
+    A shuffled anti-join is the safe default; AQE converts it to a broadcast
+    join at runtime when the loser side actually turns out small — the right
+    call is made from measured sizes, not a compile-time guess."""
     comp = connected_components(pairs, id_a, id_b)
     losers = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")

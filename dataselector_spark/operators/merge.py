@@ -32,8 +32,14 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> D
 
     Equivalent SQL: target ANTI JOIN source ON keys, UNION ALL source.
     Columns must be union-compatible by name.
+
+    NULL-key semantics: keys are compared null-safely (``<=>``), so a
+    NULL-key source row REPLACES a NULL-key target row instead of both
+    surviving — without this, repeated merges of a NULL-key feed accumulate
+    one duplicate per run (a plain anti-join never matches NULL = NULL).
     """
-    return target.join(source, list(keys), "left_anti").unionByName(source)
+    cond = [target[k].eqNullSafe(source[k]) for k in keys]
+    return target.join(source, cond, "left_anti").unionByName(source)
 
 
 def apply_changelog(

@@ -109,17 +109,38 @@ def topk_cosine_lsh(
 
 def neardup_pairs_cosine(
     embeddings: DataFrame,
-    block_col: str,
+    block_col: str | None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs within a blocking key: equi-join on the block
     (one shuffle), pair filter id_a < id_b, exact cosine >= threshold.
-    Pre-normalizing vectors once (norm column) halves the per-pair cost."""
+    Pre-normalizing vectors once (norm column) halves the per-pair cost.
+
+    Blocking: within-block pairing is quadratic in block size, so the block
+    key must be HIGH-cardinality relative to the corpus. A low-cardinality
+    attribute (e.g. a class label) is fine at test scale but a single block
+    becomes corpus-fraction sized at 100×. Pass ``block_col=None`` to block
+    by the sign-LSH signature instead (``num_planes`` hyperplanes ⇒ ~2^H
+    buckets, expected block size |corpus|/2^H — tunable): true near-dups
+    (cosine ≥ 0.95) almost always share the full signature, so recall stays
+    high (asserted vs brute force in tests/test_llm_ops.py) while no bucket
+    is ever a corpus fraction. Requires ``dim`` (the embedding width) since
+    hyperplanes are plan-time literals."""
+    if block_col is None:
+        if dim is None:
+            raise ValueError("neardup_pairs_cosine: dim is required for LSH blocking")
+        planes = _pseudo_planes(dim, num_planes, seed)
+        blk = sign_lsh_signature(F.col(vec_col), planes)
+    else:
+        blk = F.col(block_col)
     base = embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
+        blk.alias("blk"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
@@ -139,6 +160,55 @@ def _pseudo_centroids(dim: int, num_centroids: int, seed: int = 7) -> list[list[
     k-means over a sample; the assignment/probe dataflow is identical, so
     the Spark plumbing — not the centroid quality — is what this pins."""
     return _pseudo_planes(dim, num_centroids, seed)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 3,
+    sample_fraction: float | None = None,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids with Lloyd iterations expressed as
+    DataFrame ops — no MLlib dependency, same dataflow on a 1000-executor
+    cluster:
+
+        assign: max-cosine centroid per vector (scan, no shuffle)
+        update: per-(cell, dimension) mean via posexplode + groupBy
+                (one shuffle of |corpus|·dim skinny rows, partial-agg
+                combined map-side so the shuffle is O(cells·dim))
+
+    The k·dim result (16×64 doubles here) is driver-side metadata by nature —
+    collecting it is not a driver-side loop over data. ``sample_fraction``
+    trains on a deterministic sample (hash of the vector id), the standard
+    1%-sample posture for 100 TB corpora; init is the deterministic
+    pseudo-random quantizer so runs are reproducible end-to-end."""
+    base = embeddings.select(F.col(vec_col).alias("v"))
+    if sample_fraction is not None:
+        # Deterministic, partitioning-independent sample: hash the vector
+        # contents rather than rand().
+        gate = F.pmod(F.xxhash64(F.col("v").cast("string")), F.lit(10_000))
+        base = base.filter(gate < int(sample_fraction * 10_000))
+    base = base.localCheckpoint()  # reused every iteration; cut re-scan + lineage
+    dim = len(base.first()["v"])
+    centroids = _pseudo_centroids(dim, num_centroids, seed)
+    for _ in range(iters):
+        assigned = ivf_assignments(
+            base.select(F.lit(0).alias("_id"), "v"), centroids, id_col="_id", vec_col="v"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["m"])
+        # Empty cells keep their previous centroid (standard Lloyd handling).
+        centroids = [by_cell.get(i, centroids[i]) for i in range(num_centroids)]
+    return centroids
 
 
 def ivf_assignments(
@@ -175,13 +245,21 @@ def topk_cosine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: coarse-quantize the corpus into `num_centroids`
     inverted lists, probe the `nprobe` lists whose centroids are nearest the
     query, exact re-rank inside them. Scan cost drops to ~nprobe/num_centroids
     of the corpus; recall grows monotonically with nprobe (nprobe =
-    num_centroids degenerates to exact brute force)."""
-    centroids = _pseudo_centroids(len(query_vec), num_centroids, seed)
+    num_centroids degenerates to exact brute force).
+
+    ``centroids``: pass `kmeans_centroids(...)` output for a trained
+    quantizer (balanced lists, better recall at fixed nprobe); defaults to
+    the deterministic pseudo-random quantizer, which pins the dataflow but
+    not list quality."""
+    if centroids is None:
+        centroids = _pseudo_centroids(len(query_vec), num_centroids, seed)
+    num_centroids = len(centroids)
 
     def _cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))

@@ -44,7 +44,21 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``skewed ⋈ other`` on column ``on`` with the skewed side
     salted and the other side replicated ``buckets`` times. Join column name
-    must match on both sides (like `df.join(other, "key")`)."""
+    must match on both sides (like `df.join(other, "key")`).
+
+    ``how`` is restricted to joins that preserve rows from the SKEWED side
+    only (inner/left/left_semi/left_anti): the replicate-by-buckets encoding
+    emits each unmatched ``other`` row once per bucket, so right/full outer
+    would duplicate them ``buckets`` times."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+               "left_semi", "anti", "leftanti", "left_anti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — the replicated side "
+            "emits unmatched rows once per salt bucket under right/full outer "
+            "joins. Flip the arguments (salt the other side) or use a plain "
+            "join with AQE skew handling."
+        )
     # Entropy must vary WITHIN a join key (a salt derived from the key alone
     # would put the whole hot key in one bucket again) — default to a
     # per-row hash; pass high-cardinality payload columns for a

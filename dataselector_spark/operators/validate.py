@@ -48,8 +48,12 @@ def sentinel_free(col: str, sentinel: float = -999.99) -> Check:
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """All row-level checks in one aggregation pass over one scan."""
     total = F.count(F.lit(1))
+    # coalesce: on an EMPTY input sum() is NULL, which would make
+    # `violations` NULL and `ok` NULL — an empty ingest batch must report
+    # 0 violations / ok=true, not "neither pass nor fail".
     aggs = [
-        F.sum(c.violation.cast("long")).alias(c.name) for c in checks
+        F.coalesce(F.sum(c.violation.cast("long")), F.lit(0)).alias(c.name)
+        for c in checks
     ] + [total.alias("__total")]
     row = df.agg(*aggs)
     pairs = F.explode(
@@ -117,7 +121,8 @@ def observed_checks(df: DataFrame, checks: list[Check]):
     from pyspark.sql import Observation
 
     obs = Observation("quality_checks")
-    metrics = [F.sum(c.violation.cast("long")).alias(c.name) for c in checks] + [
-        F.count(F.lit(1)).alias("__total")
-    ]
+    metrics = [
+        F.coalesce(F.sum(c.violation.cast("long")), F.lit(0)).alias(c.name)
+        for c in checks
+    ] + [F.count(F.lit(1)).alias("__total")]
     return df.observe(obs, *metrics), obs

@@ -118,7 +118,7 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def upsert_sink(target_path: str, keys: list[str]):
+def upsert_sink(target_path: str, keys: list[str], order_by: list[str] | None = None):
     """B20+B23: a foreachBatch sink that MERGEs each micro-batch into a
     parquet target by key — the continuous corpus-refresh pattern (stream of
     document/record revisions folded into the materialized table without a
@@ -126,9 +126,18 @@ def upsert_sink(target_path: str, keys: list[str]):
 
     Semantics per batch: target ANTI JOIN batch ON keys, UNION ALL batch
     (operators/merge.py merge_upsert), staged to a sibling directory and
-    atomically renamed over the target, so a crash mid-write leaves the old
-    target intact and a retried batch (same batch_id after checkpoint
-    recovery) is idempotent — merge-by-key is a no-op the second time.
+    renamed over the target. A crash BEFORE the first rename leaves the old
+    target intact; a crash BETWEEN the two renames leaves the previous state
+    at ``<target>__old`` — recovery is restoring that directory (checked and
+    done automatically at the next batch). A retried batch (same batch_id
+    after checkpoint recovery) is idempotent — merge-by-key is a no-op the
+    second time.
+
+    Within-batch duplicates: when ``order_by`` is given, the survivor per key
+    is the row with the GREATEST (order_by, …) tuple — deterministic
+    last-write-wins by a sequence/event-time column (row_number, same
+    machinery as dedup_exact). Without it, dropDuplicates keeps an arbitrary
+    row; pass ``order_by`` whenever a key can recur within one micro-batch.
 
     Scale posture: this local implementation rewrites the whole target (fine
     for test scale, and the rename keeps it crash-safe); on a real cluster,
@@ -137,6 +146,7 @@ def upsert_sink(target_path: str, keys: list[str]):
     same merge plan, bounded write amplification. The batch-side anti-join
     is one shuffle; with the target bucketed by key it is co-located.
     """
+    from ..operators.dedup import dedup_exact
     from ..operators.merge import merge_upsert
 
     def sink(batch_df, batch_id: int) -> None:
@@ -144,7 +154,18 @@ def upsert_sink(target_path: str, keys: list[str]):
         import shutil
 
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(keys)  # last-write-wins within a batch
+        if order_by:
+            batch = dedup_exact(
+                batch_df, keys, [F.col(c).desc() for c in order_by]
+            )
+        else:
+            batch = batch_df.dropDuplicates(keys)  # arbitrary within-batch survivor
+        # Recover from a crash that happened between the two renames of a
+        # previous batch: the target is missing but __old holds the last
+        # complete state.
+        old = f"{target_path}__old"
+        if not os.path.isdir(target_path) and os.path.isdir(old):
+            os.rename(old, target_path)
         if os.path.isdir(target_path):
             merged = merge_upsert(spark.read.parquet(target_path), batch, keys)
         else:

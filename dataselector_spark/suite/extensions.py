@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from .base import query
-from .relational import dec2
+from .base import dec2
 
 _RT_ROOT = "/tmp/dataselector_roundtrip"
 

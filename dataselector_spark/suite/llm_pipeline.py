@@ -104,11 +104,16 @@ def b12_dedup_composite_key(spark, sf_dir):
     "b13_ngram_jaccard",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+    sh_all AS (
         SELECT doc_id, unnest(list_distinct(
             list_transform(range(1, greatest(len(t) - 1, 1)),
                            i -> array_to_string(t[i:i+2], ' ')))) AS sh
         FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh_all
+        ) WHERE df <= 50
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -124,11 +129,14 @@ def b12_dedup_composite_key(spark, sf_dir):
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
     """,
     doc="B13: exact word-3-gram Jaccard near-dup pairs via inverted shingle "
-    "index (cost ∝ shingle co-occurrence, not |docs|²).",
+    "index (cost ∝ shingle co-occurrence, not |docs|²), with a document-"
+    "frequency cap of 50 on shingles — the skew guard that bounds any one "
+    "join bucket to df_cap² pairs even when a stop-phrase shingle appears "
+    "in millions of documents.",
 )
 def b13_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, df_cap=50)
 
 
 @query(

@@ -22,13 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.rangejoin import interval_join_bucketed
-from .base import query
-
-
-def dec2(col: Column | str, precision: int = 12) -> Column:
-    """Exact 2-dp decimal view of a 2-dp double column."""
-    col = F.col(col) if isinstance(col, str) else col
-    return col.cast(f"decimal({precision},2)")
+from .base import dec2, query
 
 
 def _t(spark, sf_dir, name):
@@ -111,16 +105,32 @@ def b06_agg_battery(spark, sf_dir):
 
 
 @query(
+    "b06_exact_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+    doc="B6: exact count-distinct — the hash-checked twin of "
+    "b06_approx_distinct (split so the exact half gets a value-checked "
+    "CORRECTNESS row instead of the whole entry being no-oracle).",
+)
+def b06_exact_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+
+
+@query(
     "b06_approx_distinct",
     oracle=None,  # approximate by construction — rows-only check
     doc="B6: approx_count_distinct (HyperLogLog++) — the 100 TB substitute for "
-    "exact count-distinct's full shuffle of the key space.",
+    "exact count-distinct's full shuffle of the key space. Rows-only: the "
+    "HLL estimate is engine-specific; the exact twin b06_exact_distinct "
+    "carries the hash check.",
 )
 def b06_approx_distinct(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
     )
 
 
@@ -655,16 +665,18 @@ def b06_correlation_exact_moments(spark, sf_dir):
     "partial-agg pass, no sort), complementing the exact interpolated "
     "percentiles in b06_percentiles. Rows-only check: approximation "
     "differs across engines by construction; the exact twin is the "
-    "hash-checked one.",
+    "hash-checked one. Scalar output columns only — the harness "
+    "canonicalizer cannot sort array cells.",
 )
 def b06_approx_percentile(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-                "price_p50_p95_p99"
-            ),
+            pcts.getItem(0).alias("price_p50"),
+            pcts.getItem(1).alias("price_p95"),
+            pcts.getItem(2).alias("price_p99"),
             F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50"),
         )
         .orderBy("l_returnflag")

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .base import query
-from .relational import dec2
+from .base import dec2
 
 
 def _t(spark, sf_dir, name):

@@ -1,0 +1,157 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md) and the
+round-1 verdict's scale fixes (VERDICT.md items 3-6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataselector_spark.operators.asof import asof_join
+from dataselector_spark.operators.dedup import (
+    connected_components,
+    dedup_survivors,
+    ngram_jaccard_pairs,
+)
+from dataselector_spark.operators.merge import merge_upsert
+from dataselector_spark.operators.skew import salted_join
+from dataselector_spark.operators.validate import in_range, not_null, run_checks
+
+
+# --- ADVICE 1: asof_join must attach the matched right row ATOMICALLY -------
+
+
+def test_asof_join_null_in_nearest_row_stays_null(spark):
+    """A NULL payload cell in the nearest-earlier right row must surface as
+    NULL, not be back-filled from an older right row (pandas/DuckDB ASOF
+    attach whole rows)."""
+    left = spark.createDataFrame([("k", 10)], "k string, ts int")
+    right = spark.createDataFrame(
+        [("k", 1, "old_a", "old_b"), ("k", 5, None, "new_b")],
+        "k string, ts int, a string, b string",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    assert len(out) == 1
+    row = out[0]
+    # nearest row is ts=5 → (NULL, new_b); the composite (old_a, new_b) is the bug
+    assert row["a_asof"] is None
+    assert row["b_asof"] == "new_b"
+
+
+def test_asof_join_no_match_all_null(spark):
+    left = spark.createDataFrame([("k", 1)], "k string, ts int")
+    right = spark.createDataFrame([("k", 5, "x")], "k string, ts int, a string")
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["a_asof"] is None
+
+
+# --- ADVICE 2: salted_join rejects row-duplicating join types ----------------
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    e = spark.range(10).withColumnRenamed("id", "k")
+    d = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(e, d, "k", buckets=4, how=how)
+    # allowed forms still work and match the plain join
+    assert salted_join(e, d, "k", buckets=4, how="left").count() == 10
+    assert salted_join(e, d, "k", buckets=4, how="inner").count() == 3
+
+
+# --- ADVICE 4: merge_upsert NULL-key rows must not accumulate ----------------
+
+
+def test_merge_upsert_null_key_replaces_not_duplicates(spark):
+    target = spark.createDataFrame([(None, "t"), ("a", "t")], "k string, v string")
+    source = spark.createDataFrame([(None, "s")], "k string, v string")
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert once.count() == 2  # NULL-key target replaced, 'a' survives
+    assert twice.count() == 2  # idempotent — no accumulation
+    vals = {r["v"] for r in twice.filter(F.col("k").isNull()).collect()}
+    assert vals == {"s"}
+
+
+# --- ADVICE 5: run_checks on an empty batch reports 0 violations / ok=true ---
+
+
+def test_run_checks_empty_input_reports_ok(spark):
+    empty = spark.createDataFrame([], "x double")
+    out = run_checks(empty, [not_null("x"), in_range("x", 0, 1)]).collect()
+    assert len(out) == 2
+    for row in out:
+        assert row["violations"] == 0
+        assert row["total"] == 0
+        assert row["ok"] is True
+
+
+# --- VERDICT 3: dedup_survivors must not force-broadcast the loser set -------
+
+
+def test_dedup_survivors_plan_has_no_forced_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50, 2)], "id_a bigint, id_b bigint"
+    )
+    out = dedup_survivors(docs, pairs)
+    # The loser relation must carry no user broadcast hint: with a plain plan
+    # AQE is free to pick SMJ for a huge loser set. (AQE may still broadcast
+    # small sides at runtime — that is the desired behavior; what we assert
+    # is the absence of the compile-time ResolvedHint.)
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    # semantics unchanged: losers (odd ids in the paired range) removed
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert len(survivors) == 100 - 25
+    assert all(i in survivors for i in range(50, 100))
+
+
+# --- VERDICT 4: shingle document-frequency cap bounds hot buckets ------------
+
+
+def test_ngram_df_cap_bounds_stop_phrase_blowup(spark):
+    # 40 documents all sharing one stop-phrase shingle, otherwise unique.
+    stop = "the quick brown"
+    rows = [(i, f"{stop} unique{i} token{i} tail{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.0, df_cap=10)
+    # Without the cap the shared shingle alone creates 40*39/2 = 780 pairs;
+    # with df_cap=10 the hot shingle is dropped from the index and the unique
+    # tails share nothing → no candidate pairs at all.
+    assert uncapped.count() == 780
+    assert capped.count() == 0
+
+
+def test_ngram_df_cap_keeps_true_near_dups(spark):
+    # Two real near-duplicates + a hot stop-phrase across the corpus: the cap
+    # must kill the stop-phrase bucket but keep the true pair.
+    stop = "lorem ipsum dolor"
+    rows = [(i, f"{stop} filler{i} words{i} here{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.3, df_cap=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+# --- VERDICT 6: durable materialization modes ---------------------------------
+
+
+def test_connected_components_materialize_modes(spark, tmp_path):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    for mode in ("local", "persist", False):
+        got = {
+            (r["id"], r["comp"])
+            for r in connected_components(pairs, materialize=mode).collect()
+        }
+        assert got == expected, mode
+    # reliable mode needs a checkpoint dir
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, materialize="reliable").collect()
+    }
+    assert got == expected

@@ -180,3 +180,87 @@ def test_dedup_survivors_keep_min_and_unpaired(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     got = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
     assert got == [1, 10, 99]  # min of each cluster + the unpaired doc
+
+def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
+    """VERDICT item 7: k-means-trained centroids must not lose to the
+    pseudo-random quantizer on recall@10, and should balance lists better."""
+    from dataselector_spark.operators.similarity import (
+        _pseudo_centroids,
+        ivf_assignments,
+        kmeans_centroids,
+        topk_cosine_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = kmeans_centroids(emb, num_centroids=16, iters=3)
+    queries = [r.embedding for r in emb.filter(F.col("vec_id") < 5).collect()]
+
+    def recall(centroids):
+        hits = total = 0
+        for qv in queries:
+            qv = [float(x) for x in qv]
+            brute = {r.vec_id for r in topk_cosine(emb, qv, k=10).collect()}
+            got = {
+                r.vec_id
+                for r in topk_cosine_ivf(
+                    emb, qv, k=10, nprobe=4, centroids=centroids
+                ).collect()
+            }
+            hits += len(brute & got)
+            total += len(brute)
+        return hits / total
+
+    r_rand = recall(_pseudo_centroids(len(queries[0]), 16))
+    r_trained = recall(trained)
+    assert r_trained >= r_rand, f"trained {r_trained:.2f} < random {r_rand:.2f}"
+    assert r_trained >= 0.5
+    # Trained lists must be non-degenerate: every vector assigned, and the
+    # biggest list strictly smaller than the corpus (the pseudo-random
+    # quantizer often parks most vectors in a handful of cells).
+    counts = [
+        r["count"]
+        for r in ivf_assignments(emb, trained).groupBy("cell").count().collect()
+    ]
+    n = emb.count()
+    assert sum(counts) == n and max(counts) < n
+
+
+def test_neardup_lsh_blocking_recall_vs_brute(spark, sf_dir):
+    """VERDICT item 5: sign-LSH signature blocking must recover the
+    label-blocked (quadratic-risk) near-dup pairs without any
+    corpus-fraction-sized block."""
+    from dataselector_spark.operators.similarity import neardup_pairs_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first().embedding)
+    n = emb.count()
+    # Ground truth: all-pairs (single block) at a high threshold.
+    truth = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_cosine(
+            emb.withColumn("one", F.lit(1)), "one", threshold=0.95
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_cosine(
+            emb, None, threshold=0.95, num_planes=8, dim=dim
+        ).collect()
+    }
+    assert lsh <= truth  # exact cosine filter inside blocks → no false pairs
+    if truth:
+        recall = len(lsh & truth) / len(truth)
+        assert recall >= 0.6, f"LSH-block recall {recall:.2f} over {len(truth)} pairs"
+    # No block is a corpus fraction: the largest signature bucket stays small.
+    from dataselector_spark.operators.similarity import (
+        _pseudo_planes,
+        sign_lsh_signature,
+    )
+
+    sizes = (
+        emb.select(sign_lsh_signature(F.col("embedding"), _pseudo_planes(dim, 8)).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) < max(0.5 * n, 50)

@@ -267,3 +267,56 @@ def test_streaming_upsert_sink_merges_across_restart(spark, tmp_path):
 
     got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 1.0, 2: 9.0, 3: 1.0, 6: 5.0}
+
+def test_upsert_sink_deterministic_within_batch_survivor(spark, tmp_path):
+    """ADVICE 3: when a key recurs WITHIN one micro-batch, `order_by` picks a
+    deterministic last-write-wins survivor (greatest ts), not an arbitrary
+    dropDuplicates row."""
+    from dataselector_spark.streaming import upsert_sink
+
+    src = str(tmp_path / "det_src")
+    target = str(tmp_path / "det_target")
+    ckpt = str(tmp_path / "det_ckpt")
+    os.makedirs(src)
+    # Same event_id twice in ONE file → one micro-batch, conflicting values.
+    _write_events(
+        os.path.join(src, "a.parquet"),
+        [
+            (7, "2024-01-01 10:00:00", 1, "x", 1.0),
+            (7, "2024-01-01 12:00:00", 1, "x", 42.0),
+            (8, "2024-01-01 11:00:00", 2, "y", 3.0),
+        ],
+    )
+    raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        ev.select("event_id", "ts", "user_id", "value")
+        .writeStream.foreachBatch(upsert_sink(target, ["event_id"], order_by=["ts"]))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {7: 42.0, 8: 3.0}
+
+
+def test_upsert_sink_recovers_from_mid_rename_crash(spark, tmp_path):
+    """A crash between the two renames leaves state at <target>__old; the
+    next batch must restore it instead of starting from nothing."""
+    import shutil
+
+    from dataselector_spark.streaming import upsert_sink
+
+    target = str(tmp_path / "cr_target")
+    sink = upsert_sink(target, ["event_id"])
+    b1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id bigint, value double")
+    sink(b1, 0)
+    # Simulate the crash window: target renamed away, staging never moved in.
+    shutil.move(target, target + "__old")
+    b2 = spark.createDataFrame([(2, 9.0), (3, 3.0)], "event_id bigint, value double")
+    sink(b2, 1)
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}
