@@ -8,9 +8,11 @@ for a driver check — they get their own rows when the window rotates.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import word_ngrams
 from ..operators.similarity import _pseudo_planes, neardup_pairs_cosine
 from .base import query
 
@@ -73,4 +75,162 @@ def b14_embedding_neardup_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs_cosine(
         e, None, threshold=0.2, num_planes=8, dim=_DIM, seed=42
+    )
+
+
+# --- Training-data pipeline breadth (round 2) --------------------------------
+#
+# Four ops every large-scale LLM corpus build needs beyond dedup/similarity:
+# benchmark decontamination, sequence chunking, deterministic split
+# assignment, and deterministic global shuffle. All are built-in-function
+# plans (no Python in the hot path) and all are value-checked against DuckDB.
+
+
+@query(
+    "b15_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        FROM toks
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    shared AS (
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM sh s JOIN eval_sh e ON s.sh = e.sh
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_shared, 0) AS n_shared,
+           coalesce(n_shared, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN shared USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+    doc="B15 (LLM pipeline): benchmark decontamination — flag training "
+    "documents sharing >= 2 distinct word-3-gram shingles with a held-out "
+    "eval set (here: doc_id % 97 == 0 stands in for the benchmark). The "
+    "eval shingle set is benchmark-sized, so it BROADCASTS: the train side "
+    "is one scan + one map-side join + one groupBy — no |train|x|eval| "
+    "pair blow-up, which is what makes this runnable against 100 TB of "
+    "training text.",
+)
+def b15_decontaminate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams("text", 3))).alias("sh")
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    shared = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= 2).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "b15_chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(len(t[start:start+31]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[start:start+31], ' ') AS chunk_text
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start FROM toks)
+    """,
+    doc="B15 (LLM pipeline): sequence chunking — split each document's token "
+    "stream into windows of 32 tokens with stride 24 (8-token overlap), the "
+    "map-only preprocessing step before tokenizer/packing. Pure array "
+    "built-ins (sequence/slice/explode): scan-speed, embarrassingly "
+    "parallel, zero shuffle.",
+)
+def b15_chunk_documents(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    width, stride = 32, 24
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(stride))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_idx"),
+            F.size(F.slice(F.col("t"), F.col("start"), width)).cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("start"), width)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@query(
+    "b22_train_val_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="B22 (LLM pipeline): deterministic 80/10/10 train/val/test "
+    "assignment through the same Knuth-hash gate as mixture resampling — "
+    "reproducible across runs, engines, and partitionings (rand()-based "
+    "splits are none of those, and leak when the corpus is re-read). Pure "
+    "projection: no shuffle, pushes to the scan.",
+)
+def b22_train_val_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    split = (
+        F.when(gate < 800, "train").when(gate < 900, "val").otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))
+
+
+@query(
+    "b22_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           (doc_id * 2654435761) % 64 AS shard,
+           row_number() OVER (
+               PARTITION BY (doc_id * 2654435761) % 64
+               ORDER BY (doc_id * 2654435761) % 1048576, doc_id
+           ) AS ord_in_shard
+    FROM documents
+    """,
+    doc="B22 (LLM pipeline): deterministic global shuffle of the training "
+    "order — hash-assign each document to one of 64 shards, deterministic "
+    "hash order within the shard. This is the DISTRIBUTED shape of 'shuffle "
+    "the corpus': one hash shuffle into shards, per-shard local sort, no "
+    "global single-partition window (a row_number over a total order would "
+    "serialize 100 TB through one task). Readers consume shards "
+    "round-robin for a well-mixed stream; the order is reproducible for "
+    "resumable training.",
+)
+def b22_global_shuffle(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1048576
+    shard = (F.col("doc_id") * F.lit(2654435761)) % 64
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("ord_in_shard"),
     )

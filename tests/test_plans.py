@@ -183,3 +183,30 @@ def test_merge_upsert_no_nested_loop(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval shingle set is benchmark-sized and must broadcast; the train
+    side must not shuffle for the membership join."""
+    df = QUERIES["b15_decontaminate"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Sequence chunking is a scan + explode — any shuffle is a bug."""
+    df = QUERIES["b15_chunk_documents"].fn(spark, SF)
+    assert shuffle_count(df) == 0
+
+
+def test_train_val_split_is_map_only(spark):
+    df = QUERIES["b22_train_val_split"].fn(spark, SF)
+    assert shuffle_count(df) == 0
+
+
+def test_global_shuffle_is_one_exchange_no_global_sort(spark):
+    """Sharded deterministic shuffle: exactly one hash exchange (into
+    shards), and no single-partition global window."""
+    df = QUERIES["b22_global_shuffle"].fn(spark, SF)
+    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
