@@ -155,3 +155,26 @@ def test_connected_components_materialize_modes(spark, tmp_path):
         for r in connected_components(pairs, materialize="reliable").collect()
     }
     assert got == expected
+
+
+# --- driver-window pinning ----------------------------------------------------
+
+
+def test_driver_window_covers_round2_targets():
+    """The driver checks the first 50 registered entries. Round 2's window
+    must cover the entire previously-unchecked LLM/streaming/TPCH surface
+    plus all b01 round-trips and all B21 UDF forms (VERDICT r1 item 1) —
+    pin it so a stray import or new entry can't displace a scheduled check."""
+    from dataselector_spark.suite import QUERIES
+
+    window = list(QUERIES)[:50]
+    assert len(set(window)) == 50
+    for prefix, want in [("b1", 26), ("b2", 6), ("q", 11), ("b01", 5)]:
+        got = sum(1 for n in window if n.startswith(prefix))
+        assert got >= want, (prefix, got, want)
+    for must in [
+        "b13_minhash_lsh", "b14_ann_ivf", "b16_frame_sample", "b17_stream_tumbling",
+        "b20_stream_stream_join", "q21_waiting_supplier", "b01_text_roundtrip",
+        "b21_python_udtf", "a29_cross_join", "b07_grouping_sets",
+    ]:
+        assert must in window, must
