@@ -360,7 +360,10 @@ def connected_components(
     any cluster."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = _materialize(edges, materialize)
+    # Pre-partition edges on the join key ONCE: the materialized DataFrame
+    # keeps its outputPartitioning, so every round's edges⋈labels join
+    # shuffles only the (much smaller) labels side, not the edge list.
+    edges = _materialize(edges.repartition("b"), materialize)
     labels = _materialize(
         edges.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("comp")),
         materialize,
@@ -371,23 +374,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # Carry the previous label through the update so convergence is read
+        # off the SAME materialized result — no second labels-vs-labels join
+        # (which would add a shuffle per round just to count changes).
         new = (
             labels.join(nbr, labels.id == nbr.a, "left")
             .select(
                 labels["id"],
+                labels["comp"].alias("__prev"),
                 F.least(
                     labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
                 ).alias("comp"),
             )
         )
         new = _materialize(new, materialize)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("comp") != F.col("__prev")).count()
+        labels = new.drop("__prev")
         if changed == 0:
             break
     return labels
