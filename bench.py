@@ -44,6 +44,8 @@ HEADLINE = [
     "b14_topk_cosine",  # B14 vector scan
     "b15_text_stats",  # B15 text pass (higher-order funcs)
     "b15_sequence_packing",  # B15 running-token-count bin assignment
+    "b15_decontaminate",  # B15 broadcast eval-shingle overlap
+    "b22_global_shuffle",  # B22 sharded deterministic corpus order
     "b23_apply_changelog",  # B23 CDC compaction (single-shuffle window)
     "b17_stream_tumbling",  # B17 streaming windowed agg
     "flagship_minute_flag_counts",  # reference read path

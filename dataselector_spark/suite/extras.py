@@ -234,3 +234,85 @@ def b22_global_shuffle(spark, sf_dir):
         shard.alias("shard"),
         F.row_number().over(w).alias("ord_in_shard"),
     )
+
+
+@query(
+    "b15_repetition_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id, t,
+               list_transform(range(1, greatest(len(t) - 1, 1)),
+                              i -> array_to_string(t[i:i+2], ' ')) AS g3
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS dup_3gram_frac
+    FROM g
+    """,
+    doc="B15 (LLM pipeline): intra-document repetition metrics — distinct-"
+    "token ratio and duplicate word-3-gram fraction, the standard "
+    "Gopher-style quality signals for dropping boilerplate/spam documents. "
+    "Pure array built-ins: map-only, scan-speed, no shuffle.",
+)
+def b15_repetition_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    g3 = word_ngrams("text", 3)
+    return d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "distinct_token_ratio"
+        ),
+        F.when(
+            F.size(g3) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g3)).cast("double") / F.size(g3),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
+@query(
+    "b15_rarity_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    scored AS (
+        SELECT t.doc_id, sum(v.tf) AS tf_sum, count(*) AS n
+        FROM tok t JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(tf_sum AS DOUBLE) / n AS mean_token_freq
+    FROM scored
+    """,
+    doc="B15 (LLM pipeline): corpus-frequency rarity scoring — mean corpus "
+    "term frequency of each document's tokens (low = rare/misspelled "
+    "vocabulary, high = boilerplate), the cheap unigram stand-in for "
+    "model-based perplexity filtering. Two shuffles total at any scale: "
+    "one groupBy(token) for the vocabulary (map-side combined, O(|vocab|)) "
+    "and one groupBy(doc) for the score; the vocab side of the join is "
+    "dictionary-sized and broadcasts. Integer sums keep it engine-exact.",
+)
+def b15_rarity_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.sum("tf").cast("double") / F.count(F.lit(1))).alias("mean_token_freq"),
+        )
+        .select("doc_id", "n_tokens", "mean_token_freq")
+    )
