@@ -316,3 +316,54 @@ def b15_rarity_score(spark, sf_dir):
         )
         .select("doc_id", "n_tokens", "mean_token_freq")
     )
+
+
+@query(
+    "b01_json_permissive",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '__corrupt' AS status, 7 AS n
+    """,
+    doc="B1 (robust ingestion): PERMISSIVE JSON source with a "
+    "_corrupt_record column — 7 malformed lines are interleaved with the "
+    "orders feed, land in the corrupt bucket instead of failing the job, "
+    "and every well-formed row still parses. At 100 TB of scraped JSON the "
+    "alternatives are FAILFAST (one bad line kills an hours-long job) or "
+    "DROPMALFORMED (silent data loss with no audit trail); PERMISSIVE + "
+    "corrupt-count monitoring is the production posture.",
+)
+def b01_json_permissive(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from .extensions import _rt_path
+
+    path = _rt_path(sf_dir, "orders_json_corrupt")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    good = o.select(F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("value"))
+    corrupt = spark.createDataFrame(
+        [(f'{{"o_orderkey": broken{i},,',) for i in range(7)], "value string"
+    )
+    good.unionByName(corrupt).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.select(
+        F.coalesce(
+            F.when(F.col("_corrupt_record").isNotNull(), "__corrupt"),
+            F.col("o_orderstatus"),
+        ).alias("status")
+    ).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
