@@ -367,3 +367,118 @@ def b01_json_permissive(spark, sf_dir):
             F.col("o_orderstatus"),
         ).alias("status")
     ).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "b25_gap_fill_interpolate",
+    oracle="""
+    WITH per_min AS (
+        SELECT event_type, date_trunc('minute', ts) AS m,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    extent AS (
+        SELECT event_type, min(m) AS lo, max(m) AS hi FROM per_min GROUP BY 1
+    ),
+    grid AS (
+        SELECT e.event_type, unnest(generate_series(e.lo, e.hi, INTERVAL 1 MINUTE)) AS m
+        FROM extent e
+    ),
+    joined AS (
+        SELECT g.event_type, g.m, p.v FROM grid g
+        LEFT JOIN per_min p ON p.event_type = g.event_type AND p.m = g.m
+    ),
+    anchored AS (
+        SELECT event_type, m, v,
+               last_value(v IGNORE NULLS) OVER w AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER w AS pm,
+               first_value(v IGNORE NULLS) OVER w2 AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER w2 AS nm
+        FROM joined
+        WINDOW w AS (PARTITION BY event_type ORDER BY m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY event_type ORDER BY m
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, m AS minute_ts,
+           v IS NOT NULL AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (CAST(epoch(m) - epoch(pm) AS DOUBLE)
+                                    / CAST(epoch(nm) - epoch(pm) AS DOUBLE))
+           END AS value_filled
+    FROM anchored
+    """,
+    doc="B25 (time series): minute-grid densify + linear interpolation — the "
+    "hypertable gap-fill: per-series minute sums, a generated dense minute "
+    "grid over each series' extent, and missing minutes filled linearly "
+    "between the nearest observed anchors (edges clamp to the available "
+    "side). Plan shape: one aggregation shuffle, a per-series grid explode "
+    "(never a global calendar cross-join), and two window passes on the "
+    "same series key — the partitioning is reused across all three. At "
+    "100 TB the series key partitions the work; no step is ever "
+    "proportional to |grid|² or |series|×|global calendar|.",
+)
+def b25_gap_fill_interpolate(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    per_min = (
+        e.groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+        ).agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"))
+    )
+    extent = per_min.groupBy("event_type").agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    grid = extent.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m"),
+    )
+    joined = grid.join(per_min, ["event_type", "m"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # The "next anchor" is encoded as last(...) over a REVERSED ordering with
+    # the running PRECEDING frame — NOT first(...) over CURRENT..UNBOUNDED
+    # FOLLOWING: Spark evaluates ignoreNulls over a following frame by
+    # re-scanning the frame per row (O(n^2) per partition — measured 154 s
+    # vs 4 s on a 214k-row grid), while the running preceding frame is the
+    # linear one-pass aggregate in both directions.
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("m").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    anchored = joined.select(
+        "event_type",
+        "m",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("m")), ignorenulls=True)
+        .over(wp)
+        .alias("pm"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("m")), ignorenulls=True)
+        .over(wn)
+        .alias("nm"),
+    )
+    frac = (
+        F.unix_timestamp("m") - F.unix_timestamp("pm")
+    ).cast("double") / (F.unix_timestamp("nm") - F.unix_timestamp("pm")).cast("double")
+    return anchored.select(
+        "event_type",
+        F.col("m").alias("minute_ts"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value_filled"),
+    )
