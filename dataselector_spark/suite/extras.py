@@ -482,3 +482,65 @@ def b25_gap_fill_interpolate(spark, sf_dir):
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
         .alias("value_filled"),
     )
+
+
+@query(
+    "b25_m4_downsample",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    ext AS (
+        SELECT event_type, min(us) AS lo, max(us) AS hi
+        FROM base GROUP BY event_type
+    ),
+    bucketed AS (
+        SELECT b.event_type, b.event_id, b.us, b.value,
+               ((b.us - e.lo) * 400) // (e.hi - e.lo + 1) AS bucket
+        FROM base b JOIN ext e USING (event_type)
+    )
+    SELECT event_type, bucket,
+           min(us) AS ts_min_us, max(us) AS ts_max_us,
+           min(value) AS v_min, max(value) AS v_max,
+           arg_min(value, printf('%020d%012d', us, event_id)) AS v_first,
+           arg_max(value, printf('%020d%012d', us, event_id)) AS v_last,
+           count(*) AS n
+    FROM bucketed GROUP BY event_type, bucket
+    """,
+    doc="B25 (time series / visualization): M4 downsampling — per series, "
+    "400 pixel-width buckets over the series extent, each reduced to its "
+    "(first, last, min, max) values plus endpoint timestamps: the "
+    "error-free line-chart reduction (M4, Jugel et al., VLDB 2014). This "
+    "is the reference's render path made scale-safe: a 100 TB series "
+    "plots through one partial-aggregated shuffle of O(series x 400) "
+    "groups, never by shipping raw points. All bucket arithmetic is "
+    "integer (exact in both engines); first/last tiebreak on "
+    "(timestamp, event_id) so the reduction is deterministic.",
+)
+def b25_m4_downsample(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "value",
+    )
+    ext = base.groupBy("event_type").agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    b = base.join(F.broadcast(ext), "event_type").withColumn(
+        "bucket", F.expr("((us - lo) * 400) div (hi - lo + 1)")
+    )
+    # Composite tiebreak as a zero-padded string: arg_min/min_by need a
+    # single orderable key in BOTH engines (DuckDB rejects list keys), and
+    # fixed-width decimal text orders exactly like the (us, event_id) tuple.
+    key = F.format_string("%020d%012d", F.col("us"), F.col("event_id"))
+    return b.groupBy("event_type", "bucket").agg(
+        F.min("us").alias("ts_min_us"),
+        F.max("us").alias("ts_max_us"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", key).alias("v_first"),
+        F.max_by("value", key).alias("v_last"),
+        F.count(F.lit(1)).alias("n"),
+    )
