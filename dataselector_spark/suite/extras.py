@@ -544,3 +544,70 @@ def b25_m4_downsample(spark, sf_dir):
         F.max_by("value", key).alias("v_last"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "b25_time_weighted_avg",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               date_trunc('hour', ts) AS hour_ts, value
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, hour_ts, value,
+               coalesce(
+                   lead(us) OVER (PARTITION BY event_type, hour_ts
+                                  ORDER BY us, event_id),
+                   epoch_us(hour_ts + INTERVAL 1 HOUR)
+               ) - us AS dur_us
+        FROM base
+    )
+    SELECT event_type, hour_ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2)) * dur_us) AS DOUBLE)
+               / CAST(sum(dur_us) AS DOUBLE) AS twa,
+           count(*) AS n_samples
+    FROM seg GROUP BY event_type, hour_ts
+    """,
+    doc="B25 (time series): time-weighted average per series-hour — each "
+    "sample's value is held until the next sample (last-observation-"
+    "carried-forward within the bucket; the final segment extends to the "
+    "bucket edge), so irregularly-spaced samples average by COVERAGE "
+    "TIME, not by sample count (the hypertable `time_weight` aggregate; "
+    "plain avg() over-weights bursts). One window + one aggregation, both "
+    "partitioned on the same (series, hour) key — a single shuffle. "
+    "Weights are integer microseconds and values 2-dp decimals, so the "
+    "weighted sum is exact in both engines; the division to DOUBLE "
+    "happens once at the end.",
+)
+def b25_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+    )
+    w = W.partitionBy("event_type", "hour_ts").orderBy("us", "event_id")
+    seg = base.select(
+        "event_type",
+        "hour_ts",
+        "value",
+        (
+            F.coalesce(
+                F.lead("us").over(w),
+                F.unix_micros(F.col("hour_ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            - F.col("us")
+        ).alias("dur_us"),
+    )
+    return seg.groupBy("event_type", "hour_ts").agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
