@@ -178,3 +178,51 @@ def test_driver_window_covers_round2_targets():
         "b21_python_udtf", "a29_cross_join", "b07_grouping_sets",
     ]:
         assert must in window, must
+
+
+# --- storage-layout utilities -------------------------------------------------
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.sources import compact_files
+
+    src = str(tmp_path / "shattered")
+    out = str(tmp_path / "compacted")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    e.repartition(64).write.parquet(src)  # 64 tiny files
+    import os
+
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_in == 64
+    compact_files(spark, src, out, target_bytes=1 << 30)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out == 1
+    # content preserved
+    a = spark.read.parquet(src).orderBy("event_id").collect()
+    b = spark.read.parquet(out).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_write_clustered_prunes_files(spark, tmp_path):
+    """Clustered layout: a selective filter on the cluster key must read a
+    strict subset of files (parquet footer min/max pruning)."""
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.sources import write_clustered
+
+    path = str(tmp_path / "clustered")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_clustered(e, path, ["user_id"], num_files=8)
+    lo = e.agg({"user_id": "min"}).first()[0]
+    df = spark.read.parquet(path).filter(F.col("user_id") == lo)
+    files_read = df.select(F.input_file_name()).distinct().count()
+    import os
+
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_files == 8
+    assert files_read <= 2, files_read  # one boundary overlap allowed
+    assert df.count() == e.filter(F.col("user_id") == lo).count()
