@@ -47,6 +47,8 @@ HEADLINE = [
     "b15_decontaminate",  # B15 broadcast eval-shingle overlap
     "b22_global_shuffle",  # B22 sharded deterministic corpus order
     "b23_apply_changelog",  # B23 CDC compaction (single-shuffle window)
+    "b25_m4_downsample",  # B25 chart-pixel reduction (partial-agg shuffle)
+    "b25_time_weighted_avg",  # B25 irregular-sample TWA (one window+agg)
     "b17_stream_tumbling",  # B17 streaming windowed agg
     "flagship_minute_flag_counts",  # reference read path
 ]

@@ -264,3 +264,67 @@ def test_neardup_lsh_blocking_recall_vs_brute(spark, sf_dir):
         .collect()
     )
     assert max(r["count"] for r in sizes) < max(0.5 * n, 50)
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Property: stride-window chunks, overlap removed, concatenate back to
+    the original token stream for every document."""
+    from dataselector_spark.suite import QUERIES
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    chunks = QUERIES["b15_chunk_documents"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    stride = 24
+    for doc_id, items in by_doc.items():
+        # Reconstruction: every chunk's tokens must agree with (and extend)
+        # the stream assembled so far from its stride offset.
+        expect = docs[doc_id].split(" ")
+        got = expect[:0]
+        for idx, text in sorted(items):
+            ctoks = text.split(" ")
+            start = idx * stride
+            for j, t in enumerate(ctoks):
+                pos = start + j
+                if pos == len(got):
+                    got.append(t)
+                else:
+                    assert got[pos] == t, (doc_id, pos)
+        assert got == expect, doc_id
+
+
+def test_m4_envelope_invariants(spark, sf_dir):
+    """Property: per bucket, v_min <= v_first, v_last <= v_max, timestamps
+    ordered, bucket ids within [0, 400), and total n equals the row count."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b25_m4_downsample"].fn(spark, sf_dir).collect()
+    total = 0
+    for r in rows:
+        assert 0 <= r.bucket < 400
+        assert r.ts_min_us <= r.ts_max_us
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+        total += r.n
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+
+
+def test_gap_fill_passthrough_and_bounds(spark, sf_dir):
+    """Property: observed minutes keep their exact value; interpolated
+    minutes lie between their two anchors."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b25_gap_fill_interpolate"].fn(spark, sf_dir).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    for series, rs in by_series.items():
+        rs.sort(key=lambda r: r.minute_ts)
+        assert rs[0].observed and rs[-1].observed  # extent edges are observed
+        observed_vals = [r.value_filled for r in rs if r.observed]
+        lo, hi = min(observed_vals), max(observed_vals)
+        for r in rs:
+            assert r.value_filled is not None
+            assert lo - 1e-9 <= r.value_filled <= hi + 1e-9
