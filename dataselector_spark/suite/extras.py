@@ -611,3 +611,60 @@ def b25_time_weighted_avg(spark, sf_dir):
         ).alias("twa"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+@query(
+    "b22_mixture_upsample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, lang,
+               CASE source WHEN 'src0' THEN 2300
+                           WHEN 'src1' THEN 1000
+                           WHEN 'src2' THEN 400
+                           ELSE 1500 END AS w_milli
+        FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(rep AS BIGINT) AS rep
+    FROM (
+        SELECT doc_id, source, lang, w_milli,
+               unnest(range(0, (w_milli // 1000)
+                               + CASE WHEN (doc_id * 2654435761) % 1000
+                                           < (w_milli % 1000)
+                                      THEN 1 ELSE 0 END)) AS rep
+        FROM w
+    )
+    """,
+    doc="B22 (LLM pipeline): deterministic mixture UPSAMPLING — per-source "
+    "epoch weights above and below 1 (src0 2.3 epochs, src1 1.0, src2 0.4, "
+    "default 1.5): each document is replicated floor(w) times plus one "
+    "extra copy behind the Knuth-hash gate on the fractional part, with a "
+    "`rep` index so downstream shuffles can decorrelate copies. The "
+    "complement of b22_mixture_resample's pure downsampling, and the "
+    "standard way LLM data recipes weight high-quality sources; "
+    "deterministic across runs/engines/partitionings where rand()-based "
+    "sampling is not. Map-only explode: no shuffle.",
+)
+def b22_mixture_upsample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w_milli = (
+        F.when(F.col("source") == "src0", 2300)
+        .when(F.col("source") == "src1", 1000)
+        .when(F.col("source") == "src2", 400)
+        .otherwise(1500)
+    )
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    n_rep = (w_milli / 1000).cast("bigint") + F.when(
+        gate < w_milli % 1000, 1
+    ).otherwise(0)
+    # NB: explicit empty-array guard — Spark's sequence(0, n-1) with n == 0
+    # infers step -1 and yields [0, -1] instead of an empty array, silently
+    # giving every zero-weight document one copy.
+    reps = F.when(
+        F.col("n_rep") >= 1, F.sequence(F.lit(0), F.col("n_rep") - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.select("doc_id", "source", "lang", n_rep.alias("n_rep")).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(reps).alias("rep"),
+    )
