@@ -668,3 +668,116 @@ def b22_mixture_upsample(spark, sf_dir):
         "lang",
         F.explode(reps).alias("rep"),
     )
+
+
+@query(
+    "b22_drift_chisq",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n0) AS t0, sum(n1) AS t1 FROM cells)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           (CAST(n0 AS DOUBLE) - CAST((n0 + n1) * t0 AS DOUBLE) / (t0 + t1))
+         * (CAST(n0 AS DOUBLE) - CAST((n0 + n1) * t0 AS DOUBLE) / (t0 + t1))
+         / (CAST((n0 + n1) * t0 AS DOUBLE) / (t0 + t1))
+         + (CAST(n1 AS DOUBLE) - CAST((n0 + n1) * t1 AS DOUBLE) / (t0 + t1))
+         * (CAST(n1 AS DOUBLE) - CAST((n0 + n1) * t1 AS DOUBLE) / (t0 + t1))
+         / (CAST((n1 + n0) * t1 AS DOUBLE) / (t0 + t1)) AS chi2_contrib
+    FROM cells, tot
+    """,
+    doc="B22 (drift detection): chi-square contingency contributions per "
+    "category between two deterministic cohorts (even/odd event_id stands "
+    "in for before/after a pipeline change) — the standard categorical "
+    "drift monitor. Expected counts come from integer marginals (exact in "
+    "both engines); each row's contribution is a fixed-order scalar "
+    "expression, so no float SUM ordering ever enters the checked values. "
+    "Plan: one aggregation + a broadcast single-row totals join.",
+)
+def b22_drift_chisq(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
+    )
+    tot = cells.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    j = cells.crossJoin(F.broadcast(tot))
+    e0 = ((F.col("n0") + F.col("n1")) * F.col("t0")).cast("double") / (
+        F.col("t0") + F.col("t1")
+    )
+    e1 = ((F.col("n0") + F.col("n1")) * F.col("t1")).cast("double") / (
+        F.col("t0") + F.col("t1")
+    )
+    chi = (F.col("n0").cast("double") - e0) * (F.col("n0").cast("double") - e0) / e0 + (
+        F.col("n1").cast("double") - e1
+    ) * (F.col("n1").cast("double") - e1) / e1
+    return j.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        chi.alias("chi2_contrib"),
+    )
+
+
+@query(
+    "b22_drift_ks",
+    oracle="""
+    WITH v AS (
+        SELECT value, event_id % 2 AS half FROM events WHERE value <> -999.99
+    ),
+    cnt AS (
+        SELECT value,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+        FROM v GROUP BY value
+    ),
+    tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM cnt),
+    cum AS (
+        SELECT value,
+               sum(c0) OVER (ORDER BY value) AS cum0,
+               sum(c1) OVER (ORDER BY value) AS cum1
+        FROM cnt
+    )
+    SELECT max(abs(CAST(cum0 AS DOUBLE) / n0 - CAST(cum1 AS DOUBLE) / n1)) AS ks_stat,
+           CAST(min(n0) AS BIGINT) AS n0, CAST(min(n1) AS BIGINT) AS n1
+    FROM cum, tot
+    """,
+    doc="B22 (drift detection): two-sample Kolmogorov-Smirnov statistic "
+    "between deterministic cohorts over the sentinel-cleaned value column "
+    "— the numeric drift monitor. Cumulative counts are integer window "
+    "sums over distinct values (exact); per-row CDF differences are "
+    "fixed-order scalar doubles and the final MAX is order-independent, "
+    "so the statistic is engine-exact. Plan: one groupBy on value, one "
+    "ordered window over the distinct-value spine, one max.",
+)
+def b22_drift_ks(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value") != -999.99).select(
+        "value", (F.col("event_id") % 2).alias("half")
+    )
+    cnt = v.groupBy("value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = cnt.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnt.select(
+        "value",
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("cum0").cast("double") / F.col("n0")
+        - F.col("cum1").cast("double") / F.col("n1")
+    )
+    return j.agg(
+        F.max(diff).alias("ks_stat"),
+        F.min("n0").cast("bigint").alias("n0"),
+        F.min("n1").cast("bigint").alias("n1"),
+    )
