@@ -781,3 +781,70 @@ def b22_drift_ks(spark, sf_dir):
         F.min("n0").cast("bigint").alias("n0"),
         F.min("n1").cast("bigint").alias("n1"),
     )
+
+
+@query(
+    "b26_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_view
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+           s2.user_id IS NOT NULL AS reached_view,
+           s3.user_id IS NOT NULL AS reached_purchase
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    doc="B26 (behavioral analytics): ordered three-stage funnel — for each "
+    "user, the first signup, the first view strictly AFTER that signup, "
+    "and the first purchase strictly after that view (ordering matters: a "
+    "view before signup does not count). Three aggregations and three "
+    "joins, every one keyed on user_id, so the single hash partitioning "
+    "is planned once and reused — at 100 TB the funnel costs one shuffle "
+    "of the events that pass each stage's filter, not one pass per stage.",
+)
+def b26_funnel(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_view",
+            "t_purchase",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
