@@ -848,3 +848,52 @@ def b26_funnel(spark, sf_dir):
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+@query(
+    "b26_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS week_n
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_n, count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_n
+    """,
+    doc="B26 (behavioral analytics): weekly retention cohorts — each user "
+    "joins the cohort of their first-activity week; the matrix counts how "
+    "many of each cohort are active N weeks later. Two aggregations keyed "
+    "on user_id then one on the (cohort, week) pair; integer week "
+    "arithmetic so the matrix is engine-exact. The 100 TB shape: the "
+    "firsts relation is |users| (small side, broadcastable), activity "
+    "dedup is one shuffle of (user, week) pairs, and the final matrix is "
+    "O(cohorts x horizon).",
+)
+def b26_retention_cohorts(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            ).cast("bigint").alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
