@@ -897,3 +897,52 @@ def b26_retention_cohorts(spark, sf_dir):
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "b22_winsorize",
+    oracle="""
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events WHERE value <> -999.99 GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           e.value AS value_raw,
+           CASE WHEN e.value < p.lo THEN p.lo
+                WHEN e.value > p.hi THEN p.hi
+                ELSE e.value END AS value_winsorized,
+           e.value < p.lo OR e.value > p.hi AS clipped
+    FROM events e JOIN pct p USING (event_type)
+    WHERE e.value <> -999.99
+    """,
+    doc="B22 (quality): per-group winsorization — clamp each series' values "
+    "to its exact [p5, p95] band (sentinels excluded first; they are "
+    "missing-data markers, not extremes). Two passes: a percentile "
+    "aggregation producing one tiny row per group (BROADCAST back over "
+    "the fact — the fact never moves), then a map-only clamp. The 100 TB "
+    "form swaps exact percentiles for approx_percentile's t-digest and "
+    "keeps the identical dataflow; the exact form here is the "
+    "oracle-parity variant (sort+interpolate quantiles match across "
+    "engines on identical doubles).",
+)
+def b22_winsorize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") != -999.99)
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    j = e.join(F.broadcast(pct), "event_type")
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("value_raw"),
+        clamped.alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
