@@ -192,3 +192,98 @@ def sample_frames(media: DataFrame, frame_bytes: int, every_n: int = 2) -> DataF
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+BITMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def synthesize_bitmaps(docs: DataFrame) -> DataFrame:
+    """Deterministic RAW grayscale bitmaps (no codec needed): each doc gets a
+    (height x width) uint8 raster with pixel(r, c) = (doc_id*31 + r*7 + c*13)
+    mod 256, exactly width*height payload bytes. Unlike `synthesize_media`'s
+    text bytes, these are honest raster payloads, so downstream raster ops
+    (resize, stats) can do REAL pixel arithmetic with numpy — no PIL/ffmpeg
+    required, and every byte is reproducible for tests and rows-only checks."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 64 + 16
+                h = int(doc_id) % 48 + 12
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                img = ((int(doc_id) * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                payloads.append(img.tobytes())
+                metas.append(
+                    {
+                        "media_type": "image/raw8",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": w * h,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, BITMAP_SCHEMA)
+
+
+def resize_bitmap_nn(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over raw uint8 rasters via numpy index
+    mapping — the actual resample arithmetic (source row r' = r*h//out_h,
+    col c' = c*w//out_w), not a byte-cycling stand-in. Arrow-batched
+    mapInPandas, map-only, binary-in/binary-out; swap in PIL only if you
+    need fancier filters (bilinear/Lanczos) — the Spark plumbing is
+    identical."""
+    ow, oh = int(out_w), int(out_h)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        rows_idx_cache = {}
+
+        def resize(payload: bytes, w: int, h: int) -> bytes:
+            img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+            key = (w, h)
+            if key not in rows_idx_cache:
+                rows_idx_cache[key] = (
+                    (np.arange(oh) * h) // oh,
+                    (np.arange(ow) * w) // ow,
+                )
+            ri, ci = rows_idx_cache[key]
+            return img[ri][:, ci].tobytes()
+
+        for pdf in it:
+            payloads = [
+                resize(p, m["width"], m["height"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "media_type": m["media_type"],
+                            "width": ow,
+                            "height": oh,
+                            "n_bytes": ow * oh,
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, BITMAP_SCHEMA)

@@ -946,3 +946,60 @@ def b22_winsorize(spark, sf_dir):
             "clipped"
         ),
     )
+
+
+@query(
+    "b16_resize_nn",
+    oracle="""
+    SELECT doc_id,
+           8 AS width, 6 AS height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 48), i ->
+                   (doc_id * 31
+                    + (((i // 8) * (doc_id % 48 + 12)) // 6) * 7
+                    + (((i % 8) * (doc_id % 64 + 16)) // 8) * 13) % 256)),
+               (a, b) -> a + b) AS pixel_sum
+    FROM documents
+    """,
+    doc="B16 (multimodal, REAL raster arithmetic): nearest-neighbor resize "
+    "of deterministic raw uint8 bitmaps to 8x6 via numpy index mapping "
+    "inside Arrow-batched mapInPandas — and because the source raster is "
+    "closed-form (pixel = (id*31 + r*7 + c*13) mod 256), the oracle "
+    "recomputes every resized pixel IN SQL and the summed payload is "
+    "hash-checked: the distributed Python/numpy path is value-verified "
+    "end-to-end, not rows-only. Map-only, binary-in/binary-out.",
+)
+def b16_resize_nn(spark, sf_dir):
+    from ..multimodal import resize_bitmap_nn, synthesize_bitmaps
+
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_bitmap_nn(synthesize_bitmaps(d), 8, 6)
+
+    def checksum(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "pixel_sum": [
+                        int(np.frombuffer(p, dtype="uint8").astype("int64").sum())
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+    return resized.mapInPandas(checksum, schema)

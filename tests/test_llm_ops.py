@@ -328,3 +328,23 @@ def test_gap_fill_passthrough_and_bounds(spark, sf_dir):
         for r in rs:
             assert r.value_filled is not None
             assert lo - 1e-9 <= r.value_filled <= hi + 1e-9
+
+
+def test_bitmap_nn_resize_matches_pure_python(spark, sf_dir):
+    """The numpy nearest-neighbor resize must byte-match an independent
+    pure-Python recomputation (real raster arithmetic, not a stub)."""
+    from dataselector_spark.multimodal import resize_bitmap_nn, synthesize_bitmaps
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = synthesize_bitmaps(docs)
+    out = {r.doc_id: r for r in resize_bitmap_nn(media, 8, 6).collect()}
+    for row in docs.select("doc_id").collect():
+        d = row.doc_id
+        w, h = d % 64 + 16, d % 48 + 12
+        src = [[(d * 31 + r * 7 + c * 13) % 256 for c in range(w)] for r in range(h)]
+        expect = bytes(
+            src[(r * h) // 6][(c * w) // 8] for r in range(6) for c in range(8)
+        )
+        got = out[d]
+        assert bytes(got.payload) == expect, d
+        assert got.meta.width == 8 and got.meta.height == 6
