@@ -320,3 +320,72 @@ def test_upsert_sink_recovers_from_mid_rename_crash(spark, tmp_path):
     sink(b2, 1)
     got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+
+
+def test_end_to_end_streaming_corpus_ingest(spark, tmp_path):
+    """The full production ingest path COMPOSED from the shipped pieces:
+    file-source stream -> quality gate (sentinel + range filter) -> stateful
+    dedup on event_id (duplicates arrive across batches) -> deterministic
+    upsert into a parquet corpus target. Each stage is individually tested
+    elsewhere; this pins that the composition streams end-to-end and the
+    target converges to the clean, deduplicated, latest-revision state."""
+    from dataselector_spark.streaming import upsert_sink
+
+    src = str(tmp_path / "ing_src")
+    target = str(tmp_path / "ing_target")
+    ckpt = str(tmp_path / "ing_ckpt")
+    os.makedirs(src)
+
+    def start():
+        raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(src)
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        clean = ev.filter(
+            (F.col("value") != -999.99) & F.col("value").between(-1000, 1000)
+        )
+        # Dedup kills REDELIVERIES (same event_id AND event time); a
+        # revision carries a new ts, passes dedup, and the upsert keeps the
+        # latest revision per key.
+        deduped = clean.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id", "ts"]
+        )
+        return (
+            deduped.select("event_id", "ts", "user_id", "value")
+            .writeStream.foreachBatch(upsert_sink(target, ["event_id"], order_by=["ts"]))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Batch 1: one good row, one sentinel (must be gated), one dup-to-come.
+    _write_events(
+        os.path.join(src, "a.parquet"),
+        [
+            (1, "2024-01-01 10:00:00", 1, "x", 5.0),
+            (2, "2024-01-01 10:01:00", 1, "x", -999.99),
+            (3, "2024-01-01 10:02:00", 2, "y", 7.0),
+        ],
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Batch 2 after restart: an exact redelivery of 3 (dropped by stateful
+    # dedup state surviving the checkpoint restart), a revision of 1 (new
+    # ts -> passes dedup, upsert replaces), and a fresh row.
+    _write_events(
+        os.path.join(src, "b.parquet"),
+        [
+            (3, "2024-01-01 10:02:00", 2, "y", 7.0),
+            (1, "2024-01-01 11:00:00", 1, "x", 6.0),
+            (4, "2024-01-01 11:05:00", 3, "z", 1.0),
+        ],
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 6.0, 3: 7.0, 4: 1.0}
+    assert 2 not in got  # sentinel row gated out by the quality filter
