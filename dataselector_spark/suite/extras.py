@@ -1003,3 +1003,72 @@ def b16_resize_nn(spark, sf_dir):
         ]
     )
     return resized.mapInPandas(checksum, schema)
+
+
+@query(
+    "b26_transition_bigrams",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="B26 (behavioral analytics): event-transition bigram counts — each "
+    "user's event stream ordered by (ts, event_id), adjacent pairs counted "
+    "into the Markov transition matrix behind funnels and anomaly "
+    "detection. One window shuffle on user_id + one small aggregation; "
+    "the deterministic (ts, event_id) tiebreak makes the matrix "
+    "engine-exact.",
+)
+def b26_transition_bigrams(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "b06_sketch_rollup",
+    oracle=None,  # DataSketches HLL binary sketches are engine-specific;
+    # estimate-vs-exact accuracy asserted in tests/test_llm_ops.py
+    doc="B6 (sketch persistence/merge — the 100 TB count-distinct posture): "
+    "build one HyperLogLog sketch per (event_type, hour) with "
+    "hll_sketch_agg, then UNION the stored sketches up to per-type totals "
+    "with hll_union_agg and estimate. This is the pre-aggregated rollup "
+    "pattern: the expensive pass over raw data happens once, and any "
+    "coarser grain (day/week/all-time, any type subset) is answered by "
+    "merging kilobyte sketches — never by re-reading 100 TB. Mergeability "
+    "is what plain count-distinct lacks; estimates vs exact are asserted "
+    "within HLL error bounds in pytest.",
+)
+def b06_sketch_rollup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_hourly_sketches"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_users").cast("bigint").alias("approx_users"),
+            "n_hourly_sketches",
+        )
+    )

@@ -348,3 +348,20 @@ def test_bitmap_nn_resize_matches_pure_python(spark, sf_dir):
         got = out[d]
         assert bytes(got.payload) == expect, d
         assert got.meta.width == 8 and got.meta.height == 6
+
+
+def test_sketch_rollup_estimates_within_hll_bounds(spark, sf_oracle_dir):
+    """Merged hourly HLL sketches must estimate per-type distinct users
+    within HLL error bounds of the exact answer (here cardinalities are
+    small enough that HLL is exact)."""
+    est = {
+        r.event_type: r.approx_users
+        for r in QUERIES["b06_sketch_rollup"].fn(spark, sf_oracle_dir).collect()
+    }
+    exact = {
+        r.event_type: r.exact_users
+        for r in QUERIES["b06_exact_distinct"].fn(spark, sf_oracle_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(2, 0.05 * e), (t, est[t], e)
