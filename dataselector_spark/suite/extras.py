@@ -300,15 +300,19 @@ def b15_repetition_score(spark, sf_dir):
     "vocabulary, high = boilerplate), the cheap unigram stand-in for "
     "model-based perplexity filtering. Two shuffles total at any scale: "
     "one groupBy(token) for the vocabulary (map-side combined, O(|vocab|)) "
-    "and one groupBy(doc) for the score; the vocab side of the join is "
-    "dictionary-sized and broadcasts. Integer sums keep it engine-exact.",
+    "and one groupBy(doc) for the score. The vocab join carries NO "
+    "broadcast hint: a natural-language vocab is dictionary-sized and AQE "
+    "will broadcast it from its measured size, but a web-scale BPE/byte "
+    "vocab or a corpus with unbounded tokens (URLs, code) is not — the "
+    "same compile-time-guess trap as force-broadcasting a dedup loser "
+    "set. Integer sums keep it engine-exact.",
 )
 def b15_rarity_score(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     return (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(vocab, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
