@@ -875,9 +875,10 @@ def b26_funnel(spark, sf_dir):
     "many of each cohort are active N weeks later. Two aggregations keyed "
     "on user_id then one on the (cohort, week) pair; integer week "
     "arithmetic so the matrix is engine-exact. The 100 TB shape: the "
-    "firsts relation is |users| (small side, broadcastable), activity "
-    "dedup is one shuffle of (user, week) pairs, and the final matrix is "
-    "O(cohorts x horizon).",
+    "firsts relation is one row per user — often broadcastable but not "
+    "guaranteed at web scale, so the join carries no hint and AQE decides "
+    "from measured sizes; activity dedup is one shuffle of (user, week) "
+    "pairs, and the final matrix is O(cohorts x horizon).",
 )
 def b26_retention_cohorts(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
@@ -885,7 +886,7 @@ def b26_retention_cohorts(spark, sf_dir):
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     activity = (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",
