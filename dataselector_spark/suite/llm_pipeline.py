@@ -543,7 +543,9 @@ def b13_dedup_survivors(spark, sf_dir):
     "is not bit-identical across libm implementations, so the transcendent "
     "step stays out of the hash-checked contract (callers fold it in one "
     "double op). Plan: explode → two keyed aggregations → window top-1; "
-    "the df relation is term-keyed (vocabulary-sized) and broadcast back.",
+    "the term-keyed df relation joins back WITHOUT a broadcast hint — a "
+    "natural-language vocab broadcasts fine and AQE will do so from its "
+    "measured size, but an unbounded token space (code, URLs) would not.",
 )
 def b15_tfidf_top_term(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -556,7 +558,7 @@ def b15_tfidf_top_term(spark, sf_dir):
     n_docs = d.agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
     return (
-        tf.join(F.broadcast(df_rel), "term")
+        tf.join(df_rel, "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .crossJoin(F.broadcast(n_docs))
