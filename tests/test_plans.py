@@ -210,3 +210,65 @@ def test_global_shuffle_is_one_exchange_no_global_sort(spark):
     assert shuffle_count(df) == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """Window and aggregation share the (series, hour) key — one exchange."""
+    df = QUERIES["b25_time_weighted_avg"].fn(spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_winsorize_fact_never_moves(spark):
+    """One shuffle for the tiny percentile aggregation; the fact side joins
+    the broadcast bands without an exchange."""
+    df = QUERIES["b22_winsorize"].fn(spark, SF)
+    assert shuffle_count(df) == 1
+    assert has_broadcast_join(df)
+
+
+def test_mixture_upsample_is_map_only(spark):
+    df = QUERIES["b22_mixture_upsample"].fn(spark, SF)
+    assert shuffle_count(df) == 0
+
+
+def test_repetition_score_is_map_only(spark):
+    df = QUERIES["b15_repetition_score"].fn(spark, SF)
+    assert shuffle_count(df) == 0
+
+
+def test_rarity_score_two_shuffles(spark):
+    """Vocab build + per-doc score: exactly two exchanges, no more (the
+    token-vocab join itself adds none — AQE broadcasts it at runtime)."""
+    df = QUERIES["b15_rarity_score"].fn(spark, SF)
+    assert shuffle_count(df) == 2
+
+
+def test_m4_downsample_two_shuffles_broadcast_extent(spark):
+    df = QUERIES["b25_m4_downsample"].fn(spark, SF)
+    assert shuffle_count(df) == 2
+    assert has_broadcast_join(df)
+
+
+def test_transition_bigrams_two_shuffles(spark):
+    """One window shuffle on user_id + one matrix aggregation."""
+    df = QUERIES["b26_transition_bigrams"].fn(spark, SF)
+    assert shuffle_count(df) == 2
+
+
+def test_retention_cohorts_bounded_shuffles(spark):
+    df = QUERIES["b26_retention_cohorts"].fn(spark, SF)
+    assert shuffle_count(df) <= 3
+
+
+def test_funnel_bounded_shuffles(spark):
+    """Three stage aggregations dominate; assembly joins must not add
+    unbounded exchanges."""
+    df = QUERIES["b26_funnel"].fn(spark, SF)
+    assert shuffle_count(df) <= 5
+
+
+def test_gap_fill_bounded_shuffles(spark):
+    """Minute aggregation + extent; the two interpolation windows reuse the
+    series partitioning instead of re-exchanging."""
+    df = QUERIES["b25_gap_fill_interpolate"].fn(spark, SF)
+    assert shuffle_count(df) <= 3
