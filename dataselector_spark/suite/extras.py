@@ -814,35 +814,51 @@ def b22_drift_ks(spark, sf_dir):
     doc="B26 (behavioral analytics): ordered three-stage funnel — for each "
     "user, the first signup, the first view strictly AFTER that signup, "
     "and the first purchase strictly after that view (ordering matters: a "
-    "view before signup does not count). Three aggregations and three "
-    "joins, every one keyed on user_id, so the single hash partitioning "
-    "is planned once and reused — at 100 TB the funnel costs one shuffle "
-    "of the events that pass each stage's filter, not one pass per stage.",
+    "view before signup does not count). All three stage times are nested "
+    "conditional window-mins over the SAME user partitioning, so the whole "
+    "funnel costs ONE shuffle of the events (plan-asserted), not one "
+    "aggregation-join round per stage — the shape that survives adding a "
+    "fourth or tenth stage at 100 TB.",
 )
 def b26_funnel(spark, sf_dir):
+    from pyspark.sql import Window as W
+
     e = load_table(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
-    )
-    s2 = (
-        e.filter(F.col("event_type") == "view")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t_signup"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    w = W.partitionBy("user_id")
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_signup",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_view",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
+        staged.filter(F.col("t_signup").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_signup").alias("t_signup"),
+            F.first("t_view").alias("t_view"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
         .select(
             "user_id",
             "t_signup",

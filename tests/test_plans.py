@@ -260,11 +260,12 @@ def test_retention_cohorts_bounded_shuffles(spark):
     assert shuffle_count(df) <= 3
 
 
-def test_funnel_bounded_shuffles(spark):
-    """Three stage aggregations dominate; assembly joins must not add
-    unbounded exchanges."""
+def test_funnel_single_shuffle(spark):
+    """All three stage times are nested conditional window-mins over one
+    user partitioning; the dedup aggregation reuses it — ONE exchange total
+    (the aggregation-join-per-stage encoding costs 5)."""
     df = QUERIES["b26_funnel"].fn(spark, SF)
-    assert shuffle_count(df) <= 5
+    assert shuffle_count(df) == 1
 
 
 def test_gap_fill_bounded_shuffles(spark):
