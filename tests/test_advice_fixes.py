@@ -226,3 +226,42 @@ def test_write_clustered_prunes_files(spark, tmp_path):
     assert n_files == 8
     assert files_read <= 2, files_read  # one boundary overlap allowed
     assert df.count() == e.filter(F.col("user_id") == lo).count()
+
+
+# --- asof_join differential vs pandas merge_asof ------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: on randomized keyed time series, asof_join must agree with
+    pandas.merge_asof (backward, inclusive) row for row — including NULL
+    payload cells inside matched rows."""
+    import pandas as pd
+
+    rng_rows = []
+    # Deterministic pseudo-random data: 3 keys, scattered ts, NULLs mixed in.
+    for i in range(240):
+        k = f"k{(i * 7) % 3}"
+        ts = (i * 2654435761) % 1000
+        rng_rows.append((k, ts, float(i), None if i % 5 == 0 else f"v{i}"))
+    right_rows = rng_rows[::2]
+    left_rows = [(k, (ts + 1) % 1000) for (k, ts, _v, _s) in rng_rows[1::2]]
+
+    right = spark.createDataFrame(
+        right_rows, "k string, ts long, num double, tag string"
+    )
+    left = spark.createDataFrame(left_rows, "k string, ts long")
+    got = {
+        (r.k, r.ts): (r.num_asof, r.tag_asof)
+        for r in __import__("dataselector_spark.operators.asof", fromlist=["asof_join"])
+        .asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        .collect()
+    }
+
+    pl = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    pr = pd.DataFrame(right_rows, columns=["k", "ts", "num", "tag"]).sort_values("ts")
+    exp = pd.merge_asof(pl, pr, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        num, tag = got[(row["k"], row["ts"])]
+        pnum = None if pd.isna(row["num"]) else row["num"]
+        ptag = None if pd.isna(row["tag"]) else row["tag"]
+        assert num == pnum and tag == ptag, (row["k"], row["ts"], num, tag, pnum, ptag)
