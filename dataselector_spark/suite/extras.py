@@ -1093,3 +1093,63 @@ def b06_sketch_rollup(spark, sf_dir):
             "n_hourly_sketches",
         )
     )
+
+
+@query(
+    "b25_trend_per_series",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xi) AS DOUBLE) AS sx,
+             CAST(sum(yi) AS DOUBLE) AS sy,
+             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+             CAST(sum(xi * yi) AS DOUBLE) AS sxy
+      FROM (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(19,0)) AS xi,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(19,0)) AS yi
+        FROM events WHERE value <> -999.99
+      ) GROUP BY event_type
+    )
+    SELECT event_type,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 AS slope_per_sec,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0
+               AS intercept,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """,
+    doc="B25 (time series): least-squares trend per series — slope "
+    "(units/second) and intercept from EXACT integer moment sums (x = "
+    "seconds since the epoch origin as DECIMAL, y = 2-dp value scaled to "
+    "integer; every product and sum is exact, the closed-form slope is "
+    "one fixed-order IEEE expression at the end). Same technique as the "
+    "exact-moment correlation entry: deterministic AND parallel — one "
+    "partial-aggregated pass, |series| output rows, immune to float "
+    "accumulation order. The drift/regression detector for monitored "
+    "metrics at any scale.",
+)
+def b25_trend_per_series(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") != -999.99)
+    # Integer division (div), not `/`: bigint `/` is DOUBLE division in
+    # Spark and would ROUND the sub-second fraction where DuckDB floors.
+    xi = (F.expr("unix_micros(ts) div 1000000") - 1704067200).cast("decimal(19,0)")
+    yi = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(19,0)")
+    m = e.select("event_type", xi.alias("xi"), yi.alias("yi")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_scaled = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        (slope_scaled / 100.0).alias("slope_per_sec"),
+        ((sy - slope_scaled * sx) / n / 100.0).alias("intercept"),
+        n.cast("bigint").alias("n"),
+    )
