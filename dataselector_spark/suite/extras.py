@@ -1153,3 +1153,37 @@ def b25_trend_per_series(spark, sf_dir):
         ((sy - slope_scaled * sx) / n / 100.0).alias("intercept"),
         n.cast("bigint").alias("n"),
     )
+
+
+@query(
+    "b06_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events WHERE value <> -999.99
+    )
+    SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+    doc="B6: equi-DEPTH histogram (10 buckets of equal row count) — the "
+    "quantile-sketch companion to b06_histogram's equi-width bins and the "
+    "statistic CBO planners actually store. ntile over a deterministic "
+    "total order (value, event_id) makes bucket assignment engine-exact. "
+    "The local form is a global-sort window; at 100 TB the same statistic "
+    "comes from approx_percentile's t-digest boundaries — this exact form "
+    "is the oracle-parity variant.",
+)
+def b06_equidepth_histogram(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") != -999.99)
+    w = W.orderBy("value", "event_id")
+    return (
+        e.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
