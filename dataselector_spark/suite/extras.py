@@ -751,14 +751,17 @@ def b22_drift_chisq(spark, sf_dir):
     """,
     doc="B22 (drift detection): two-sample Kolmogorov-Smirnov statistic "
     "between deterministic cohorts over the sentinel-cleaned value column "
-    "— the numeric drift monitor. Cumulative counts are integer window "
-    "sums over distinct values (exact); per-row CDF differences are "
-    "fixed-order scalar doubles and the final MAX is order-independent, "
-    "so the statistic is engine-exact. Plan: one groupBy on value, one "
-    "ordered window over the distinct-value spine, one max.",
+    "— the numeric drift monitor. Cumulative counts are integer and exact; "
+    "per-row CDF differences are fixed-order scalar doubles and the final "
+    "MAX is order-independent, so the statistic is engine-exact. The "
+    "cumulative sums use the DISTRIBUTED two-level prefix-sum "
+    "(operators/prefixsum.py): range-partition + parallel local running "
+    "sums + broadcast offsets — a continuous value column makes the "
+    "distinct-value spine as large as the data, and a naive global-order "
+    "window would serialize it through one task.",
 )
 def b22_drift_ks(spark, sf_dir):
-    from pyspark.sql import Window as W
+    from ..operators.prefixsum import running_sums
 
     e = load_table(spark, sf_dir, "events")
     v = e.filter(F.col("value") != -999.99).select(
@@ -769,11 +772,10 @@ def b22_drift_ks(spark, sf_dir):
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
     )
     tot = cnt.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = cnt.select(
+    cum = running_sums(cnt, order_by=["value"], sum_cols=["c0", "c1"]).select(
         "value",
-        F.sum("c0").over(w).alias("cum0"),
-        F.sum("c1").over(w).alias("cum1"),
+        F.col("cum_c0").alias("cum0"),
+        F.col("cum_c1").alias("cum1"),
     )
     j = cum.crossJoin(F.broadcast(tot))
     diff = F.abs(

@@ -265,3 +265,32 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         pnum = None if pd.isna(row["num"]) else row["num"]
         ptag = None if pd.isna(row["tag"]) else row["tag"]
         assert num == pnum and tag == ptag, (row["k"], row["ts"], num, tag, pnum, ptag)
+
+
+# --- distributed prefix sums ---------------------------------------------------
+
+
+def test_running_sums_match_global_window(spark):
+    """The two-level range-partitioned prefix sum must equal the naive
+    single-partition global window for any partition count."""
+    from pyspark.sql import Window as W
+
+    from dataselector_spark.operators.prefixsum import running_sums
+
+    rows = [((i * 2654435761) % 997, 1 + i % 3, i % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").dropDuplicates(["k"])
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    for nparts in (1, 4, 13):
+        got = {
+            r["k"]: (r["cum_a"], r["cum_b"])
+            for r in running_sums(
+                df, order_by=["k"], sum_cols=["a", "b"], num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect, nparts

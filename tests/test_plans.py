@@ -273,3 +273,12 @@ def test_gap_fill_bounded_shuffles(spark):
     series partitioning instead of re-exchanging."""
     df = QUERIES["b25_gap_fill_interpolate"].fn(spark, SF)
     assert shuffle_count(df) <= 3
+
+
+def test_drift_ks_avoids_single_partition_data_window(spark):
+    """The KS cumulative sums must range-partition the spine (parallel local
+    windows + broadcast offsets), never a SinglePartition window over the
+    data — only the num_partitions-row offsets relation may be single."""
+    df = QUERIES["b22_drift_ks"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
