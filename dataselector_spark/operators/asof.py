@@ -26,7 +26,7 @@ key exceeds executor memory. Not needed at driver scales.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,6 +38,7 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``on`` key (left-outer: nulls when
@@ -45,6 +46,15 @@ def asof_join(
 
     ``right_payload`` — right columns to carry (default: all but key/ts),
     emitted as ``<col><suffix>``.
+
+    ``tolerance`` — optional maximum allowed ``left_ts - right_ts`` (a Column
+    expression or literal in the ts columns' own difference algebra, e.g.
+    ``F.expr("INTERVAL 30 MINUTES")`` for timestamps or an integer for
+    numeric ts). Matches farther back than the tolerance are nulled —
+    pandas ``merge_asof(tolerance=...)`` semantics, the attribution-window
+    form ("latest click within 30 minutes of the purchase"). Applied as a
+    post-filter on the matched timestamp, so the plan is unchanged: one
+    shuffle, one sort.
     """
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
@@ -58,7 +68,10 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in right_payload]).alias("__p"),
+        F.struct(
+            F.col(right_ts).alias("__match_ts"),
+            *[F.col(c) for c in right_payload],
+        ).alias("__p"),
     )
     l = left.select(
         F.col(on).alias("__k"),
@@ -87,13 +100,20 @@ def asof_join(
         F.col("__side").alias("__side"),
         F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return (
-        filled.filter(F.col("__side") == 1)
-        .select(
-            *left.columns,
-            *[
-                F.col("__p").getField(c).alias(f"{c}{suffix}")
-                for c in right_payload
-            ],
+    matched = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        in_window = (
+            F.col("__p").isNotNull()
+            & ((F.col(left_ts) - F.col("__p").getField("__match_ts")) <= tol)
         )
+        matched = matched.withColumn(
+            "__p", F.when(in_window, F.col("__p"))
+        )
+    return matched.select(
+        *left.columns,
+        *[
+            F.col("__p").getField(c).alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
     )

@@ -1189,3 +1189,45 @@ def b06_equidepth_histogram(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "b05_asof_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN b.ts IS NOT NULL AND e.ts - b.ts <= INTERVAL 30 MINUTE
+                THEN b.prev_error_id END AS prev_error_id,
+           CASE WHEN b.ts IS NOT NULL AND e.ts - b.ts <= INTERVAL 30 MINUTE
+                THEN b.prev_error_value END AS prev_error_value
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, event_id AS prev_error_id, value AS prev_error_value
+        FROM events WHERE event_type = 'error'
+    ) b ON e.user_id = b.user_id AND e.ts >= b.ts
+    """,
+    doc="B5: as-of join with a TOLERANCE window — for each event, the same "
+    "user's most recent error AT MOST 30 MINUTES before it (matches "
+    "farther back are nulled): pandas merge_asof(tolerance=...) semantics, "
+    "the attribution-window workload ('latest click within N minutes of "
+    "the purchase'). Same single-shuffle merge-asof plan; the tolerance is "
+    "a post-filter on the matched timestamp carried in the payload struct.",
+)
+def b05_asof_tolerance(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("prev_error_id"),
+        F.col("value").alias("prev_error_value"),
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        right_payload=["prev_error_id", "prev_error_value"],
+        suffix="",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return joined.select("event_id", "prev_error_id", "prev_error_value")
