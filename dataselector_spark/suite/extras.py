@@ -1231,3 +1231,43 @@ def b05_asof_tolerance(spark, sf_dir):
         tolerance=F.expr("INTERVAL 30 MINUTES"),
     )
     return joined.select("event_id", "prev_error_id", "prev_error_value")
+
+
+@query(
+    "b08_ratio_to_report",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               sum(CAST(value AS DECIMAL(12,2))) AS v
+        FROM events WHERE value <> -999.99
+        GROUP BY 1, 2
+    )
+    SELECT event_type, hour_ts,
+           CAST(v AS DOUBLE) AS value_sum,
+           CAST(v AS DOUBLE) / CAST(sum(v) OVER (PARTITION BY hour_ts) AS DOUBLE)
+               AS share_of_hour
+    FROM hourly
+    """,
+    doc="B8: ratio-to-report — each series' share of the hour's total, the "
+    "percent-of-total reporting window. Numerator and denominator are "
+    "exact decimal sums (the window total is identical regardless of "
+    "accumulation order), with ONE double division per row at the end, so "
+    "the shares hash-match across engines. One aggregation + one "
+    "full-partition window on the same hour key.",
+)
+def b08_ratio_to_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") != -999.99)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+    w = W.partitionBy("hour_ts")
+    return hourly.select(
+        "event_type",
+        "hour_ts",
+        F.col("v").cast("double").alias("value_sum"),
+        (F.col("v").cast("double") / F.sum("v").over(w).cast("double")).alias(
+            "share_of_hour"
+        ),
+    )
