@@ -191,7 +191,14 @@ def kmeans_centroids(
         gate = F.pmod(F.xxhash64(F.col("v").cast("string")), F.lit(10_000))
         base = base.filter(gate < int(sample_fraction * 10_000))
     base = base.localCheckpoint()  # reused every iteration; cut re-scan + lineage
-    dim = len(base.first()["v"])
+    first = base.first()
+    if first is None:
+        raise ValueError(
+            "kmeans_centroids: empty training set — the input has no rows "
+            f"(or sample_fraction={sample_fraction} filtered out every row); "
+            "lower the fraction or pass the full corpus."
+        )
+    dim = len(first["v"])
     centroids = _pseudo_centroids(dim, num_centroids, seed)
     for _ in range(iters):
         assigned = ivf_assignments(

@@ -51,7 +51,7 @@ def salted_join(
     emits each unmatched ``other`` row once per bucket, so right/full outer
     would duplicate them ``buckets`` times."""
     allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
-               "left_semi", "anti", "leftanti", "left_anti", "cross"}
+               "left_semi", "anti", "leftanti", "left_anti"}
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
         raise ValueError(
             f"salted_join: how={how!r} is not supported — the replicated side "

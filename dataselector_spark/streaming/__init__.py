@@ -166,6 +166,12 @@ def upsert_sink(target_path: str, keys: list[str], order_by: list[str] | None = 
         old = f"{target_path}__old"
         if not os.path.isdir(target_path) and os.path.isdir(old):
             os.rename(old, target_path)
+        # A crash AFTER the staging rename but before the __old cleanup
+        # leaves both directories; the stale __old would make the next
+        # rename dance fail (rename onto a non-empty dir). Target wins —
+        # it is the newer complete state.
+        elif os.path.isdir(target_path) and os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(target_path):
             merged = merge_upsert(spark.read.parquet(target_path), batch, keys)
         else:

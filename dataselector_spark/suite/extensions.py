@@ -527,7 +527,8 @@ def q19_discounted_revenue(spark, sf_dir):
     FROM events
     UNION ALL
     SELECT 'unique:event_id',
-           (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM events GROUP BY event_id)),
+           (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+            FROM (SELECT count(*) AS n FROM events GROUP BY event_id)),
            (SELECT count(*) FROM events),
            (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM events GROUP BY event_id)) = 0
     UNION ALL

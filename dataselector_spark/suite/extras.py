@@ -339,8 +339,6 @@ def b15_rarity_score(spark, sf_dir):
     "corrupt-count monitoring is the production posture.",
 )
 def b01_json_permissive(spark, sf_dir):
-    import os as _os
-
     from pyspark.sql import types as T
 
     from .extensions import _rt_path
@@ -876,13 +874,15 @@ def b26_funnel(spark, sf_dir):
     "b26_retention_cohorts",
     oracle="""
     WITH firsts AS (
-        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
         FROM events GROUP BY user_id
     ),
     activity AS (
         SELECT DISTINCT e.user_id, f.cohort_week,
-               CAST(date_diff('week', f.cohort_week,
-                              CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS week_n
+               CAST(floor(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7.0)
+                    AS BIGINT) AS week_n
         FROM events e JOIN firsts f USING (user_id)
     )
     SELECT cohort_week, week_n, count(*) AS n_active
@@ -901,7 +901,7 @@ def b26_funnel(spark, sf_dir):
 def b26_retention_cohorts(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
         e.join(firsts, "user_id")

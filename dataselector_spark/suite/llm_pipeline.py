@@ -275,7 +275,7 @@ def b15_text_stats(spark, sf_dir):
     "b15_lang_summary",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
     FROM documents GROUP BY lang
     """,
@@ -575,8 +575,9 @@ def b15_tfidf_top_term(spark, sf_dir):
     ),
     runs AS (
       SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
       FROM sized
     )
     SELECT doc_id, source, n_tokens, cum_tokens,

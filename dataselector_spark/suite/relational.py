@@ -16,7 +16,7 @@ aggregates used here.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table

@@ -165,8 +165,9 @@ def b08_outlier_zscore(spark, sf_dir):
     ),
     sess AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
         FROM marked
     )
     SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,

@@ -2,10 +2,14 @@
 
 Runs a `queries()` callable on Spark and the matching `oracle_sql()` string on
 DuckDB over the same parquet directory, then compares row count, column-name
-set, and an order-insensitive canonicalized value multiset. Stricter-than-
-driver canonicalization: floats compared via `repr` of the double (bit-exact)
-so any cross-engine nondeterminism surfaces during development instead of in
-the driver's CORRECTNESS report.
+set, and an order-insensitive canonicalized value multiset.
+
+Both sides are materialized THROUGH PANDAS (`toPandas()` / `.df()`), matching
+the driver's canonicalization path: a DuckDB HUGEINT sum that pandas widens to
+float64 will mismatch a Spark int64 here exactly as it does in the driver
+(the round-2 `b15_lang_summary` failure class). Floats are compared via `repr`
+of the double (bit-exact) so cross-engine nondeterminism surfaces during
+development instead of in the driver's CORRECTNESS report.
 """
 
 from __future__ import annotations
@@ -15,6 +19,8 @@ import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLE_NAMES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -32,7 +38,25 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _to_py(v):
+    """Collapse numpy/pandas scalars and containers to plain Python values."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        return tuple(_to_py(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, (list, tuple)):
+        return tuple(_to_py(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, _to_py(x)) for k, x in sorted(v.items()))
+    return v
+
+
 def _canon_value(v):
+    v = _to_py(v)
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -45,7 +69,7 @@ def _canon_value(v):
         return "t:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return "d:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, tuple):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     if isinstance(v, bytes):
         return "x:" + v.hex()
@@ -59,16 +83,21 @@ def _canon_rows(cols, rows):
     return sorted("|".join(_canon_value(r[i]) for i in order) for r in rows)
 
 
+def _frame_rows(pdf: pd.DataFrame):
+    return [tuple(row) for row in pdf.itertuples(index=False, name=None)]
+
+
 def compare(spark, sf_dir: str, query_fn, oracle_sql: str):
-    """Return (ok, detail). Spark result vs DuckDB oracle."""
+    """Return (ok, detail). Spark result vs DuckDB oracle, both via pandas."""
     sdf = query_fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = sdf.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = _frame_rows(s_pdf)
 
     con = duckdb_con(sf_dir)
-    res = con.execute(oracle_sql)
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    d_pdf = con.execute(oracle_sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = _frame_rows(d_pdf)
 
     problems = []
     if sorted(s_cols) != sorted(d_cols):

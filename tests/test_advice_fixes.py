@@ -160,24 +160,77 @@ def test_connected_components_materialize_modes(spark, tmp_path):
 # --- driver-window pinning ----------------------------------------------------
 
 
-def test_driver_window_covers_round2_targets():
-    """The driver checks the first 50 registered entries. Round 2's window
-    must cover the entire previously-unchecked LLM/streaming/TPCH surface
-    plus all b01 round-trips and all B21 UDF forms (VERDICT r1 item 1) —
-    pin it so a stray import or new entry can't displace a scheduled check."""
+def _driver_results():
+    """Latest per-entry driver verdict across every CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                results[name] = row  # later rounds win
+    return results
+
+
+def test_driver_window_targets_unchecked_entries():
+    """The driver checks the FIRST 50 registered entries each round, so a
+    forgotten rotation burns the whole round re-checking green entries
+    (this happened between rounds 2 and 3 — VERDICT r2 'What's wrong' #2).
+
+    Generalized invariant, derived from the CORRECTNESS_r*.json artifacts
+    rather than a hand-pinned list: every window slot must go to an entry
+    that NEEDS a driver row — never checked, red (hash_match False), or
+    crashed (err other than no_oracle) — as long as such entries exist
+    outside the window.  If this fails after a new CORRECTNESS file lands,
+    rotate the window list in dataselector_spark/suite/__init__.py."""
     from dataselector_spark.suite import QUERIES
+
+    results = _driver_results()
+
+    def needs_row(name):
+        row = results.get(name)
+        if row is None:
+            return True  # never driver-checked
+        if row.get("hash_match") is False:
+            return True  # red — needs a re-check
+        err = row.get("err")
+        return err is not None and err != "no_oracle"  # crashed
 
     window = list(QUERIES)[:50]
     assert len(set(window)) == 50
-    for prefix, want in [("b1", 26), ("b2", 6), ("q", 11), ("b01", 5)]:
-        got = sum(1 for n in window if n.startswith(prefix))
-        assert got >= want, (prefix, got, want)
-    for must in [
-        "b13_minhash_lsh", "b14_ann_ivf", "b16_frame_sample", "b17_stream_tumbling",
-        "b20_stream_stream_join", "q21_waiting_supplier", "b01_text_roundtrip",
-        "b21_python_udtf", "a29_cross_join", "b07_grouping_sets",
-    ]:
-        assert must in window, must
+    candidates = [n for n in QUERIES if needs_row(n)]
+    waiting_outside = [n for n in candidates if n not in window]
+    wasted_slots = [n for n in window if not needs_row(n)]
+    assert not (waiting_outside and wasted_slots), (
+        f"driver window wastes slots on already-green entries {wasted_slots[:5]} "
+        f"while {len(waiting_outside)} unchecked/red entries wait outside "
+        f"(e.g. {waiting_outside[:5]}); rotate suite/__init__.py's window list"
+    )
+
+
+def test_driver_window_no_complex_output_columns(spark):
+    """The driver's canonicalizer crashes on array/map/struct output columns
+    (CORRECTNESS_r01 b06_approx_percentile: pandas 'unhashable type: list').
+    Every windowed entry must emit scalar columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from dataselector_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name in list(QUERIES)[:50]:
+        schema = QUERIES[name].fn(spark, sf).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex output columns would crash the driver: {bad}"
 
 
 # --- storage-layout utilities -------------------------------------------------

@@ -322,6 +322,31 @@ def test_upsert_sink_recovers_from_mid_rename_crash(spark, tmp_path):
     assert got == {1: 1.0, 2: 9.0, 3: 3.0}
 
 
+def test_upsert_sink_recovers_from_post_rename_crash(spark, tmp_path):
+    """A crash AFTER the staging rename but BEFORE the __old cleanup leaves
+    BOTH target and <target>__old on disk; the next batch must discard the
+    stale __old (target is the newer complete state) instead of failing the
+    rename dance permanently (ADVICE r2, streaming/__init__.py)."""
+    import os
+    import shutil
+
+    from dataselector_spark.streaming import upsert_sink
+
+    target = str(tmp_path / "pr_target")
+    sink = upsert_sink(target, ["event_id"])
+    b1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id bigint, value double")
+    sink(b1, 0)
+    b2 = spark.createDataFrame([(2, 9.0)], "event_id bigint, value double")
+    sink(b2, 1)
+    # Simulate the crash window: __old (the pre-b2 state) was never removed.
+    shutil.copytree(target, target + "__old")
+    b3 = spark.createDataFrame([(3, 3.0)], "event_id bigint, value double")
+    sink(b3, 2)  # must not raise, and must merge onto the NEWER state
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+    assert not os.path.isdir(target + "__old")
+
+
 def test_end_to_end_streaming_corpus_ingest(spark, tmp_path):
     """The full production ingest path COMPOSED from the shipped pieces:
     file-source stream -> quality gate (sentinel + range filter) -> stateful
