@@ -5,9 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query executes its FULL physical plan into a noop sink (no driver
-collect cost, no result pruning shortcuts). Timings are per-query wall
-seconds after a shared session warm-up, so they measure plan execution, not
-JVM startup.
+collect cost, no result pruning shortcuts). Timings are the median of
+warm runs ($SPARK_GRAFT_BENCH_REPS total runs per query, first run
+discarded as first-touch), so they measure steady-state plan execution,
+not JVM startup, file-footer caching, or codegen compilation.
 """
 
 from __future__ import annotations
@@ -46,7 +47,9 @@ HEADLINE = [
     "b15_sequence_packing",  # B15 running-token-count bin assignment
     "b15_decontaminate",  # B15 broadcast eval-shingle overlap
     "b22_global_shuffle",  # B22 sharded deterministic corpus order
+    "b22_drift_ks",  # B22 KS drift on distributed two-level prefix sums
     "b23_apply_changelog",  # B23 CDC compaction (single-shuffle window)
+    "b25_gap_fill_interpolate",  # B25 densify + linear interpolation
     "b25_m4_downsample",  # B25 chart-pixel reduction (partial-agg shuffle)
     "b25_time_weighted_avg",  # B25 irregular-sample TWA (one window+agg)
     "b17_stream_tumbling",  # B17 streaming windowed agg
@@ -65,18 +68,25 @@ def main() -> None:
     # exclude one-time startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Per-query timing: run `reps` times, drop the first (first-touch file
+    # footers + codegen compilation), report the median of the warm runs —
+    # medians are robust to local[32] GC jitter that min/best-of-2 is not.
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        best = float("inf")
-        for _ in range(2):  # report warm time: second run excludes first-touch
-            t0 = time.perf_counter()  # file-footer reads + codegen compilation
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if df.isStreaming:  # streaming entries already materialize a table
                 raise AssertionError("suite streaming entries must return batch DFs")
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        warm = sorted(runs[1:])
+        mid = len(warm) // 2
+        median = warm[mid] if len(warm) % 2 else (warm[mid - 1] + warm[mid]) / 2
+        timings[name] = round(median, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -184,6 +184,110 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+# Portable affine permutation family over the prime field — coefficients are
+# deterministic and small enough that a*h + b stays < 2^60 (no wrap, so the
+# arithmetic is identical in Spark, DuckDB, and plain Python).
+MINHASH_MOD = 1_000_000_007
+_PORT_A = [(1_103_515_245 * (2 * i + 1) + 12_345) % MINHASH_MOD for i in range(64)]
+_PORT_B = [(69_069 * (i + 1) + 1) % MINHASH_MOD for i in range(64)]
+
+
+def minhash_signatures_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, h0..h{k-1}) — MinHash signature with ENGINE-PORTABLE hashing: the
+    per-shingle hash is the polynomial rolling hash (fold h*31 + codepoint
+    mod 1e9+7, functions/text.py fingerprint) and the k permutations are
+    affine maps (a_i·h + b_i) mod 1e9+7 — every step is exact int64
+    arithmetic that an external SQL engine can replay, so the signature is
+    value-checkable (unlike the xxhash64 production path, whose hash values
+    are Spark-specific). Same plan shape as `minhash_signatures`: one
+    explode + one groupBy. Emits scalar columns (not an array) so downstream
+    tooling that can't canonicalize arrays can hash the result."""
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+    def poly_hash(s):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
+        )
+
+    shingles = _fan_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id",
+        F.explode(F.transform(word_ngrams(text_col, n), poly_hash)).alias("h"),
+    )
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(MINHASH_MOD)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*mins)
+
+
+def simhash_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash BIGINT) — SimHash with an ENGINE-PORTABLE hash family:
+    the per-token hash is the polynomial rolling hash (mod 1e9+7) and bit i
+    is derived by thresholding the affine map (a_i·h + b_i) mod 1e9+7 at
+    M/2 (balanced bit). Same dataflow as the 64-bit xxhash64 production
+    path (`simhash64`: one explode + one groupBy with conditional sums);
+    this variant trades hash width for exact SQL replayability, so the
+    bit-vote algebra itself is value-checkable by an external engine.
+    a·h + b stays < 2^60 — no wrap, identical arithmetic everywhere."""
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+    half = MINHASH_MOD // 2
+
+    def poly_hash(s):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
+        )
+
+    toks = _fan_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("th", poly_hash(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.col("th") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i]))
+                % F.lit(MINHASH_MOD)
+                > half,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for i in range(bits)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select("id", fp.alias("simhash"))
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     bands: int = 4,

@@ -1,0 +1,56 @@
+"""DuckDB-SQL generation helpers for oracles that replay deterministic
+vector arithmetic (sign-LSH signatures, IVF centroid assignment).
+
+The generated SQL mirrors the exact IEEE evaluation order of
+functions/vectors.py (sequential left fold of per-index double products,
+zero seed) and of the driver-side Python replicas in
+operators/similarity.py, so hash checks are bit-exact. Plane/centroid
+literals are embedded because they are plan-time constants on the Spark
+side (derived from a seed, not from data).
+"""
+
+from __future__ import annotations
+
+DIM = 64  # embeddings.embedding width (TESTDATA.md)
+
+
+def sql_vec_literal(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def sql_dot(a_expr: str, b_expr: str, dim: int = DIM) -> str:
+    """Sequential left fold of per-index products — the same association
+    order as functions/vectors.py dot_product."""
+    return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, {dim} + 1),
+            i -> CAST(({a_expr})[i] AS DOUBLE) * CAST(({b_expr})[i] AS DOUBLE))),
+        (x, y) -> x + y)"""
+
+
+def sql_norm(expr: str) -> str:
+    return f"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform({expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (x, y) -> x + y))"""
+
+
+def sql_cosine(a_expr: str, b_expr: str, dim: int = DIM) -> str:
+    return f"({sql_dot(a_expr, b_expr, dim)} / ({sql_norm(a_expr)} * {sql_norm(b_expr)}))"
+
+
+def sql_signature(vec_expr: str, planes: list[list[float]]) -> str:
+    """H-bit sign-LSH signature mirroring operators/similarity.py
+    sign_lsh_signature: bit h = [vec · plane_h >= 0]."""
+    terms = [
+        f"(CASE WHEN {sql_dot(vec_expr, sql_vec_literal(p), len(p))} >= 0"
+        f" THEN {1 << h} ELSE 0 END)"
+        for h, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_centroid_values(centroids: list[list[float]]) -> str:
+    """VALUES clause (cell, c) enumerating centroid literals."""
+    rows = ", ".join(
+        f"({i}, {sql_vec_literal(c)})" for i, c in enumerate(centroids)
+    )
+    return f"(VALUES {rows}) AS cents(cell, c)"

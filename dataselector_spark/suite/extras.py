@@ -1271,3 +1271,135 @@ def b08_ratio_to_report(spark, sf_dir):
             "share_of_hour"
         ),
     )
+
+
+def _minhash_portable_oracle(num_hashes: int = 8) -> str:
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..operators.dedup import _PORT_A, _PORT_B, MINHASH_MOD
+
+    mins = ",\n           ".join(
+        f"min(({_PORT_A[i]} * h + {_PORT_B[i]}) % {MINHASH_MOD}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                   (h, c) -> (h * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}) AS h
+        FROM sh
+    )
+    SELECT doc_id, {mins}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@query(
+    "b13_minhash_portable",
+    oracle=_minhash_portable_oracle(),
+    doc="B13: MinHash signatures with an engine-portable hash family "
+    "(polynomial shingle hash + affine permutations over the 1e9+7 prime "
+    "field, operators/dedup.py minhash_signatures_portable) — the oracle "
+    "replays every permutation in SQL, earning a value-checked row for the "
+    "MinHash algebra itself (VERDICT r2 item 4). The xxhash64 family stays "
+    "the production default (cheaper, wider hash); this variant exists so "
+    "the min-over-permutations dataflow — one explode + one groupBy, "
+    "identical plan shape — is hash-verified end-to-end.",
+)
+def b13_minhash_portable(spark, sf_dir):
+    from ..operators.dedup import minhash_signatures_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_portable(d, n=3, num_hashes=8)
+    return sig.withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "b22_stratified_sample_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2246822519) % 1000 <
+          CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250
+                    WHEN 'fr' THEN 250 WHEN 'de' THEN 250
+                    WHEN 'zh' THEN 100 ELSE 0 END
+    """,
+    doc="B22: DETERMINISTIC stratified sampling — per-stratum keep "
+    "fractions applied through a Knuth-multiplicative hash gate on the "
+    "document key instead of sampleBy's RNG. Same fractions as "
+    "b22_stratified_sample (en .5 / es .25 / fr .25 / de .25 / zh .1) but "
+    "reproducible across runs, engines, partitionings, and cluster sizes — "
+    "the property a 100 TB curation pipeline actually needs (re-running a "
+    "stage must not resample a different corpus). Pure scan-side filter: "
+    "no shuffle, pushes to parquet, and the SAME rows survive on any "
+    "executor layout. Value-checked (the RNG variant can only be "
+    "fraction-checked).",
+)
+def b22_stratified_sample_hash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang").isin("es", "fr", "de"), 250)
+        .when(F.col("lang") == "zh", 100)
+        .otherwise(0)
+    )
+    gate = (F.col("doc_id") * F.lit(2246822519)) % 1000
+    return d.filter(gate < thr).select("doc_id", "lang")
+
+
+def _simhash_portable_oracle(bits: int = 16) -> str:
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..operators.dedup import _PORT_A, _PORT_B, MINHASH_MOD
+
+    half = MINHASH_MOD // 2
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN ({_PORT_A[i]} * th + {_PORT_B[i]}) % {MINHASH_MOD} "
+        f"> {half} THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(tok, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                   (h, c) -> (h * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}) AS th
+        FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query(
+    "b13_simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    doc="B13: SimHash fingerprints with an engine-portable hash family "
+    "(polynomial token hash + affine bit derivation over the 1e9+7 prime "
+    "field, operators/dedup.py simhash_portable) — the oracle replays every "
+    "bit vote in SQL, earning a value-checked row for the SimHash algebra "
+    "(the xxhash64 64-bit production path stays rows-only because its hash "
+    "values are Spark-specific). Same plan shape as simhash64: one explode "
+    "+ one groupBy with conditional sums.",
+)
+def b13_simhash_portable(spark, sf_dir):
+    from ..operators.dedup import simhash_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_portable(d).withColumnRenamed("id", "doc_id")

@@ -34,7 +34,14 @@ from ..operators.dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from ..operators.similarity import neardup_pairs_cosine, topk_cosine, topk_cosine_lsh
+from ..operators.similarity import (
+    _pseudo_centroids,
+    _pseudo_planes,
+    neardup_pairs_cosine,
+    topk_cosine,
+    topk_cosine_lsh,
+)
+from ._sqlgen import sql_centroid_values, sql_cosine, sql_signature
 from .base import query
 
 
@@ -227,11 +234,29 @@ def b14_embedding_neardup(spark, sf_dir):
     return neardup_pairs_cosine(e, block_col="label", threshold=0.2)
 
 
+_ANN_PLANES = _pseudo_planes(64, 8, seed=42)
+
+
 @query(
     "b14_ann_lsh",
-    oracle=None,  # approximate by construction; recall vs brute force in tests
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    base AS (
+        SELECT vec_id, embedding,
+               {sql_signature("embedding", _ANN_PLANES)} AS sig
+        FROM embeddings
+    )
+    SELECT e.vec_id, {sql_cosine("e.embedding", "q.qv")} AS cosine
+    FROM base e, q
+    WHERE e.sig = (SELECT {sql_signature("qv", _ANN_PLANES)} FROM q)
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
     doc="B14: sign-random-projection LSH ANN — bucket the corpus on an 8-bit "
-    "hyperplane signature, exact re-rank only inside the query's bucket.",
+    "hyperplane signature, exact re-rank only inside the query's bucket. "
+    "The hyperplanes are deterministic plan-time literals (seeded integer "
+    "hashing, similarity.py _pseudo_planes), so the oracle replays the "
+    "identical signature + cosine arithmetic and the entry is value-checked "
+    "despite being an ANN operator (VERDICT r2 item 3).",
 )
 def b14_ann_lsh(spark, sf_dir):
     qv = _query_vector(spark, sf_dir)
@@ -310,9 +335,52 @@ def b15_fingerprint(spark, sf_dir):
 
 @query(
     "b15_lang_id_quality",
-    oracle=None,  # heuristic classifier — accuracy asserted in tests
+    # The heuristic is deterministic scalar arithmetic over exact integer
+    # inputs (token/stopword counts), so the oracle replays every expression
+    # in the same operation order and the doubles match bit-for-bit. Argmax
+    # tie-break mirrors Spark's array_max over (hits, lang) structs: equal
+    # hits -> lexicographically greater lang wins, hence the fr>es>en>de
+    # CASE order. CJK shortcut kept for parity (never fires on this corpus).
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               list_transform(string_split(text, ' '), w -> lower(w)) AS lt,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS tc,
+               CAST(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g'))
+                    AS DOUBLE) / length(text) AS pr
+        FROM documents
+    ),
+    hits AS (
+        SELECT *,
+          len(list_filter(lt, w -> list_contains(
+              ['the','and','of','to','a','in','is','that'], w))) AS h_en,
+          len(list_filter(lt, w -> list_contains(
+              ['el','la','de','que','y','los','en','un'], w))) AS h_es,
+          len(list_filter(lt, w -> list_contains(
+              ['le','la','de','et','les','des','un','une'], w))) AS h_fr,
+          len(list_filter(lt, w -> list_contains(
+              ['der','die','und','das','ist','von','den','ein'], w))) AS h_de
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           (CASE WHEN tc >= 20 AND tc <= 10000 THEN 1.0
+                 ELSE least(tc / 20.0, 1.0) END
+            + least(CAST(h_en AS DOUBLE) / greatest(tc, 1.0) * 5.0, 1.0)
+            + (1.0 - least(pr * 5.0, 1.0))) / 3.0 AS quality,
+           pr AS punct_ratio
+    FROM hits
+    """,
     doc="B15: stopword-profile language ID + composite quality score (the "
-    "cheap first-pass router/filter of an LLM data pipeline).",
+    "cheap first-pass router/filter of an LLM data pipeline). Every term is "
+    "deterministic per-row arithmetic over exact counts, so the oracle "
+    "replays it bit-for-bit — a value-checked row for the classifier "
+    "(upgrading the r2 rows-only record).",
 )
 def b15_lang_id_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -352,9 +420,31 @@ def b16_multimodal_meta(spark, sf_dir):
 
 @query(
     "b16_multimodal_features",
-    oracle=None,  # decode stub — plumbing check only (Arrow batch path)
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ''),
+                                        c -> CAST(ord(c) AS BIGINT))),
+                         (a, b) -> a + b) AS DOUBLE) / strlen(text)
+           END AS byte_mean,
+           CAST(CASE WHEN strlen(text) = 0 THEN 0
+                ELSE list_aggregate(list_transform(string_split(text, ''),
+                                                   c -> ord(c)), 'min')
+           END AS INTEGER) AS byte_min,
+           CAST(CASE WHEN strlen(text) = 0 THEN 0
+                ELSE list_aggregate(list_transform(string_split(text, ''),
+                                                   c -> ord(c)), 'max')
+           END AS INTEGER) AS byte_max
+    FROM documents
+    """,
     doc="B16: Arrow-batched mapInPandas feature extraction over binary "
-    "payloads (decode stubbed; batch shape, schema and partitioning real).",
+    "payloads (decode stubbed; batch shape, schema and partitioning real). "
+    "The synthetic payload is the UTF-8 encoding of `text` and the corpus "
+    "is ASCII, so the oracle recomputes the byte statistics closed-form "
+    "from the characters (ord == byte, the b15_fingerprint parity) — a "
+    "value-checked row for the Arrow batch path (VERDICT r2 item 6).",
 )
 def b16_multimodal_features(spark, sf_dir):
     media = synthesize_media(_t(spark, sf_dir, "documents"))
@@ -432,14 +522,45 @@ def b16_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_idx", "n_bytes")
 
 
+_IVF_CENTROIDS = _pseudo_centroids(64, 16, seed=7)
+
+
 @query(
     "b14_ann_ivf",
-    oracle=None,  # approximate by construction; recall vs brute force in tests
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT cell FROM (
+            SELECT cents.cell,
+                   row_number() OVER (
+                       ORDER BY {sql_cosine("cents.c", "q.qv")} DESC,
+                                cents.cell ASC) AS rn
+            FROM {sql_centroid_values(_IVF_CENTROIDS)}, q
+        ) WHERE rn <= 4
+    ),
+    assigned AS (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, cents.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine("e.embedding", "cents.c")} DESC,
+                                cents.cell DESC) AS rn
+            FROM embeddings e, {sql_centroid_values(_IVF_CENTROIDS)}
+        ) WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+    )
+    SELECT a.vec_id, {sql_cosine("a.embedding", "q.qv")} AS cosine
+    FROM assigned a, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
     doc="B14: IVF ANN — corpus coarse-quantized into 16 inverted lists "
     "(max-cosine centroid assignment), query probes the 4 nearest lists, "
     "exact re-rank inside them (~4/16 of the corpus scanned). The scale "
     "path writes assignments partitioned by cell so probes prune at the "
-    "storage layer.",
+    "storage layer. The default quantizer's centroids are deterministic "
+    "plan-time literals, so the oracle replays assignment (argmax ties -> "
+    "higher cell, matching array_max struct order) and probe selection "
+    "(ties -> lower cell, matching the stable driver-side sort) exactly "
+    "(VERDICT r2 item 3).",
 )
 def b14_ann_ivf(spark, sf_dir):
     from ..operators.similarity import topk_cosine_ivf
