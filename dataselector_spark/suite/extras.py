@@ -1403,3 +1403,136 @@ def b13_simhash_portable(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_portable(d).withColumnRenamed("id", "doc_id")
+
+
+def _minhash_verified_oracle(num_hashes: int = 8, bands: int = 4,
+                             threshold: float = 0.5) -> str:
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..operators.dedup import _PORT_A, _PORT_B, MINHASH_MOD
+
+    mins = ",\n           ".join(
+        f"min(({_PORT_A[i]} * h + {_PORT_B[i]}) % {MINHASH_MOD}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    banded = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{b * rows} AS k1, h{b * rows + 1} AS k2 "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                   (h, c) -> (h * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}) AS h
+        FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    banded AS (
+      {banded}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN shd sa ON sa.doc_id = c.id_a
+        JOIN shd sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.id_a
+    JOIN sizes nb ON nb.doc_id = s.id_b
+    WHERE CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) >= {threshold}
+    """
+
+
+@query(
+    "b13_dedup_pipeline_verified",
+    oracle=_minhash_verified_oracle(),
+    doc="B13: the COMPLETE fuzzy-dedup pipeline value-checked end-to-end — "
+    "portable MinHash signatures (polynomial + affine family), LSH banding "
+    "joined on the RAW band values (band index + the two signature "
+    "positions themselves, no engine-specific band hash, so candidate "
+    "generation is exactly replayable), then exact n-gram Jaccard computed "
+    "only on the candidate pairs (verification cost ∝ candidates, not "
+    "|docs|²). This is the production near-dup shape — band-join prune, "
+    "verify survivors — with every stage reproducible by an external "
+    "engine. Plan: two explode+groupBy passes over documents (signatures, "
+    "shingle sets), one band self-join on narrow keys, one candidate-sized "
+    "verify join.",
+)
+def b13_dedup_pipeline_verified(spark, sf_dir):
+    from ..functions.text import word_ngrams
+    from ..operators.dedup import _materialize, minhash_signatures_portable
+
+    num_hashes, bands, rows = 8, 4, 2
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _materialize(
+        minhash_signatures_portable(d, n=3, num_hashes=num_hashes), "local"
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{b * rows}").alias("k1"),
+                        F.col(f"h{b * rows + 1}").alias("k2"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.*")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "k1", "k2"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Shingle sets feed both sides of the verify join and the size agg —
+    # materialize once so the explode pass over the corpus runs once.
+    shd = _materialize(
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("s"),
+        ),
+        "local",
+    )
+    sizes = shd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cand.join(shd.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(shd.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )

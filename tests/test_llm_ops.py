@@ -365,3 +365,64 @@ def test_sketch_rollup_estimates_within_hll_bounds(spark, sf_oracle_dir):
     assert set(est) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) <= max(2, 0.05 * e), (t, est[t], e)
+
+
+# --- portable-hash twins (round 3) -------------------------------------------
+
+
+def test_minhash_portable_recall_vs_exact(spark, sf_dir):
+    """The portable affine family must band as effectively as xxhash64 —
+    same recall bound against exact Jaccard truth."""
+    from dataselector_spark.operators.dedup import minhash_signatures_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    sigs = minhash_signatures_portable(docs, num_hashes=8, n=3)
+    arr = sigs.select(
+        "id", F.array(*[f"h{i}" for i in range(8)]).alias("sig")
+    )
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(arr, bands=4, est_threshold=0.0).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, f"portable recall {recall:.2f} over {len(exact)}"
+
+
+def test_simhash_portable_identical_docs_collide(spark):
+    from dataselector_spark.operators.dedup import simhash_portable
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.id: r.simhash for r in simhash_portable(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_dedup_pipeline_verified_finds_true_neardups(spark, sf_dir):
+    """End-to-end pipeline output ⊆ exact-Jaccard truth at the same
+    threshold (banding prunes, verification never admits a false pair),
+    and recall over true pairs stays high."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["b13_dedup_pipeline_verified"].fn(spark, sf_dir).collect()
+    }
+    assert got <= set(truth), "verified pipeline admitted a false pair"
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.8, f"pipeline recall {recall:.2f} of {len(truth)}"
