@@ -1536,3 +1536,70 @@ def b13_dedup_pipeline_verified(spark, sf_dir):
         .where(jac >= 0.5)
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
+
+
+@query(
+    "b13_incremental_dedup",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS h,
+               (doc_id * 2654435761) % 1000 < 800 AS is_existing
+        FROM documents
+    ),
+    batch AS (
+        SELECT doc_id, source, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM h WHERE NOT is_existing
+    )
+    SELECT b.doc_id, b.source
+    FROM batch b
+    WHERE b.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM h e WHERE e.is_existing AND e.h = b.h)
+    """,
+    doc="B13: INCREMENTAL exact dedup — the production shape for a growing "
+    "corpus: dedupe the newly-crawled batch within itself (first-by-key "
+    "window) AND against the already-ingested corpus (anti-join on content "
+    "hash), without ever re-deduplicating the existing 100 TB. Both stages "
+    "key on the same md5 content hash, so the window's exchange is reused "
+    "by the anti-join (one shuffle of the small batch; the existing side "
+    "ships only its hash column). md5 is engine-portable, so the whole "
+    "operator is value-checked. The existing/batch split here is the "
+    "deterministic Knuth gate standing in for yesterday's corpus vs "
+    "today's crawl.",
+)
+def b13_incremental_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 1000 < 800
+    existing = d.filter(gate).select("h")
+    batch = d.filter(~gate)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy(F.col("doc_id").asc())
+    )
+    firsts = batch.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return firsts.join(existing, "h", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "b01_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_linestatus
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="B1: ORC sink + source (Spark's second columnar format, native JVM "
+    "reader/writer — no extra packages). The oracle reads the ORIGINAL "
+    "parquet table, so a green row proves the ORC write+read preserved "
+    "every value and type exactly. Same no-inference discipline as the "
+    "CSV/JSON roundtrips: projection + predicate applied before the write, "
+    "so the roundtrip ships only the needed columns.",
+)
+def b01_orc_roundtrip(spark, sf_dir):
+    from .extensions import _rt_path
+
+    path = _rt_path(sf_dir, "lineitem_orc")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_linestatus")
+    l.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
