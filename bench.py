@@ -42,6 +42,8 @@ HEADLINE = [
     "b13_minhash_lsh",  # B13 fuzzy dedup (explode+agg+self-join)
     "b13_ngram_jaccard",  # B13 inverted-index jaccard with DF-cap skew guard
     "b13_dedup_survivors",  # B13 pairs→components→anti-join (iterative CC)
+    "b13_dedup_pipeline_verified",  # B13 band-prune + exact-Jaccard verify
+    "b13_incremental_dedup",  # B13 batch-vs-corpus dedup, one batch shuffle
     "b14_topk_cosine",  # B14 vector scan
     "b15_text_stats",  # B15 text pass (higher-order funcs)
     "b15_sequence_packing",  # B15 running-token-count bin assignment

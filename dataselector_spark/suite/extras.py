@@ -1482,7 +1482,11 @@ def _minhash_verified_oracle(num_hashes: int = 8, bands: int = 4,
 )
 def b13_dedup_pipeline_verified(spark, sf_dir):
     from ..functions.text import word_ngrams
-    from ..operators.dedup import _materialize, minhash_signatures_portable
+    from ..operators.dedup import (
+        _fan_out,
+        _materialize,
+        minhash_signatures_portable,
+    )
 
     num_hashes, bands, rows = 8, 4, 2
     d = load_table(spark, sf_dir, "documents")
@@ -1514,8 +1518,8 @@ def b13_dedup_pipeline_verified(spark, sf_dir):
     # Shingle sets feed both sides of the verify join and the size agg —
     # materialize once so the explode pass over the corpus runs once.
     shd = _materialize(
-        d.select(
-            F.col("doc_id").alias("id"),
+        _fan_out(d.select(F.col("doc_id").alias("id"), "text"), "id").select(
+            "id",
             F.explode(F.array_distinct(word_ngrams("text", 3))).alias("s"),
         ),
         "local",

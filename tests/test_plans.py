@@ -282,3 +282,31 @@ def test_drift_ks_avoids_single_partition_data_window(spark):
     df = QUERIES["b22_drift_ks"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan[:2000]
+
+
+def test_incremental_dedup_single_batch_shuffle(spark):
+    """Both stages (first-by-key window, anti-join vs existing hashes) key
+    on the same md5 column: the batch side must shuffle exactly once and
+    carry a WindowGroupLimit (rank-limit pushdown) — no second exchange,
+    no forced broadcast hint (AQE may still choose broadcast at runtime)."""
+    df = QUERIES["b13_incremental_dedup"].fn(spark, SF)
+    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_stratified_sample_hash_is_map_only(spark):
+    """The deterministic Knuth-gate sample is a pure scan-side filter —
+    zero exchanges anywhere in the plan."""
+    df = QUERIES["b22_stratified_sample_hash"].fn(spark, SF)
+    assert shuffle_count(df) == 0
+
+
+def test_dedup_pipeline_verified_no_nested_loop(spark):
+    """Banding and verification are all equi-joins on narrow keys; a
+    CartesianProduct or nested-loop join anywhere means the candidate
+    pruning degenerated to all-pairs."""
+    df = QUERIES["b13_dedup_pipeline_verified"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -28,6 +28,8 @@ OPS = [
     "b13_ngram_jaccard",
     "b13_minhash_lsh",
     "b13_dedup_survivors",
+    "b13_dedup_pipeline_verified",
+    "b13_incremental_dedup",
     "b15_decontaminate",
     "b15_rarity_score",
     "b22_global_shuffle",
