@@ -1607,3 +1607,128 @@ def b01_orc_roundtrip(spark, sf_dir):
     ).select("l_orderkey", "l_partkey", "l_quantity", "l_linestatus")
     l.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "b15_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+    doc="B15 (LLM pipeline): BPE merge-pair statistics — the inner loop of "
+    "tokenizer training: count every adjacent token pair across the corpus "
+    "and rank the top merge candidates. One explode + one partial-agg "
+    "shuffle + TakeOrdered(50): the map-side combine collapses the pair "
+    "stream before the exchange, so the shuffle carries |vocab_pairs| "
+    "partial counts, not |corpus_tokens| rows — at 100 TB the pair "
+    "distribution is Zipfian and the combine absorbs the head. "
+    "Deterministic tie order (count desc, pair asc) so the result is "
+    "value-checked.",
+)
+def b15_bpe_pair_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+_QUALITY_CTE = """
+    q AS (
+        SELECT doc_id,
+               (CASE WHEN tc >= 20 AND tc <= 10000 THEN 1.0
+                     ELSE least(tc / 20.0, 1.0) END
+                + least(CAST(h_en AS DOUBLE) / greatest(tc, 1.0) * 5.0, 1.0)
+                + (1.0 - least(pr * 5.0, 1.0))) / 3.0 AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS tc,
+                   CAST(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g'))
+                        AS DOUBLE) / length(text) AS pr,
+                   len(list_filter(
+                       list_transform(string_split(text, ' '), w -> lower(w)),
+                       w -> list_contains(
+                           ['the','and','of','to','a','in','is','that'], w))) AS h_en
+            FROM documents
+        )
+    )
+"""
+
+
+from .llm_pipeline import _JACCARD_PAIRS_CTE
+
+
+@query(
+    "b13_dedup_survivors_quality",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE.strip()},
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    {_QUALITY_CTE.strip()},
+    clustered AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp, q.quality
+        FROM documents d
+        LEFT JOIN comp c ON c.id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, quality FROM (
+        SELECT doc_id, quality,
+               row_number() OVER (
+                   PARTITION BY comp ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM clustered
+    ) WHERE rn = 1
+    """,
+    doc="B13: QUALITY-AWARE survivor selection — per near-dup cluster keep "
+    "the highest-quality document (quality_score tie-broken by id), not "
+    "the lowest id: what a production corpus pipeline actually does "
+    "(near-dups differ by boilerplate/truncation; keeping the best copy "
+    "preserves signal exact min-id selection throws away). Unpaired docs "
+    "pass through as singleton clusters via coalesce(comp, doc_id), so "
+    "one window over (cluster, quality desc) selects every survivor — no "
+    "separate unpaired branch, one exchange for the argmax. Quality "
+    "arithmetic is the deterministic b15 heuristic, replayed bit-for-bit "
+    "in the oracle.",
+)
+def b13_dedup_survivors_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    clustered = (
+        d.select("doc_id", quality_score("text").alias("quality"))
+        .join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster", F.coalesce(F.col("comp"), F.col("doc_id")))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(
+            F.col("quality").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        clustered.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
