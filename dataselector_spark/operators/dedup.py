@@ -522,3 +522,50 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def fuzzy_dedup_survivors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """The full fuzzy-dedup pass (pairs → components → anti-join) with an
+    EXACT-DUPLICATE PRE-COLLAPSE: identical texts are grouped by content
+    hash first (one cheap groupBy) and only one representative per unique
+    text enters the n-gram/Jaccard/CC machinery. Web corpora run 30-50%
+    exact dups, and every group of k identical docs would otherwise
+    contribute a k-clique — k²/2 pairs — to the component graph; the
+    collapse removes that quadratic term while the result is provably
+    unchanged (exact dups have Jaccard 1.0, so they were all in the
+    cluster anyway, and each representative carries its group's min id).
+    Docs with < n tokens have no shingles, can never pair, and bypass the
+    collapse (two identical too-short docs both survive — same as the
+    direct pipeline).
+
+    Semantics identical to ``dedup_survivors(docs,
+    ngram_jaccard_pairs(docs, n, threshold))``: one survivor (min id) per
+    near-dup cluster plus every unpaired document."""
+    eligible = docs.filter(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    canon = eligible.select("id", F.md5("__text").alias("__h"))
+    rep = canon.groupBy("__h").agg(F.min("id").alias("rep_id"))
+    canon_map = canon.join(rep, "__h").select("id", "rep_id")
+    rep_docs = eligible.join(
+        rep.select(F.col("rep_id").alias("id")), "id", "left_semi"
+    ).select(F.col("id").alias(id_col), F.col("__text").alias(text_col))
+    pairs = ngram_jaccard_pairs(
+        rep_docs, id_col=id_col, text_col=text_col, n=n,
+        threshold=threshold, df_cap=df_cap,
+    )
+    comp = connected_components(pairs)
+    doc_comp = canon_map.join(
+        comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+    ).select("id", F.coalesce(F.col("comp"), F.col("rep_id")).alias("__comp"))
+    losers = doc_comp.filter(F.col("id") != F.col("__comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -632,11 +632,13 @@ def b13_dedup_clusters(spark, sf_dir):
     "anti-join.",
 )
 def b13_dedup_survivors(spark, sf_dir):
-    from ..operators.dedup import dedup_survivors
+    from ..operators.dedup import fuzzy_dedup_survivors
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
-    return dedup_survivors(d, pairs).select("doc_id", "lang")
+    # r3: exact-dup pre-collapse before the pair/CC machinery — provably
+    # identical output (the oracle is unchanged), quadratically less CC
+    # work on duplication-heavy corpora. See fuzzy_dedup_survivors.
+    return fuzzy_dedup_survivors(d, n=3, threshold=0.5).select("doc_id", "lang")
 
 
 @query(

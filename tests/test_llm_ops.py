@@ -426,3 +426,33 @@ def test_dedup_pipeline_verified_finds_true_neardups(spark, sf_dir):
     if truth:
         recall = len(got) / len(truth)
         assert recall >= 0.8, f"pipeline recall {recall:.2f} of {len(truth)}"
+
+
+def test_fuzzy_dedup_canonical_collapse_equivalence(spark):
+    """fuzzy_dedup_survivors (exact-dup pre-collapse) must return exactly
+    dedup_survivors(ngram_jaccard_pairs(...)) on a corpus with exact-dup
+    groups, near-dups, uniques, AND identical too-short docs (which have no
+    shingles, never pair, and must BOTH survive in both pipelines)."""
+    from dataselector_spark.operators.dedup import (
+        dedup_survivors,
+        fuzzy_dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base), (2, base), (3, base),        # exact-dup clique
+        (4, near),                               # near-dup of the clique
+        (5, "completely unrelated text about spark physical planning"),
+        (6, "short doc"), (7, "short doc"),      # identical, < 3 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = {
+        r.doc_id
+        for r in dedup_survivors(
+            df, ngram_jaccard_pairs(df, n=3, threshold=0.5)
+        ).collect()
+    }
+    collapsed = {r.doc_id for r in fuzzy_dedup_survivors(df).collect()}
+    assert direct == collapsed == {1, 5, 6, 7}
