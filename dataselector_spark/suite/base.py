@@ -34,9 +34,20 @@ QUERIES: dict[str, Query] = {}
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Register a named suite query with its optional DuckDB oracle SQL."""
+    """Register a named suite query with its optional DuckDB oracle SQL.
+
+    Raises on duplicate names: a silent overwrite would orphan the earlier
+    entry's driver-correctness record while dropping its test coverage
+    (this bit round 3 — two modules both registered ``b01_orc_roundtrip``
+    and the later import silently won; ADVICE.md r3 #1).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate suite entry {name!r}: already registered by "
+                f"{QUERIES[name].fn.__module__}; rename one of them"
+            )
         QUERIES[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
         return fn
 

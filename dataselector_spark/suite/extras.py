@@ -1586,19 +1586,20 @@ def b13_incremental_dedup(spark, sf_dir):
 
 
 @query(
-    "b01_orc_roundtrip",
+    "b01_orc_roundtrip_lineitem",
     oracle="""
     SELECT l_orderkey, l_partkey, l_quantity, l_linestatus
     FROM lineitem WHERE l_returnflag = 'R'
     """,
-    doc="B1: ORC sink + source (Spark's second columnar format, native JVM "
-    "reader/writer — no extra packages). The oracle reads the ORIGINAL "
-    "parquet table, so a green row proves the ORC write+read preserved "
-    "every value and type exactly. Same no-inference discipline as the "
-    "CSV/JSON roundtrips: projection + predicate applied before the write, "
-    "so the roundtrip ships only the needed columns.",
+    doc="B1: ORC sink + source over lineitem (decimal + flag columns; the "
+    "orders-based twin lives in extensions.py as b01_orc_roundtrip). The "
+    "oracle reads the ORIGINAL parquet table, so a green row proves the "
+    "ORC write+read preserved every value and type exactly. Same "
+    "no-inference discipline as the CSV/JSON roundtrips: projection + "
+    "predicate applied before the write, so the roundtrip ships only the "
+    "needed columns.",
 )
-def b01_orc_roundtrip(spark, sf_dir):
+def b01_orc_roundtrip_lineitem(spark, sf_dir):
     from .extensions import _rt_path
 
     path = _rt_path(sf_dir, "lineitem_orc")
