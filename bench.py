@@ -101,6 +101,10 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "n_queries": len(timings),
+                # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,
+                # r3+ are median of warm reps — make the JSON self-describing
+                "method": "median_of_warm",
+                "reps": reps,
             }
         )
     )

@@ -18,6 +18,7 @@ file-path dict.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,30 @@ TABLES = tuple(TABLE_SCHEMAS)
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@lru_cache(maxsize=None)
+def events_ts_unit(path: str) -> str:
+    """Physical unit of ``events.ts`` from the parquet footer ('ns' or 'us').
+
+    The testdata generator has shipped both TIMESTAMP(NANOS) — which Spark's
+    parquet reader rejects outright, forcing the raw-int64 shim below — and
+    plain timestamp[us], which Spark reads natively. Hardcoding either unit
+    silently mis-scales every event timestamp by 1000× when the data is
+    regenerated with the other one, so we probe the footer (metadata-only
+    read, no row groups) and branch. Cached per path; ``path`` may be a file
+    or a directory of part files.
+    """
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                probe = os.path.join(path, entry)
+                break
+    t = pq.read_schema(probe).field("ts").type
+    return getattr(t, "unit", "us")
 
 
 def ensure_session_defaults(spark: SparkSession) -> None:
@@ -53,13 +78,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLE_SCHEMAS)}")
     path = table_path(sf_dir, name)
-    if name == "events":
+    if name == "events" and events_ts_unit(path) == "ns":
         # ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader; take
         # the raw int64 and truncate ns -> µs exactly as DuckDB does.
         raw = spark.read.schema(EVENTS_PHYSICAL).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
             *[f.name for f in TABLE_SCHEMAS[name].fields]
         )
+    # timestamp[us] (possibly NTZ) reads natively with the declared
+    # TimestampType schema: under the UTC session pin this is the same
+    # wall-clock DuckDB sees, microsecond-exact.
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 

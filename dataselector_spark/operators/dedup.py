@@ -545,9 +545,17 @@ def fuzzy_dedup_survivors(
     collapse (two identical too-short docs both survive — same as the
     direct pipeline).
 
-    Semantics identical to ``dedup_survivors(docs,
-    ngram_jaccard_pairs(docs, n, threshold))``: one survivor (min id) per
-    near-dup cluster plus every unpaired document."""
+    With ``df_cap=None`` (the default) semantics are identical to
+    ``dedup_survivors(docs, ngram_jaccard_pairs(docs, n, threshold))``: one
+    survivor (min id) per near-dup cluster plus every unpaired document.
+
+    With ``df_cap`` set, equivalence does NOT hold in general: the cap drops
+    hot shingles from the candidate index, and the pre-collapse changes each
+    shingle's document frequency (k identical docs count k times toward the
+    direct pipeline's DF but once here), so the two pipelines may cap
+    DIFFERENT shingles and recall different candidate pairs.  ``df_cap`` is a
+    recall/cost knob for scale runs, not an exactness-preserving option —
+    pinned by tests/test_llm_ops.py::test_fuzzy_survivors_df_cap_divergence."""
     eligible = docs.filter(
         F.size(F.split(F.col(text_col), " ")) >= n
     ).select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))

@@ -17,6 +17,8 @@ Two shapes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,45 @@ def with_time_buckets(
     return df.withColumn(out, F.explode(F.sequence(lo, hi)))
 
 
+def _warn_degenerate_buckets(
+    bucketed_points: DataFrame, frac: float, bucket_seconds: int
+) -> None:
+    """Warn when one time bucket holds > ``frac`` of the point rows.
+
+    A degenerate bucket distribution silently turns the bucket equi-join into
+    a single-key cartesian — quadratic work. Round 4's corrupted-timestamp
+    testdata did exactly this (every row in one 86400 s bucket: 0.44 s →
+    34 s at sf0.1; at 100 TB that's a cluster outage, not a slow query), so
+    the check is worth one cheap extra job. Cost is bounded: a seeded 1‰
+    sample, falling back to exact counts only when the sample is so small
+    the full data must be tiny anyway.
+    """
+    buckets = bucketed_points.select("__bucket")
+    sampled = buckets.sample(fraction=0.001, seed=42)
+    counts = sampled.groupBy("__bucket").count()
+    row = counts.agg(
+        F.sum("count").alias("n"), F.max("count").alias("mx")
+    ).first()
+    if row is None or row["n"] is None or row["n"] < 10_000:
+        # sample too small to trust → the input is ≤ ~10M rows; exact is cheap
+        row = (
+            buckets.groupBy("__bucket")
+            .count()
+            .agg(F.sum("count").alias("n"), F.max("count").alias("mx"))
+            .first()
+        )
+    if row and row["n"] and row["mx"] / row["n"] > frac:
+        warnings.warn(
+            f"interval_join_bucketed: one {bucket_seconds}s bucket holds "
+            f"{100.0 * row['mx'] / row['n']:.0f}% of point rows "
+            f"(> {100 * frac:.0f}%) — the bucket equi-join will degenerate "
+            f"into a near-cartesian hot partition. Shrink bucket_seconds or "
+            f"check the time column for corruption/constant values.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def interval_join_bucketed(
     points: DataFrame,
     intervals: DataFrame,
@@ -54,13 +95,20 @@ def interval_join_bucketed(
     start: str,
     end: str,
     bucket_seconds: int = 86400,
+    skew_warn_frac: float | None = 0.5,
 ) -> DataFrame:
     """Join point rows to interval rows with start <= ts < end, no equi-key:
     bucket both sides on the time axis, equi-join on bucket, exact-filter.
-    Output columns = points ++ intervals (caller projects)."""
+    Output columns = points ++ intervals (caller projects).
+
+    ``skew_warn_frac``: if not None, run a cheap sampled pre-check and warn
+    when a single bucket holds more than that fraction of point rows (the
+    degenerate-cartesian failure mode); None skips the extra job."""
     p = points.withColumn(
         "__bucket", (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("long")
     )
+    if skew_warn_frac is not None:
+        _warn_degenerate_buckets(p, skew_warn_frac, bucket_seconds)
     iv = with_time_buckets(intervals, F.col(start), F.col(end), bucket_seconds)
     joined = p.join(iv, "__bucket").filter(
         (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end))

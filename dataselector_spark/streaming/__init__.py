@@ -24,24 +24,30 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import ensure_session_defaults, table_path
-from ..schemas import EVENTS_PHYSICAL
+from ..catalog import ensure_session_defaults, events_ts_unit, table_path
+from ..schemas import EVENTS_PHYSICAL, TABLE_SCHEMAS
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file-source stream (same ns→µs conversion as the
-    batch catalog)."""
+    """The events table as a file-source stream (same unit-aware timestamp
+    handling as the batch catalog — see catalog.events_ts_unit)."""
     ensure_session_defaults(spark)
     # The file-stream source requires a directory basePath; restrict the
     # listing to the events file via glob (new matching files would be picked
     # up incrementally — the production layout is a directory of arriving
     # part files).
-    raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL)
+    if events_ts_unit(table_path(sf_dir, "events")) == "ns":
+        raw = (
+            spark.readStream.schema(EVENTS_PHYSICAL)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:

@@ -28,79 +28,77 @@ from . import extras  # noqa: F401,E402
 # Explicit window control: the driver's correctness harness checks the FIRST
 # 50 registered entries each round.  Round 1 verified the reference_parity /
 # relational / window_suite front; round 2 verified llm_pipeline +
-# streaming_suite + tpch_full(part) + 10 promoted extensions entries.  The
-# round-3 window below is exactly the 47 entries with no driver row in
-# CORRECTNESS_r01/r02 plus the 3 re-checks (b15_lang_summary and
-# b15_sequence_packing were red in r2 — oracle dtype, fixed in
-# llm_pipeline.py; b06_approx_percentile crashed the r1 canonicalizer on an
-# array column — schema flattened in r2, never re-run).
+# streaming_suite + tpch_full(part) + 10 promoted extensions entries; round 3
+# verified the remaining never-checked tail; round 4 (by mistake) repeated
+# round 3's window.  The round-5 window below = the 10 entries red in
+# CORRECTNESS_r04 (all casualties of the events-timestamp-unit bug fixed in
+# catalog.py — VERDICT r4 "What's wrong" #1) + the 8 entries that have never
+# had a driver row + 32 re-confirms prioritizing everything events-dependent
+# that was last green in r1/r2 BEFORE the testdata regen (streaming b17-b20,
+# the reference-parity core, b04/b05/b11/b12, flagship).
 # tests/test_advice_fixes.py::test_driver_window_targets_unchecked_entries
 # cross-checks this list against the CORRECTNESS_r*.json artifacts so a
 # forgotten rotation fails CI instead of burning a driver round.
-_R3_WINDOW = [
-    # re-checks (previously red / crashed)
-    "b15_lang_summary",
-    "b15_sequence_packing",
-    "b06_approx_percentile",
-    # TPC-H analogues never driver-checked
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    # B6 aggregates tail
+_R5_WINDOW = [
+    # the 10 entries red in r4 (events ts-unit bug, fixed in catalog.py)
     "b06_pivot",
-    "b06_unpivot",
-    "b06_histogram",
-    "b06_equidepth_histogram",
-    "b06_percentiles",
-    "b06_exact_distinct",
-    "b06_sketch_rollup",
-    # B8 window tail + B2/B5 extras
-    "b08_outlier_zscore",
     "b08_sessionize",
     "b08_ratio_to_report",
-    "b02_join_salted",
     "b05_asof_tolerance",
-    "b01_json_permissive",
-    # B22 data quality / sampling / curation
-    "b22_quality_checks",
-    "b22_stratified_sample",
-    "b22_mixture_resample",
-    "b22_mixture_upsample",
-    "b22_train_val_split",
-    "b22_global_shuffle",
-    "b22_winsorize",
-    "b22_drift_chisq",
-    "b22_drift_ks",
-    # B23 merge / CDC
-    "b23_merge_upsert",
-    "b23_apply_changelog",
-    # B24 LLM corpus extras
-    "b14_embedding_neardup_lsh",
-    "b15_decontaminate",
-    "b15_chunk_documents",
-    "b15_repetition_score",
-    "b15_rarity_score",
-    # B16 real-numpy raster
-    "b16_resize_nn",
-    # B25/B26 time-series + behavioral
     "b25_gap_fill_interpolate",
     "b25_m4_downsample",
     "b25_time_weighted_avg",
     "b25_trend_per_series",
     "b26_funnel",
     "b26_retention_cohorts",
-    "b26_transition_bigrams",
+    # the 8 entries never driver-checked
+    "b01_orc_roundtrip_lineitem",
+    "b13_minhash_portable",
+    "b13_simhash_portable",
+    "b13_dedup_pipeline_verified",
+    "b13_incremental_dedup",
+    "b13_dedup_survivors_quality",
+    "b15_bpe_pair_counts",
+    "b22_stratified_sample_hash",
+    # re-confirms: streaming (last green r2, events-dependent)
+    "b17_stream_tumbling",
+    "b17_stream_sliding",
+    "b18_stream_session",
+    "b19_stream_watermark",
+    "b20_stream_dedup",
+    "b20_stream_toggle",
+    "b20_stream_stream_join",
+    # re-confirms: reference-parity core (last green r1, events-dependent)
+    "a04_derived_timestamp",
+    "a05_range_filter",
+    "a06_box_select_pixel",
+    "a07_extents",
+    "a13_selection_toggle",
+    "a13_selection_insert",
+    "a15_composite_key",
+    "a16_semi_join_apply",
+    "a17_anti_join_retract",
+    "a17_retract_compound",
+    "a18_inverted_index",
+    "a18_forward_index",
+    "a19_group_count",
+    "a21_export",
+    "a22_having",
+    "a26_format_truncate",
+    "flagship_minute_flag_counts",
+    # re-confirms: other events-dependent entries last green r1/r2
+    "b12_dedup_exact",
+    "b12_dedup_composite_key",
+    "b04_interval_join_keyed",
+    "b04_interval_join_bucketed",
+    "b05_asof_join",
+    "b11_scalar_battery",
+    "b02_join_full_outer",
+    "b13_dedup_survivors",
 ]
-assert len(_R3_WINDOW) == 50, len(_R3_WINDOW)
-_rest = [n for n in QUERIES if n not in _R3_WINDOW]
-_order = _R3_WINDOW + _rest
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+_rest = [n for n in QUERIES if n not in _R5_WINDOW]
+_order = _R5_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -347,3 +347,52 @@ def test_running_sums_match_global_window(spark):
             ).collect()
         }
         assert got == expect, nparts
+
+
+# --- degenerate-bucket skew guard (VERDICT r4 "Next round" #6) ---------------
+
+
+def test_interval_join_bucketed_warns_on_degenerate_buckets(spark):
+    """Pathological input: every point in ONE time bucket (exactly what the
+    r4 ts-corruption produced). The sampled pre-check must warn; healthy
+    spread input must not."""
+    import warnings as w
+
+    import pandas as pd
+
+    from dataselector_spark.operators.rangejoin import interval_join_bucketed
+
+    n = 5000
+    degenerate = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": range(n), "ts": pd.Timestamp("2024-01-01 12:00:00")}
+        )
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iid": [1],
+                "start": [pd.Timestamp("2024-01-01")],
+                "end": [pd.Timestamp("2024-01-02")],
+            }
+        )
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        interval_join_bucketed(degenerate, intervals, "ts", "start", "end")
+    assert any("degenerate" in str(c.message) for c in caught), caught
+
+    spread = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": range(n),
+                "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            }
+        )
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        interval_join_bucketed(spread, intervals, "ts", "start", "end")
+    assert not any("degenerate" in str(c.message) for c in caught), [
+        str(c.message) for c in caught
+    ]

@@ -456,3 +456,51 @@ def test_fuzzy_dedup_canonical_collapse_equivalence(spark):
     }
     collapsed = {r.doc_id for r in fuzzy_dedup_survivors(df).collect()}
     assert direct == collapsed == {1, 5, 6, 7}
+
+
+def test_fuzzy_survivors_df_cap_divergence(spark):
+    """With df_cap set, fuzzy_dedup_survivors is NOT equivalent to the direct
+    pipeline (docstring contract): the exact-dup pre-collapse shrinks shingle
+    document frequencies (k identical docs -> 1 representative), so a cap
+    that kills a shingle in the direct pipeline can keep it after collapse.
+    Pins both behaviors on a corpus built to straddle df_cap=2."""
+    from dataselector_spark.operators.dedup import (
+        dedup_survivors,
+        fuzzy_dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base), (2, base), (3, base),  # exact triplicate: DF 3 direct, 1 collapsed
+        (4, near),
+        (5, "completely unrelated text about spark physical planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Direct pipeline at df_cap=2: every base/near shingle has DF >= 3 and is
+    # dropped -> zero candidate pairs -> even the exact triplicate survives.
+    direct = {
+        r.doc_id
+        for r in dedup_survivors(
+            df, ngram_jaccard_pairs(df, n=3, threshold=0.5, df_cap=2)
+        ).collect()
+    }
+    assert direct == {1, 2, 3, 4, 5}
+
+    # Collapsed pipeline at the same cap: the triplicate is merged BEFORE
+    # shingling (md5 groupBy, cap-independent), representative shingles have
+    # DF <= 2 and survive the cap, so the near-dup still pairs and loses.
+    collapsed = {
+        r.doc_id for r in fuzzy_dedup_survivors(df, df_cap=2).collect()
+    }
+    assert collapsed == {1, 5}
+
+    # Equivalence claim holds only for df_cap=None (the documented contract).
+    assert {
+        r.doc_id
+        for r in dedup_survivors(
+            df, ngram_jaccard_pairs(df, n=3, threshold=0.5)
+        ).collect()
+    } == {r.doc_id for r in fuzzy_dedup_survivors(df).collect()} == {1, 5}
