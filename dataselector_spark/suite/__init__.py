@@ -98,6 +98,16 @@ _R5_WINDOW = [
     "b16_pgm_roundtrip",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+
+# Import-time guard: every oracle may only reference driver-registered views
+# or its own CTEs (base.check_oracle_tables) — a typo'd table name fails HERE,
+# not in the driver's DuckDB run a round later.
+from ..schemas import TABLE_SCHEMAS as _SCHEMAS  # noqa: E402
+
+from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
+
+_check_oracle_tables(QUERIES, set(_SCHEMAS))
+
 _rest = [n for n in QUERIES if n not in _R5_WINDOW]
 _order = _R5_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}

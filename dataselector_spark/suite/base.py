@@ -33,6 +33,44 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
+def oracle_table_refs(sql: str) -> tuple[set[str], set[str]]:
+    """(table references, CTE names) in a DuckDB oracle, lower-cased.
+
+    Conservative lexical scan: string literals are stripped first (so
+    read_parquet path contents never match), CTE names are anything bound by
+    ``<name> AS (``, and a table reference is an identifier directly after
+    FROM/JOIN that is not immediately called like a function
+    (``read_parquet(...)``, ``range(...)``, ``unnest(...)``)."""
+    import re
+
+    s = re.sub(r"'[^']*'", "''", sql)
+    ctes = {m.group(1).lower() for m in re.finditer(r"(?i)\b(\w+)\s+as\s*\(", s)}
+    refs = set()
+    for m in re.finditer(r"(?i)\b(?:from|join)\s+([a-zA-Z_][\w]*)\s*(\()?", s):
+        if not m.group(2):  # identifier, not a function call / subquery
+            refs.add(m.group(1).lower())
+    return refs, ctes
+
+
+def check_oracle_tables(queries: dict[str, Query], known_tables: set[str]) -> None:
+    """Import-time guard (VERDICT r4 'Next round' #9): every oracle may only
+    reference driver-registered views (TABLE_SCHEMAS) or its own CTEs —
+    anything else would crash or silently diverge in the driver's DuckDB run,
+    burning a correctness round. Raises listing every offending entry."""
+    bad = {}
+    for name, q in queries.items():
+        if q.oracle is None:
+            continue
+        refs, ctes = oracle_table_refs(q.oracle)
+        unknown = refs - known_tables - ctes - {"lateral"}
+        if unknown:
+            bad[name] = sorted(unknown)
+    if bad:
+        raise ValueError(
+            f"oracle SQL references tables the driver never registers: {bad}"
+        )
+
+
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Register a named suite query with its optional DuckDB oracle SQL.
 

@@ -396,3 +396,57 @@ def test_interval_join_bucketed_warns_on_degenerate_buckets(spark):
     assert not any("degenerate" in str(c.message) for c in caught), [
         str(c.message) for c in caught
     ]
+
+
+def test_oracle_table_guard_catches_unknown_table():
+    """check_oracle_tables must flag an oracle referencing a view the driver
+    never registers, and accept CTEs / read_parquet / function sources."""
+    import pytest as pt
+
+    from dataselector_spark.suite.base import Query, check_oracle_tables
+
+    ok = {
+        "good_cte": Query(
+            "good_cte",
+            lambda s, d: None,
+            "WITH t AS (SELECT 1) SELECT * FROM t JOIN events USING (x)",
+        ),
+        "good_fn": Query(
+            "good_fn",
+            lambda s, d: None,
+            "SELECT * FROM read_parquet('/tmp/x (from orders).parquet')",
+        ),
+    }
+    check_oracle_tables(ok, {"events"})
+
+    bad = dict(ok)
+    bad["typo"] = Query("typo", lambda s, d: None, "SELECT * FROM evnets")
+    with pt.raises(ValueError, match="evnets"):
+        check_oracle_tables(bad, {"events"})
+
+
+def test_connected_components_reports_rounds(spark):
+    """stats= must report the propagation round count: a 2-chain converges
+    in 2 rounds (propagate + confirm), a path of 5 takes diameter-bound
+    rounds, and both still label correctly."""
+    from dataselector_spark.operators.dedup import connected_components
+
+    stats = {}
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert got == {(1, 1), (2, 1)}
+    assert stats["rounds"] == 2
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    stats = {}
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(chain, stats=stats).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 6)}
+    assert 2 <= stats["rounds"] <= 5
