@@ -89,13 +89,16 @@ _R5_WINDOW = [
     # re-confirms: other events-dependent entries last green r1/r2
     "b12_dedup_exact",
     "b12_dedup_composite_key",
-    "b04_interval_join_keyed",
     "b04_interval_join_bucketed",
     "b05_asof_join",
-    "b11_scalar_battery",
-    "b02_join_full_outer",
-    # new this round (never driver-checked): real PGM encode/decode codec
+    # new this round (never driver-checked): PGM codec, embedding dedup
+    # survivors, PII scrub, bucketed co-located join. (Displaced re-confirms
+    # b04_interval_join_keyed / b11_scalar_battery / b02_join_full_outer stay
+    # covered by the local sf0.001/sf0.01 oracle runs in CI.)
     "b16_pgm_roundtrip",
+    "b14_embedding_dedup_survivors",
+    "b15_pii_scrub",
+    "b02_bucketed_join",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.text import word_ngrams
 from ..operators.similarity import _pseudo_planes, neardup_pairs_cosine
-from .base import query
+from .base import dec2, query
 
 _DIM = 64  # embeddings.embedding width (TESTDATA.md)
 _PLANES = _pseudo_planes(_DIM, 8, seed=42)
@@ -1792,4 +1792,188 @@ def b13_dedup_survivors_quality(spark, sf_dir):
         clustered.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("doc_id", "quality")
+    )
+
+
+# --- Round-5 additions -------------------------------------------------------
+#
+# Three capabilities widening the curation/relational surface: the embedding
+# near-dup path completed into clusters->survivors (pairs alone don't dedup a
+# corpus), deterministic PII scrubbing (every public-corpus build redacts
+# before training), and a bucketed co-located join (the storage-layout answer
+# to the biggest shuffle in the TPC-H-shaped workload).
+
+
+def _emb_pairs_cte() -> str:
+    """Shared CTE prefix replaying the sign-LSH blocked cosine pairs of
+    b14_embedding_neardup_lsh (identical plane literals and fold order) and
+    closing them transitively — the oracle-side twin of
+    neardup_pairs_cosine + connected_components."""
+    cos = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, {dim} + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) / (a.nrm * b.nrm)""".format(dim=_DIM)
+    return f"""
+    base AS (
+        SELECT vec_id,
+               {_sql_signature("embedding")} AS sig,
+               embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    ),
+    epairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM base a JOIN base b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.2
+    ),
+    eedges AS (SELECT id_a AS a, id_b AS b FROM epairs
+               UNION ALL SELECT id_b, id_a FROM epairs),
+    ereach AS (
+        SELECT a AS id, a AS r FROM eedges
+        UNION
+        SELECT ereach.id, e.b FROM ereach JOIN eedges e ON ereach.r = e.a
+    )
+    """
+
+
+@query(
+    "b14_embedding_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_emb_pairs_cte()},
+    ecomp AS (SELECT id, min(r) AS comp FROM ereach GROUP BY id)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM ecomp WHERE id != comp)
+    """,
+    doc="B14 (LLM pipeline END PRODUCT for embeddings): sign-LSH blocked "
+    "cosine pairs -> connected components -> one survivor (min vec_id) per "
+    "near-dup cluster plus every unpaired vector. Completes the embedding "
+    "dedup path the same way b13_dedup_survivors completes the text path: "
+    "pairwise evidence alone doesn't dedup a corpus — A~B~C must collapse "
+    "together. Blocked pairing (never |corpus|^2), distributed min-label "
+    "propagation, shuffled anti-join (AQE broadcasts iff losers are small). "
+    "Oracle replays plane arithmetic + recursive-CTE transitive closure.",
+)
+def b14_embedding_dedup_survivors(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_cosine(
+        e, None, threshold=0.2, num_planes=8, dim=_DIM, seed=42
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("vec_id")
+    )
+    return e.select("vec_id", "label").join(losers, "vec_id", "left_anti")
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "b15_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM injected
+    """,
+    doc="B15 (corpus curation): PII redaction — count and replace emails and "
+    "phone numbers per document (PII is injected deterministically from "
+    "doc_id since the synthetic corpus has none; docs with doc_id % 3 == 0 "
+    "stay clean so the zero-redaction path is exercised too). Pure "
+    "regexp_count/regexp_replace — JVM-side, map-only, no shuffle, no "
+    "Python: the shape that scrubs 100 TB at scan speed. The scrubbed text "
+    "is md5-hashed so the oracle value-checks every redacted byte.",
+)
+def b15_pii_scrub(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "b02_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="B2 (storage-layout scale path): orders and lineitem written as "
+    "BUCKETED tables (8 buckets, hash(orderkey), sorted within bucket) and "
+    "joined bucket-to-bucket — ZERO shuffle exchange in the join plan "
+    "(asserted in tests/test_plans.py). At 100 TB the orders-lineitem "
+    "shuffle is the single largest data movement in the workload; bucketing "
+    "both fact tables on the join key at write time eliminates it from "
+    "EVERY subsequent join at the cost of one write-time partition pass. "
+    "The oracle is the plain join — layout must never change results.",
+)
+def b02_bucketed_join(spark, sf_dir):
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = os.path.join("/tmp/dataselector_roundtrip", base)
+    to, tl = f"bkt_{base}_orders", f"bkt_{base}_lineitem"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(root, to))
+        .saveAsTable(to)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(root, tl))
+        .saveAsTable(tl)
+    )
+    o, l = spark.table(to), spark.table(tl)
+    joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"), 4))
+        .cast("double")
+        .alias("revenue"),
     )

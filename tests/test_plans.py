@@ -310,3 +310,27 @@ def test_dedup_pipeline_verified_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """b02_bucketed_join's whole point: both sides bucketed 8-way on the
+    join key at write time, so the join runs bucket-to-bucket with ZERO
+    shuffle exchange below it — the only exchange in the whole plan is the
+    final groupBy's. At sf0.01 the small side fits the broadcast threshold
+    (also shuffle-free), so the big-data regime is pinned by disabling
+    broadcast and requiring SortMergeJoin straight over bucketed scans."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["b02_bucketed_join"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos >= 0, plan[:2000]
+    assert "Exchange" not in plan[join_pos:], plan[join_pos:][:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+    # default regime (broadcast allowed) must be shuffle-free below the
+    # aggregation too: one Exchange total
+    df2 = QUERIES["b02_bucketed_join"].fn(spark, SF)
+    assert shuffle_count(df2) == 1
