@@ -105,6 +105,34 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, width: str = "10 minutes"
+) -> DataFrame:
+    """B17×B2: stream-static enrichment — the streaming side joined to a
+    BATCH dimension table, then windowed per enrichment attribute. Spark
+    re-evaluates the static side each micro-batch (so a dim refresh is
+    picked up without restarting the query); the broadcast hint keeps the
+    join map-side — no shuffle of the stream, which is the only layout that
+    survives an unbounded source. This is the canonical production shape:
+    an event firehose tagged with slowly-changing reference data."""
+    j = events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+    w = F.window("ts", width)
+    return (
+        j.groupBy(w, "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            F.col("window.end").alias("wend"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def watermarked_tumbling(
     events: DataFrame, watermark: str = "1 hour", width: str = "10 minutes"
 ) -> DataFrame:

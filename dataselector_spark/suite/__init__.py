@@ -90,7 +90,7 @@ _R5_WINDOW = [
     "b12_dedup_exact",
     "b12_dedup_composite_key",
     "b04_interval_join_bucketed",
-    "b05_asof_join",
+    "b17_stream_static_enrich",
     # new this round (never driver-checked): PGM codec, embedding dedup
     # survivors, PII scrub, bucketed co-located join. (Displaced re-confirms
     # b04_interval_join_keyed / b11_scalar_battery / b02_join_full_outer stay

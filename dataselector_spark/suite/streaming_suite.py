@@ -15,6 +15,7 @@ from ..streaming import (
     sliding_counts,
     stream_dedup,
     stream_events,
+    stream_static_enrich,
     tumbling_counts,
     watermarked_tumbling,
 )
@@ -205,3 +206,29 @@ def b20_stream_stream_join(spark, sf_dir):
         s, p.withColumnRenamed("p_user", "user_id"), key="user_id", within="1 hour"
     ).select("signup_id", "purchase_id", s["user_id"])
     return run_stream_to_table(joined, output_mode="append")
+
+@query(
+    "b17_stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS wstart,
+           time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS wend,
+           c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2, 3
+    """,
+    doc="B17 x B2: stream-static enrichment join run as a REAL stream — the "
+    "event stream joined per micro-batch to the static customer dimension "
+    "(broadcast, map-side: the unbounded side is never shuffled for the "
+    "join), then tumbling-windowed per market segment. The production "
+    "shape for tagging a firehose with reference data; the static side is "
+    "re-read each micro-batch so dim updates flow in without a restart.",
+)
+def b17_stream_static_enrich(spark, sf_dir):
+    from ..catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_stream_to_table(
+        stream_static_enrich(stream_events(spark, sf_dir), dim)
+    )
