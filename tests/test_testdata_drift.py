@@ -63,3 +63,23 @@ def test_events_ts_matches_duckdb(spark):
         .first()
     )
     assert (s_lo, s_hi, s_n) == (d_lo, d_hi, d_n)
+
+
+@pytest.mark.parametrize(
+    "name,col,lo_year,hi_year",
+    [
+        ("orders", "o_orderdate", 1990, 2010),
+        ("lineitem", "l_shipdate", 1990, 2010),
+    ],
+)
+def test_tpch_dates_in_generator_range(spark, name, col, lo_year, hi_year):
+    """Same unit-mis-scale tripwire for the TPC-H date columns: a silent
+    ns/us/NTZ drift lands decades outside the generator's mid-1990s-to-2001
+    span (bounds deliberately loose — only a 1000x unit error must trip)."""
+    lo, hi = (
+        load_table(spark, SF_DIR, name)
+        .selectExpr(f"min({col})", f"max({col})")
+        .first()
+    )
+    assert lo.year >= lo_year, lo
+    assert hi.year <= hi_year, hi
