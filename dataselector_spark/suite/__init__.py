@@ -74,11 +74,9 @@ _R5_WINDOW = [
     "a06_box_select_pixel",
     "a07_extents",
     "a13_selection_toggle",
-    "a13_selection_insert",
     "a15_composite_key",
     "a16_semi_join_apply",
     "a17_anti_join_retract",
-    "a17_retract_compound",
     "a18_inverted_index",
     "a18_forward_index",
     "a19_group_count",
@@ -99,6 +97,11 @@ _R5_WINDOW = [
     "b14_embedding_dedup_survivors",
     "b15_pii_scrub",
     "b02_bucketed_join",
+    # (a13_selection_insert / a17_retract_compound re-confirms displaced by
+    # the XML + binary-ingest entries; their op ids stay covered in-window
+    # by a13_selection_toggle / a17_anti_join_retract and by CI oracles)
+    "b01_xml_roundtrip",
+    "b16_binary_ingest",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 

@@ -1977,3 +1977,139 @@ def b02_bucketed_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "b01_xml_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    """,
+    doc="B1: XML sink + explicit-schema source (Spark 4 ships the XML "
+    "data source in core — the sixth format besides parquet/CSV/JSON/ORC/"
+    "text, still the lingua franca of enterprise feeds). Explicit schema "
+    "on read: no inference pass, same rule as every other source — one "
+    "schema-guessing scan over 100 TB is banned. Doubles survive because "
+    "the writer emits round-trippable decimal text.",
+)
+def b01_xml_roundtrip(spark, sf_dir):
+    import os
+
+    from pyspark.sql import types as T
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/dataselector_roundtrip", base, "part_xml")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    p.write.mode("overwrite").format("xml").option("rowTag", "part").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "part")
+        .load(path)
+    )
+
+
+@query(
+    "b16_binary_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 12 AS INTEGER) AS height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (doc_id % 64 + 16) * (doc_id % 48 + 12)), i ->
+                   (doc_id * 31
+                    + (i // (doc_id % 64 + 16)) * 7
+                    + (i % (doc_id % 64 + 16)) * 13) % 256)),
+               (a, b) -> a + b) AS pixel_sum
+    FROM documents WHERE doc_id < 64
+    """,
+    doc="B16 x B1: the REAL multimodal ingest path end-to-end — PGM image "
+    "FILES written executor-side (foreachPartition; on a cluster the sink "
+    "is a shared/object store, the code is identical), re-ingested with "
+    "Spark's binaryFile source (one row per file: path/length/content), "
+    "doc id recovered from the filename, payload decoded by the pure-numpy "
+    "PGM parser, and every pixel value-checked against the closed-form SQL "
+    "oracle. This is the ingest shape for a 100 TB image corpus: listing "
+    "parallelized by the source, decode Arrow-batched, blobs never "
+    "collected to the driver.",
+)
+def b16_binary_ingest(spark, sf_dir):
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..multimodal import decode_pgm, encode_pgm, synthesize_bitmaps
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join("/tmp/dataselector_roundtrip", base, "pgm_files")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    pgm = encode_pgm(synthesize_bitmaps(d))
+
+    def write_files(rows):
+        # executor-side blob export — self-contained closure (no module refs)
+        for r in rows:
+            with open(os.path.join(out_dir, f"doc_{r['doc_id']}.pgm"), "wb") as f:
+                f.write(bytes(r["payload"]))
+
+    pgm.foreachPartition(write_files)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pgm")
+        .load(out_dir)
+    )
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.pgm$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-graymap").alias("media_type"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.col("length").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    decoded = decode_pgm(media)
+
+    def checksum(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "pixel_sum": [
+                        int(np.frombuffer(p, dtype="uint8").astype("int64").sum())
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+    return decoded.mapInPandas(checksum, schema)

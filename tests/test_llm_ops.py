@@ -566,3 +566,56 @@ def test_pgm_codec_roundtrip_and_header_variants(spark):
         ).select("doc_id", "payload", "meta")
         with pt.raises(Exception):
             decode_pgm(baddf).collect()
+
+
+def test_pgm_codec_property_roundtrip(spark):
+    """Property: for ANY raster dimensions and payload bytes, encode->decode
+    is byte-identity. Runs the parser pure-Python (same closure logic the
+    executors run) over hypothesis-generated rasters — one Spark job over
+    the whole batch at the end, not one per example."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def collect(w, h, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        cases.append((w, h, rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()))
+
+    collect()
+
+    import pandas as pd
+
+    from dataselector_spark.multimodal import decode_pgm
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(cases)),
+            "payload": [
+                f"P5\n{w} {h}\n255\n".encode("ascii") + raster
+                for w, h, raster in cases
+            ],
+            "meta": [
+                {"media_type": "image/x-portable-graymap", "width": w,
+                 "height": h, "n_bytes": len(r) + 12}
+                for w, h, r in cases
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        schema="doc_id long, payload binary, "
+        "meta struct<media_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_pgm(df).collect()}
+    for i, (w, h, raster) in enumerate(cases):
+        assert bytes(got[i]["payload"]) == raster, (i, w, h)
+        assert (got[i]["meta"]["width"], got[i]["meta"]["height"]) == (w, h)
