@@ -78,15 +78,12 @@ _R5_WINDOW = [
     "a16_semi_join_apply",
     "a17_anti_join_retract",
     "a18_inverted_index",
-    "a18_forward_index",
-    "a19_group_count",
     "a21_export",
     "a22_having",
     "a26_format_truncate",
     "flagship_minute_flag_counts",
     # re-confirms: other events-dependent entries last green r1/r2
     "b12_dedup_exact",
-    "b12_dedup_composite_key",
     "b04_interval_join_bucketed",
     "b17_stream_static_enrich",
     # new this round (never driver-checked): PGM codec, embedding dedup
@@ -102,6 +99,13 @@ _R5_WINDOW = [
     # by a13_selection_toggle / a17_anti_join_retract and by CI oracles)
     "b01_xml_roundtrip",
     "b16_binary_ingest",
+    # (a18_forward_index / a19_group_count / b12_dedup_composite_key
+    # re-confirms displaced by the containment / vocab-coverage / rolling-DAU
+    # entries; each displaced op id keeps an in-window twin: a18_inverted_index,
+    # a22_having, b12_dedup_exact)
+    "b13_containment_pairs",
+    "b15_vocab_coverage",
+    "b26_rolling_dau",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 

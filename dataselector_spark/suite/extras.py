@@ -2113,3 +2113,168 @@ def b16_binary_ingest(spark, sf_dir):
         ]
     )
     return decoded.mapInPandas(checksum, schema)
+
+
+@query(
+    "b13_containment_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / sa.sz AS cont_a_in_b,
+           CAST(inter AS DOUBLE) / sb.sz AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8
+    """,
+    doc="B13 (partial-duplicate detection): CONTAINMENT similarity — "
+    "|A∩B| / |A| over word-3-gram shingle sets, the asymmetric cousin of "
+    "Jaccard that catches one document quoting or embedding another even "
+    "when symmetric Jaccard is low (a 100-line doc inside a 10000-line doc "
+    "has Jaccard ~0.01 but containment ~1.0 — real near-dup pipelines run "
+    "BOTH). Same inverted-index join as ngram_jaccard_pairs: cost tracks "
+    "shingle co-occurrence, never |docs|².",
+)
+def b13_containment_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("inter").cast("double") / F.least("sz_a", "sz_b") >= 0.8
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
+            (F.col("inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
+        )
+    )
+
+
+@query(
+    "b15_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    ranked AS (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+               sum(n) OVER (ORDER BY n DESC, token ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(n) OVER () AS total_n
+        FROM counts
+    )
+    SELECT rank, token, n,
+           CAST(cum_n AS DOUBLE) / CAST(total_n AS DOUBLE) AS cum_share
+    FROM ranked WHERE rank <= 100
+    """,
+    doc="B15 (tokenizer training prep): vocabulary coverage curve — tokens "
+    "ranked by corpus frequency with cumulative share, answering 'how many "
+    "vocab entries cover X% of the corpus'. The corpus-sized explode+count "
+    "is fully partial-aggregated (map-side combine absorbs the Zipf head); "
+    "only the AGGREGATED vocabulary (|distinct tokens| << corpus) passes "
+    "through the global-order window, and the bigint/bigint -> double "
+    "division is a single correctly-rounded op, so the curve is "
+    "engine-exact. Deterministic (count DESC, token ASC) tie-break.",
+)
+def b15_vocab_coverage(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_n"),
+    )
+    return ranked.filter(F.col("rank") <= 100).select(
+        "rank",
+        "token",
+        "n",
+        (F.col("cum_n").cast("double") / F.col("total_n").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+@query(
+    "b26_rolling_dau",
+    oracle="""
+    WITH day_user AS (
+        SELECT DISTINCT CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    contrib AS (
+        SELECT (day + k * (INTERVAL 1 DAY)) AS wday, user_id
+        FROM day_user, (SELECT unnest(range(0, 7)) AS k)
+    ),
+    wau AS (
+        SELECT CAST(wday AS DATE) AS day, count(DISTINCT user_id) AS wau
+        FROM contrib GROUP BY 1
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM day_user GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    doc="B26 (behavioral analytics): exact DAU + 7-day rolling distinct "
+    "users (WAU) per active day. Rolling COUNT DISTINCT does not decompose "
+    "into window frames, so the scale shape is contribution explode: each "
+    "distinct (user, day) pair contributes to exactly 7 window days "
+    "(constant 7x fan-out of the ALREADY-DEDUPLICATED day-user pairs — "
+    "|users|x|days|, tiny next to raw events), then one distinct-count per "
+    "window day. Never buffers a 7-day raw-event window.",
+)
+def b26_rolling_dau(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    day_user = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = day_user.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+    )
