@@ -78,9 +78,7 @@ _R5_WINDOW = [
     "a16_semi_join_apply",
     "a17_anti_join_retract",
     "a18_inverted_index",
-    "a21_export",
     "a22_having",
-    "a26_format_truncate",
     "flagship_minute_flag_counts",
     # re-confirms: other events-dependent entries last green r1/r2
     "b12_dedup_exact",
@@ -106,6 +104,10 @@ _R5_WINDOW = [
     "b13_containment_pairs",
     "b15_vocab_coverage",
     "b26_rolling_dau",
+    # (a21_export / a26_format_truncate re-confirms displaced by the profile
+    # and snapshot-diff entries; both ops stay pytest- and CI-oracle-covered)
+    "b22_table_profile",
+    "b23_snapshot_diff",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 

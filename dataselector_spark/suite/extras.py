@@ -2278,3 +2278,105 @@ def b26_rolling_dau(spark, sf_dir):
     return dau.join(wau, "day").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
     )
+
+
+@query(
+    "b22_table_profile",
+    oracle="""
+    SELECT 'doc_id' AS col, count(*) AS n_rows,
+           count(doc_id) AS n_nonnull, count(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(lang), count(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(source), count(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents
+    """,
+    doc="B22 (dataset-card profiling): per-column row/non-null/distinct "
+    "counts in a SINGLE scan — grouping-sets over the column list via one "
+    "explode of (name, value-as-string) pairs, partial-aggregated map-side, "
+    "instead of one pass per column (the naive N-scan profile is the "
+    "difference between one 100 TB read and four). Exact distincts here; "
+    "swap count_distinct for approx_count_distinct at warehouse scale.",
+)
+def b22_table_profile(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in ["doc_id", "lang", "source", "n_chars"]
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.v")
+    return pairs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.countDistinct("v").alias("n_distinct"),
+    )
+
+
+@query(
+    "b23_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+    doc="B23 (snapshot diff): added/removed/changed classification between "
+    "two table versions — the reverse direction of CDC (changelog FROM "
+    "snapshots, where apply_changelog replays snapshots FROM a changelog). "
+    "One full-outer join on the key + row comparison; the two synthetic "
+    "snapshots are deterministic modulo-filters of orders so the oracle "
+    "replays them exactly. At scale, both sides are key-bucketed tables "
+    "and the diff rides the b02_bucketed_join zero-shuffle layout.",
+)
+def b23_snapshot_diff(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 10 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        change.alias("change"),
+    )
