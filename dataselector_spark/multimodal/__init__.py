@@ -306,6 +306,13 @@ def decode_pgm(media: DataFrame) -> DataFrame:
             raster = buf[pos : pos + w * h]
             if len(raster) != w * h:
                 raise ValueError(f"truncated raster: {len(raster)} != {w * h}")
+            if len(buf) - pos != w * h:
+                # strict: trailing bytes mean a corrupted or concatenated
+                # payload — decoding it silently would hide the corruption
+                # (ADVICE r5 #4)
+                raise ValueError(
+                    f"trailing bytes after raster: {len(buf) - pos - w * h}"
+                )
             return w, h, raster
 
         for pdf in it:
@@ -319,6 +326,131 @@ def decode_pgm(media: DataFrame) -> DataFrame:
                         "width": w,
                         "height": h,
                         "n_bytes": w * h,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, BITMAP_SCHEMA)
+
+
+def synthesize_rgb_bitmaps(docs: DataFrame) -> DataFrame:
+    """Deterministic RAW interleaved-RGB bitmaps (the color twin of
+    `synthesize_bitmaps`): each doc gets a (height x width x 3) uint8 raster
+    with channel(r, c, k) = (doc_id*31 + r*7 + c*13 + k*101) mod 256 and
+    exactly width*height*3 payload bytes. Closed-form per-byte, so the PPM
+    encode→decode roundtrip can be value-verified pixel-exactly in SQL.
+    Dimensions are kept smaller than the grayscale twin (3× the bytes per
+    pixel) so the DuckDB oracle's per-pixel replay stays cheap."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 32 + 8
+                h = int(doc_id) % 24 + 6
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                k = np.arange(3, dtype=np.int64)[None, None, :]
+                img = ((int(doc_id) * 31 + r * 7 + c * 13 + k * 101) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(img.tobytes())
+                metas.append(
+                    {
+                        "media_type": "image/raw24",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": w * h * 3,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, BITMAP_SCHEMA)
+
+
+def encode_ppm(media: DataFrame) -> DataFrame:
+    """Encode raw interleaved-RGB rasters as binary PPM (P6) — the color
+    sibling of `encode_pgm`, same netpbm family: header ``P6\\n<w> <h>\\n255\\n``
+    followed by row-major RGB triplets. Byte-exact, no codec library;
+    Arrow-batched mapInPandas, map-only."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                header = f"P6\n{m['width']} {m['height']}\n255\n".encode("ascii")
+                payloads.append(header + bytes(p))
+                metas.append(
+                    {
+                        "media_type": "image/x-portable-pixmap",
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_bytes": len(header) + len(p),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, BITMAP_SCHEMA)
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL color-image decode with no optional dependency: parse the binary
+    PPM (P6) header per the netpbm spec — magic, whitespace/'#'-comment
+    handling, dimensions, maxval — and return the raw interleaved-RGB raster
+    + rebuilt metadata. Strict: truncated rasters AND trailing bytes both
+    raise (a concatenated/corrupted payload must not decode silently)."""
+
+    def batches(it):
+        import pandas as pd
+
+        def parse(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError(f"not a P6/PPM payload: {buf[:2]!r}")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(buf) and buf[pos : pos + 1].isspace():
+                    pos += 1
+                if buf[pos : pos + 1] == b"#":
+                    while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(buf[start:pos]))
+            pos += 1  # the single whitespace after maxval
+            w, h, maxval = tokens
+            if maxval != 255:
+                raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+            n = w * h * 3
+            if len(buf) - pos < n:
+                raise ValueError(f"truncated raster: {len(buf) - pos} != {n}")
+            if len(buf) - pos != n:
+                raise ValueError(f"trailing bytes after raster: {len(buf) - pos - n}")
+            return w, h, buf[pos : pos + n]
+
+        for pdf in it:
+            payloads, metas = [], []
+            for buf in pdf["payload"]:
+                w, h, raster = parse(bytes(buf))
+                payloads.append(raster)
+                metas.append(
+                    {
+                        "media_type": "image/raw24",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": w * h * 3,
                     }
                 )
             yield pd.DataFrame(

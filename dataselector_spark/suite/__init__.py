@@ -26,90 +26,79 @@ from . import relational  # noqa: F401,E402
 from . import extras  # noqa: F401,E402
 
 # Explicit window control: the driver's correctness harness checks the FIRST
-# 50 registered entries each round.  Round 1 verified the reference_parity /
-# relational / window_suite front; round 2 verified llm_pipeline +
-# streaming_suite + tpch_full(part) + 10 promoted extensions entries; round 3
-# verified the remaining never-checked tail; round 4 (by mistake) repeated
-# round 3's window.  The round-5 window below = the 10 entries red in
-# CORRECTNESS_r04 (all casualties of the events-timestamp-unit bug fixed in
-# catalog.py — VERDICT r4 "What's wrong" #1) + the 8 entries that have never
-# had a driver row + 32 re-confirms prioritizing everything events-dependent
-# that was last green in r1/r2 BEFORE the testdata regen (streaming b17-b20,
-# the reference-parity core, b04/b05/b11/b12, flagship).
+# 50 registered entries each round.  Rounds 1-3 covered the never-checked
+# surface; round 4 repeated r3 by mistake; round 5 re-verified the r4 reds +
+# the never-checked tail (50/50 green).  The round-6 window below (VERDICT r5
+# "Next round" #1) = the 4 entries whose oracles were upgraded in r3 but whose
+# only driver rows predate the upgrade (their rows still say no_oracle) + 2
+# entries new this round + 44 re-confirms of entries last driver-checked in
+# r1/r2, BEFORE the r4 testdata regeneration — prioritizing r1 greens, then
+# the r2 fuzzy-dedup / multimodal / UDF / TPC-H surface.  The ~27 remaining
+# stale entries are queued for the r7 window (VERDICT r5 #2).
 # tests/test_advice_fixes.py::test_driver_window_targets_unchecked_entries
-# cross-checks this list against the CORRECTNESS_r*.json artifacts so a
-# forgotten rotation fails CI instead of burning a driver round.
-_R5_WINDOW = [
-    # the 10 entries red in r4 (events ts-unit bug, fixed in catalog.py)
-    "b06_pivot",
-    "b08_sessionize",
-    "b08_ratio_to_report",
-    "b05_asof_tolerance",
-    "b25_gap_fill_interpolate",
-    "b25_m4_downsample",
-    "b25_time_weighted_avg",
-    "b25_trend_per_series",
-    "b26_funnel",
-    "b26_retention_cohorts",
-    # the 8 entries never driver-checked
-    "b01_orc_roundtrip_lineitem",
-    "b13_minhash_portable",
-    "b13_simhash_portable",
-    "b13_dedup_pipeline_verified",
-    "b13_incremental_dedup",
-    "b13_dedup_survivors_quality",
-    "b15_bpe_pair_counts",
-    "b22_stratified_sample_hash",
-    # re-confirms: streaming (last green r2, events-dependent)
-    "b17_stream_tumbling",
-    "b17_stream_sliding",
-    "b18_stream_session",
-    "b19_stream_watermark",
-    "b20_stream_dedup",
-    "b20_stream_toggle",
-    "b20_stream_stream_join",
-    # re-confirms: reference-parity core (last green r1, events-dependent)
-    "a04_derived_timestamp",
-    "a05_range_filter",
-    "a06_box_select_pixel",
-    "a07_extents",
-    "a13_selection_toggle",
-    "a15_composite_key",
-    "a16_semi_join_apply",
-    "a17_anti_join_retract",
-    "a18_inverted_index",
-    "a22_having",
-    "flagship_minute_flag_counts",
-    # re-confirms: other events-dependent entries last green r1/r2
-    "b12_dedup_exact",
-    "b04_interval_join_bucketed",
-    "b17_stream_static_enrich",
-    # new this round (never driver-checked): PGM codec, embedding dedup
-    # survivors, PII scrub, bucketed co-located join. (Displaced re-confirms
-    # b04_interval_join_keyed / b11_scalar_battery / b02_join_full_outer stay
-    # covered by the local sf0.001/sf0.01 oracle runs in CI.)
-    "b16_pgm_roundtrip",
-    "b14_embedding_dedup_survivors",
-    "b15_pii_scrub",
-    "b02_bucketed_join",
-    # (a13_selection_insert / a17_retract_compound re-confirms displaced by
-    # the XML + binary-ingest entries; their op ids stay covered in-window
-    # by a13_selection_toggle / a17_anti_join_retract and by CI oracles)
-    "b01_xml_roundtrip",
-    "b16_binary_ingest",
-    # (a18_forward_index / a19_group_count / b12_dedup_composite_key
-    # re-confirms displaced by the containment / vocab-coverage / rolling-DAU
-    # entries; each displaced op id keeps an in-window twin: a18_inverted_index,
-    # a22_having, b12_dedup_exact)
-    "b13_containment_pairs",
-    "b15_vocab_coverage",
-    "b26_rolling_dau",
-    # (a21_export / a26_format_truncate re-confirms displaced by the profile
-    # and snapshot-diff entries; both ops stay pytest- and CI-oracle-covered)
-    "b22_table_profile",
-    "b23_snapshot_diff",
+# derives the same priority classes from the CORRECTNESS_r*.json artifacts, so
+# a forgotten rotation fails CI instead of burning a driver round.
+_R6_WINDOW = [
+    # oracles upgraded in r3, never driver-checked with them (rows say
+    # no_oracle; the code now proves plane/centroid/arithmetic equality)
+    "b14_ann_lsh",
+    "b14_ann_ivf",
+    "b15_lang_id_quality",
+    "b16_multimodal_features",
+    # new this round (never driver-checked): color PPM/P6 codec roundtrip,
+    # write-once-bucketed zero-shuffle interval join
+    "b16_ppm_roundtrip",
+    "b04_interval_join_colocated",
+    # re-confirms: last green r1, pre-regen
+    "q1_pricing_summary",
+    "b05_asof_join",
+    "b04_interval_join_keyed",
+    "b11_scalar_battery",
+    "a19_group_count",
+    "a20_distinct_sort",
+    "a21_export",
+    "a26_format_truncate",
+    "b07_rollup",
+    "b07_cube",
+    "b07_grouping_sets",
+    "b08_lag_lead",
+    "b08_range_frame",
+    "b08_rank_battery",
+    "b08_rolling_frames",
+    "b09_topk_global",
+    "b09_topk_per_group",
+    "b10_set_ops",
+    "b10_multiset_ops",
+    "b10_union_schema_evolution",
+    "b02_join_revenue_per_nation",
+    "b06_agg_battery",
+    "b06_multires_rollup",
+    # (b06_correlation_exact_moments queued for r7 — B6 keeps two in-window
+    # twins above)
+    # re-confirms: last green r2, pre-regen
+    "b13_ngram_jaccard",
+    "b13_dedup_clusters",
+    "b13_dedup_survivors",
+    "b14_topk_cosine",
+    "b16_multimodal_meta",
+    "b16_resize",
+    "b16_frame_sample",
+    "b21_pandas_udf_scalar",
+    "b21_grouped_applyinpandas",
+    "b21_python_udtf",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
 ]
-assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 
 # Import-time guard: every oracle may only reference driver-registered views
 # or its own CTEs (base.check_oracle_tables) — a typo'd table name fails HERE,
@@ -120,8 +109,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R5_WINDOW]
-_order = _R5_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R6_WINDOW]
+_order = _R6_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -1089,6 +1089,86 @@ def b16_pgm_roundtrip(spark, sf_dir):
 
 
 @query(
+    "b16_ppm_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 24 + 6 AS INTEGER) AS height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (doc_id % 32 + 8) * (doc_id % 24 + 6)), i ->
+                   (doc_id * 31
+                    + (i // (doc_id % 32 + 8)) * 7
+                    + (i % (doc_id % 32 + 8)) * 13) % 256)),
+               (a, b) -> a + b) AS sum_r,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (doc_id % 32 + 8) * (doc_id % 24 + 6)), i ->
+                   (doc_id * 31
+                    + (i // (doc_id % 32 + 8)) * 7
+                    + (i % (doc_id % 32 + 8)) * 13 + 101) % 256)),
+               (a, b) -> a + b) AS sum_g,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (doc_id % 32 + 8) * (doc_id % 24 + 6)), i ->
+                   (doc_id * 31
+                    + (i // (doc_id % 32 + 8)) * 7
+                    + (i % (doc_id % 32 + 8)) * 13 + 202) % 256)),
+               (a, b) -> a + b) AS sum_b
+    FROM documents
+    """,
+    doc="B16 (multimodal, COLOR codec — VERDICT r5 'Next round' #6): encode "
+    "each deterministic interleaved-RGB raster as a spec-compliant binary "
+    "PPM (P6 header + row-major RGB triplets), then DECODE it back by "
+    "parsing the header — the color sibling of b16_pgm_roundtrip, same "
+    "closed-form per-pixel oracle pattern: channel(r,c,k) = "
+    "(id*31 + r*7 + c*13 + k*101) mod 256, so the oracle recomputes every "
+    "decoded byte per channel in SQL and the per-channel sums are "
+    "hash-checked. Strict decode (trailing bytes raise). Arrow-batched "
+    "mapInPandas, map-only, no shuffle.",
+)
+def b16_ppm_roundtrip(spark, sf_dir):
+    from ..multimodal import decode_ppm, encode_ppm, synthesize_rgb_bitmaps
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_ppm(encode_ppm(synthesize_rgb_bitmaps(d)))
+
+    def checksum(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            sums = [
+                np.frombuffer(p, dtype="uint8")
+                .astype("int64")
+                .reshape(-1, 3)
+                .sum(axis=0)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "sum_r": [int(s[0]) for s in sums],
+                    "sum_g": [int(s[1]) for s in sums],
+                    "sum_b": [int(s[2]) for s in sums],
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return decoded.mapInPandas(checksum, schema)
+
+
+@query(
     "b26_transition_bigrams",
     oracle="""
     WITH ordered AS (
