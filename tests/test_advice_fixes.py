@@ -465,3 +465,46 @@ def test_connected_components_reports_rounds(spark):
     }
     assert got == {(i, 1) for i in range(1, 6)}
     assert 2 <= stats["rounds"] <= 5
+
+
+# --- ADVICE r5 #2 + VERDICT r5 #3: events_ts_unit hardening -----------------
+
+
+def _write_ts_part(path, unit):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"ts": pa.array([0, 1_000_000], type=pa.timestamp(unit))})
+    pq.write_table(t, path)
+
+
+def test_events_ts_unit_mixed_directory_raises(tmp_path):
+    """A directory whose part files disagree on the ts physical unit must
+    raise loudly instead of silently scaling every part by the first file's
+    unit (VERDICT r5 'Next round' #3)."""
+    from dataselector_spark.catalog import events_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    _write_ts_part(str(d / "part-0.parquet"), "us")
+    _write_ts_part(str(d / "part-1.parquet"), "ns")
+    with pytest.raises(ValueError, match="mixed ts units"):
+        events_ts_unit(str(d))
+
+
+def test_events_ts_unit_cache_invalidates_on_regen(tmp_path):
+    """Regenerating the file at the same path with the other unit must be
+    picked up by a long-lived process — the probe cache is keyed on file
+    content (mtime+size), not path (ADVICE r5 #2)."""
+    import os
+
+    from dataselector_spark.catalog import events_ts_unit
+
+    p = str(tmp_path / "events.parquet")
+    _write_ts_part(p, "us")
+    assert events_ts_unit(p) == "us"
+    _write_ts_part(p, "ns")
+    # force a distinct mtime even on coarse-resolution filesystems
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert events_ts_unit(p) == "ns"
