@@ -508,3 +508,42 @@ def test_events_ts_unit_cache_invalidates_on_regen(tmp_path):
     st = os.stat(p)
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert events_ts_unit(p) == "ns"
+
+
+def test_interval_join_bucketed_probe_is_cached_per_plan(spark):
+    """VERDICT r5 #5: repeated construction over the SAME input must not
+    re-run the skew probe (bench reps, retried pipelines). Observable as
+    warn-once: the second identical call raises no new warning, while a
+    DIFFERENT bucket width still probes (distinct cache key)."""
+    import warnings as w
+
+    import pandas as pd
+
+    from dataselector_spark.operators.rangejoin import interval_join_bucketed
+
+    degenerate = spark.createDataFrame(
+        pd.DataFrame({"pid": range(2000), "ts": pd.Timestamp("2024-06-01 12:00:00")})
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iid": [1],
+                "start": [pd.Timestamp("2024-06-01")],
+                "end": [pd.Timestamp("2024-06-02")],
+            }
+        )
+    )
+    with w.catch_warnings(record=True) as first:
+        w.simplefilter("always")
+        interval_join_bucketed(degenerate, intervals, "ts", "start", "end")
+    with w.catch_warnings(record=True) as second:
+        w.simplefilter("always")
+        interval_join_bucketed(degenerate, intervals, "ts", "start", "end")
+    with w.catch_warnings(record=True) as other_width:
+        w.simplefilter("always")
+        interval_join_bucketed(
+            degenerate, intervals, "ts", "start", "end", bucket_seconds=3600
+        )
+    assert any("degenerate" in str(c.message) for c in first)
+    assert not any("degenerate" in str(c.message) for c in second)
+    assert any("degenerate" in str(c.message) for c in other_width)
