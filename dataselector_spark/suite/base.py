@@ -40,15 +40,46 @@ def oracle_table_refs(sql: str) -> tuple[set[str], set[str]]:
     read_parquet path contents never match), CTE names are anything bound by
     ``<name> AS (``, and a table reference is an identifier directly after
     FROM/JOIN that is not immediately called like a function
-    (``read_parquet(...)``, ``range(...)``, ``unnest(...)``)."""
+    (``read_parquet(...)``, ``range(...)``, ``unnest(...)``). Comma-separated
+    FROM lists (``FROM a, b x, c`` — the implicit cross join used by the
+    b26_rolling_dau / b17_stream_sliding oracles) are walked across commas,
+    honoring bare and ``AS`` aliases, so every listed table is checked, not
+    just the first (ADVICE r5 #3). Known false-negative: a clause whose first
+    element is a subquery or table function (``FROM unnest(...) u, x``) stops
+    at the parenthesis and leaves the rest of that list unchecked."""
     import re
 
     s = re.sub(r"'[^']*'", "''", sql)
     ctes = {m.group(1).lower() for m in re.finditer(r"(?i)\b(\w+)\s+as\s*\(", s)}
     refs = set()
-    for m in re.finditer(r"(?i)\b(?:from|join)\s+([a-zA-Z_][\w]*)\s*(\()?", s):
-        if not m.group(2):  # identifier, not a function call / subquery
-            refs.add(m.group(1).lower())
+    ident = re.compile(r"\s*([a-zA-Z_][\w]*)\s*(\()?")
+    comma = re.compile(r"\s*,")
+    as_alias = re.compile(r"(?i)\s*as\s+([a-zA-Z_][\w]*)")
+    keywords = {
+        "where", "group", "order", "having", "limit", "window", "qualify",
+        "union", "intersect", "except", "join", "on", "using", "as",
+        "select", "left", "right", "inner", "full", "cross", "asof",
+        "natural", "lateral",
+    }
+    for m in re.finditer(r"(?i)\b(?:from|join)\s+", s):
+        pos = m.end()
+        while True:
+            mm = ident.match(s, pos)
+            if not mm or mm.group(2):
+                break  # subquery / function call — bail on this clause
+            refs.add(mm.group(1).lower())
+            pos = mm.end() - (1 if mm.group(2) else 0)
+            ma = as_alias.match(s, pos)
+            if ma:
+                pos = ma.end()
+            else:  # bare alias (an identifier that is not a clause keyword)
+                mb = ident.match(s, pos)
+                if mb and not mb.group(2) and mb.group(1).lower() not in keywords:
+                    pos = mb.end()
+            mc = comma.match(s, pos)
+            if not mc:
+                break
+            pos = mc.end()
     return refs, ctes
 
 

@@ -2340,22 +2340,32 @@ def b15_vocab_coverage(spark, sf_dir):
     "distinct (user, day) pair contributes to exactly 7 window days "
     "(constant 7x fan-out of the ALREADY-DEDUPLICATED day-user pairs — "
     "|users|x|days|, tiny next to raw events), then one distinct-count per "
-    "window day. Never buffers a 7-day raw-event window.",
+    "window day. DAU falls out of the SAME exploded relation (each pair "
+    "hits its own activity day exactly once), so the whole query is ONE "
+    "scan, no join, three exchanges (asserted in tests/test_plans.py). "
+    "Never buffers a 7-day raw-event window.",
 )
 def b26_rolling_dau(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     day_user = e.select(
-        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        F.date_trunc("day", "ts").cast("date").alias("aday"), "user_id"
     ).distinct()
     contrib = day_user.select(
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-        ).alias("day"),
+        "aday",
         "user_id",
+        F.explode(
+            F.sequence(F.col("aday"), F.date_add(F.col("aday"), 6))
+        ).alias("day"),
     )
-    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
-    dau = day_user.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    return dau.join(wau, "day").select(
+    agg = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau"),
+        # (aday, user_id) is deduplicated, so the day==aday rows ARE the
+        # distinct active users of that day — a plain conditional count
+        F.count(F.when(F.col("day") == F.col("aday"), 1)).alias("dau"),
+    )
+    # the explode manufactures up-to-6 trailing/gap days with wau-only
+    # activity; the contract (and oracle) reports ACTIVE days only
+    return agg.filter(F.col("dau") > 0).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
     )
 

@@ -440,6 +440,33 @@ def test_oracle_table_guard_catches_unknown_table():
         check_oracle_tables(bad, {"events"})
 
 
+def test_oracle_table_guard_walks_comma_lists():
+    """ADVICE r5 #3: 'FROM a, b' implicit cross joins (b26_rolling_dau,
+    b17_stream_sliding oracles) must have EVERY listed table checked, with
+    bare and AS aliases honored and function sources still skipped."""
+    import pytest as pt
+
+    from dataselector_spark.suite.base import (
+        Query,
+        check_oracle_tables,
+        oracle_table_refs,
+    )
+
+    refs, _ = oracle_table_refs(
+        "SELECT * FROM events e, orders AS o, lineitem WHERE 1=1"
+    )
+    assert refs == {"events", "orders", "lineitem"}
+    refs, _ = oracle_table_refs("SELECT * FROM events e, range(7) r")
+    assert refs == {"events"}
+    bad = {
+        "typo2": Query(
+            "typo2", lambda s, d: None, "SELECT * FROM events e, ordres o"
+        )
+    }
+    with pt.raises(ValueError, match="ordres"):
+        check_oracle_tables(bad, {"events", "orders"})
+
+
 def test_connected_components_reports_rounds(spark):
     """stats= must report the propagation round count: a 2-chain converges
     in 2 rounds (propagate + confirm), a path of 5 takes diameter-bound

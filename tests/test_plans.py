@@ -334,3 +334,40 @@ def test_bucketed_join_no_shuffle(spark):
     # aggregation too: one Exchange total
     df2 = QUERIES["b02_bucketed_join"].fn(spark, SF)
     assert shuffle_count(df2) == 1
+
+
+def test_rolling_dau_bounded_shuffles(spark):
+    """VERDICT r5 #8: day-user dedup + 7-day contribution explode + per-day
+    aggregation must stay within three exchanges (dedup agg, re-agg after
+    the explode, final sort) — no join, no window re-shuffle."""
+    df = QUERIES["b26_rolling_dau"].fn(spark, SF)
+    assert shuffle_count(df) <= 3, shuffle_count(df)
+
+
+def test_table_profile_single_scan(spark):
+    """VERDICT r5 #8: the whole-table profile must read the source ONCE
+    (explode to cell level, one aggregation) — a per-column loop of scans is
+    the anti-pattern it exists to avoid."""
+    df = QUERIES["b22_table_profile"].fn(spark, SF)
+    assert len(read_schemas(df)) == 1, read_schemas(df)
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_snapshot_diff_single_full_outer(spark):
+    """VERDICT r5 #8: snapshot diff = exactly one full-outer join over the
+    key — two scans, bounded exchanges, no second pass per change class."""
+    df = QUERIES["b23_snapshot_diff"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1, plan[:2000]
+    assert shuffle_count(df) <= 3, shuffle_count(df)
+
+
+def test_interval_join_colocated_no_exchange_below_join(spark):
+    """VERDICT r5 #7: with both facts written bucketed on the hour-bucket
+    key, the interval join's bucket equi-join must be shuffle-free — the
+    only exchange in the whole query is the final per-interval aggregation."""
+    df = QUERIES["b04_interval_join_colocated"].fn(spark, SF)
+    # the aggregation may add one exchange; the join itself must add none
+    assert shuffle_count(df) <= 1, shuffle_count(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
