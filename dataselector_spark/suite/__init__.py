@@ -68,7 +68,9 @@ _R6_WINDOW = [
     "b09_topk_global",
     "b09_topk_per_group",
     "b10_set_ops",
-    "b10_multiset_ops",
+    # (b10_multiset_ops re-confirm displaced by the new repetition-filter
+    # entry; B10 keeps the in-window twin b10_set_ops, multiset queued r7)
+    "b15_repetition_filter",
     "b10_union_schema_evolution",
     "b02_join_revenue_per_nation",
     "b06_agg_battery",

@@ -2258,6 +2258,57 @@ def b13_containment_pairs(spark, sf_dir):
 
 
 @query(
+    "b15_repetition_filter",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_word AS (
+        SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           CAST(1 AS DOUBLE)
+             - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             AS dup_word_frac,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_word_frac,
+           (CAST(1 AS DOUBLE)
+              - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) <= 0.3
+             AND CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) <= 0.2
+             AS keep
+    FROM per_word GROUP BY doc_id
+    """,
+    doc="B15 (quality filtering, Gopher/C4 repetition rules): per-document "
+    "duplicate-word fraction and most-frequent-word share — the classic "
+    "repetition signals used to drop degenerate/boilerplate documents from "
+    "training corpora — plus the keep verdict at the published-style "
+    "thresholds (dup<=0.3, top<=0.2). Two-level aggregation "
+    "(doc,word)->(doc): the corpus-sized explode is fully map-side "
+    "combined, only |doc| rows reach the second aggregation; single scan, "
+    "all JVM-side, and every fraction is one correctly-rounded "
+    "bigint/bigint double division so the oracle is bit-exact.",
+)
+def b15_repetition_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per_word = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nw = F.sum("n").cast("double")
+    dup = F.lit(1.0) - F.count(F.lit(1)).cast("double") / nw
+    top = F.max("n").cast("double") / nw
+    return per_word.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        dup.alias("dup_word_frac"),
+        top.alias("top_word_frac"),
+        ((dup <= 0.3) & (top <= 0.2)).alias("keep"),
+    )
+
+
+@query(
     "b15_vocab_coverage",
     oracle="""
     WITH tok AS (
