@@ -619,3 +619,132 @@ def test_pgm_codec_property_roundtrip(spark):
     for i, (w, h, raster) in enumerate(cases):
         assert bytes(got[i]["payload"]) == raster, (i, w, h)
         assert (got[i]["meta"]["width"], got[i]["meta"]["height"]) == (w, h)
+
+
+def test_ppm_codec_roundtrip_strictness_and_property(spark):
+    """Color twin of the PGM tests: encode_ppm -> decode_ppm byte-identity
+    on synthesized RGB rasters; header variants accepted; wrong magic,
+    truncated raster, AND trailing bytes all raise (r6 strictness); plus a
+    hypothesis property over arbitrary dimensions/payloads."""
+    import pandas as pd
+    import pytest as pt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataselector_spark.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        synthesize_rgb_bitmaps,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 77, 123]}))
+    src = synthesize_rgb_bitmaps(docs)
+    back = decode_ppm(encode_ppm(src))
+    orig = {r["doc_id"]: r for r in src.collect()}
+    for r in back.collect():
+        o = orig[r["doc_id"]]
+        assert bytes(r["payload"]) == bytes(o["payload"])
+        assert (r["meta"]["width"], r["meta"]["height"]) == (
+            o["meta"]["width"],
+            o["meta"]["height"],
+        )
+
+    raster = bytes(range(18))  # 3x1 RGB x2 rows = w=3,h=2 -> 18 bytes
+    meta = {
+        "media_type": "image/x-portable-pixmap",
+        "width": 3,
+        "height": 2,
+        "n_bytes": 18,
+    }
+
+    def one(payload):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "payload": [payload], "meta": [meta]}),
+            schema="doc_id long, payload binary, "
+            "meta struct<media_type:string,width:int,height:int,n_bytes:bigint>",
+        )
+
+    # header variants
+    for variant in [
+        b"P6\n# c\n3 2\n255\n" + raster,
+        b"P6 \t\n 3 \n# c\n 2 \n255 " + raster,
+    ]:
+        (r,) = decode_ppm(one(variant)).collect()
+        assert bytes(r["payload"]) == raster
+
+    # malformed: wrong magic, truncated, trailing
+    for bad in [
+        b"P5\n3 2\n255\n" + raster,
+        b"P6\n3 2\n255\n" + raster[:-1],
+        b"P6\n3 2\n255\n" + raster + b"x",
+    ]:
+        with pt.raises(Exception):
+            decode_ppm(one(bad)).collect()
+
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def collect(w, h, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        cases.append(
+            (w, h, rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes())
+        )
+
+    collect()
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(cases)),
+            "payload": [
+                f"P6\n{w} {h}\n255\n".encode("ascii") + r for w, h, r in cases
+            ],
+            "meta": [
+                {"media_type": "image/x-portable-pixmap", "width": w,
+                 "height": h, "n_bytes": len(r) + 12}
+                for w, h, r in cases
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        schema="doc_id long, payload binary, "
+        "meta struct<media_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_ppm(df).collect()}
+    for i, (w, h, raster) in enumerate(cases):
+        assert bytes(got[i]["payload"]) == raster, (i, w, h)
+        assert (got[i]["meta"]["width"], got[i]["meta"]["height"]) == (w, h)
+
+
+def test_pgm_decode_rejects_trailing_bytes(spark):
+    """r6 strictness (ADVICE r5 #4): trailing bytes after the PGM raster —
+    a concatenated or corrupted payload — must raise, not decode silently."""
+    import pandas as pd
+    import pytest as pt
+
+    from dataselector_spark.multimodal import decode_pgm
+
+    raster = bytes(range(6))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0],
+                "payload": [b"P5\n3 2\n255\n" + raster + b"zz"],
+                "meta": [
+                    {"media_type": "image/x-portable-graymap", "width": 3,
+                     "height": 2, "n_bytes": 20}
+                ],
+            }
+        ),
+        schema="doc_id long, payload binary, "
+        "meta struct<media_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    with pt.raises(Exception):
+        decode_pgm(df).collect()
