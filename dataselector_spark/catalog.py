@@ -102,6 +102,18 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.ansi.enabled") != "false":
         spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Spark still defaults parquet timestamps to legacy INT96, which carries
+    # NO row-group statistics — every time-range predicate on data WE wrote
+    # would scan 100% of row groups (measured in tools/zorder_ladder.py).
+    # INT64 micros is the modern type, readable by DuckDB/Arrow, and makes
+    # min/max pruning work on every timestamp column.
+    if (
+        spark.conf.get("spark.sql.parquet.outputTimestampType")
+        != "TIMESTAMP_MICROS"
+    ):
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

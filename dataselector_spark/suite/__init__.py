@@ -84,7 +84,10 @@ _R6_WINDOW = [
     "b14_topk_cosine",
     "b16_multimodal_meta",
     "b16_resize",
-    "b16_frame_sample",
+    # (b16_frame_sample re-confirm displaced by the new z-order entry; B16
+    # keeps four in-window twins — meta, resize, features, ppm — frame
+    # sample queued r7)
+    "b22_zorder_key",
     "b21_pandas_udf_scalar",
     "b21_grouped_applyinpandas",
     "b21_python_udtf",

@@ -2463,6 +2463,50 @@ def b22_table_profile(spark, sf_dir):
     )
 
 
+def _zorder_oracle():
+    from ..operators.layout import zorder_key_sql
+
+    expr = zorder_key_sql(["(user_id % 256)", "(event_id % 256)"], bits=8)
+    return f"""
+    SELECT event_id,
+           user_id % 256 AS ux,
+           event_id % 256 AS ex,
+           {expr} AS zkey
+    FROM events
+    """
+
+
+@query(
+    "b22_zorder_key",
+    oracle=_zorder_oracle(),
+    doc="B22 (storage layout, r6): z-order/Morton clustering key — the "
+    "multi-column layout trick behind Delta/Iceberg OPTIMIZE ZORDER BY. "
+    "Interleaving the bits of two normalized dimensions gives every "
+    "range-partitioned output file a small bounding box in BOTH, so parquet "
+    "min/max row-group stats prune scans for predicates on EITHER column "
+    "(single-column sort prunes only its own). Key math is pure JVM bit "
+    "arithmetic inside whole-stage codegen; the oracle replays every bit "
+    "via the SAME generated interleave expression (operators/layout.py "
+    "zorder_key_sql). Write-side: cluster_by_zorder = repartitionByRange + "
+    "sortWithinPartitions, one write-time shuffle amortized over every "
+    "subsequent pruned scan; MEASURED in tools/zorder_ladder.py.",
+)
+def b22_zorder_key(spark, sf_dir):
+    from ..operators.layout import zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    ux = (F.col("user_id") % 256).alias("ux")
+    ex = (F.col("event_id") % 256).alias("ex")
+    return e.select(
+        "event_id",
+        ux,
+        ex,
+        zorder_key([F.col("user_id") % 256, F.col("event_id") % 256]).alias(
+            "zkey"
+        ),
+    )
+
+
 @query(
     "b23_snapshot_diff",
     oracle="""

@@ -748,3 +748,56 @@ def test_pgm_decode_rejects_trailing_bytes(spark):
     )
     with pt.raises(Exception):
         decode_pgm(df).collect()
+
+
+def test_zorder_key_interleave_and_clustering(spark):
+    """zorder_key must be the exact Morton interleave (closed-form check on
+    hand values), zorder_key_sql must replay it bit-for-bit in DuckDB, and
+    cluster_by_zorder must range-partition so each output file covers a
+    contiguous key range."""
+    import duckdb
+
+    from dataselector_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()
+
+    def morton(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+    # distinct inputs -> distinct keys over the full 8-bit grid
+    assert len({r["z"] for r in rows}) == 256
+
+    got = duckdb.sql(
+        "SELECT x, y, " + zorder_key_sql(["x", "y"], bits=4) + " AS z "
+        "FROM (SELECT r % 16 AS x, r // 16 AS y "
+        "      FROM (SELECT unnest(range(0, 256)) AS r))"
+    ).fetchall()
+    for x, y, z in got:
+        assert z == morton(x, y), (x, y)
+
+    clustered = cluster_by_zorder(
+        df, zorder_key([F.col("x"), F.col("y")], bits=4), partitions=4
+    )
+    # each partition must hold a contiguous, non-overlapping key range
+    parts = clustered.select(
+        F.spark_partition_id().alias("pid"),
+        zorder_key([F.col("x"), F.col("y")], bits=4).alias("z"),
+    ).groupBy("pid").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+    spans = sorted((r["lo"], r["hi"]) for r in parts.collect())
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
