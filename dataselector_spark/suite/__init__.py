@@ -95,7 +95,9 @@ _R6_WINDOW = [
     "q8_market_share",
     "q9_product_type_profit",
     "q11_important_parts",
-    "q12_late_shipment_priority",
+    # (q12 re-confirm displaced by the end-to-end curation pipeline entry;
+    # ten TPC-H analogues remain in-window, q12 queued r7)
+    "b24_curation_pipeline",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",

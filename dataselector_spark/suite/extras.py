@@ -2274,7 +2274,7 @@ def b13_containment_pairs(spark, sf_dir):
              AS dup_word_frac,
            CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_word_frac,
            (CAST(1 AS DOUBLE)
-              - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) <= 0.3
+              - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) <= 0.6
              AND CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) <= 0.2
              AS keep
     FROM per_word GROUP BY doc_id
@@ -2282,8 +2282,11 @@ def b13_containment_pairs(spark, sf_dir):
     doc="B15 (quality filtering, Gopher/C4 repetition rules): per-document "
     "duplicate-word fraction and most-frequent-word share — the classic "
     "repetition signals used to drop degenerate/boilerplate documents from "
-    "training corpora — plus the keep verdict at the published-style "
-    "thresholds (dup<=0.3, top<=0.2). Two-level aggregation "
+    "training corpora — plus the keep verdict. Thresholds are calibrated "
+    "to THIS synthetic corpus (dup<=0.6, top<=0.2; its small vocabulary "
+    "puts median dup-fraction at 0.55, so Gopher's published 0.3 would "
+    "degenerate to drop-85%) — the signals themselves are the exact "
+    "published quantities. Two-level aggregation "
     "(doc,word)->(doc): the corpus-sized explode is fully map-side "
     "combined, only |doc| rows reach the second aggregation; single scan, "
     "all JVM-side, and every fraction is one correctly-rounded "
@@ -2304,7 +2307,7 @@ def b15_repetition_filter(spark, sf_dir):
         F.count(F.lit(1)).alias("n_distinct"),
         dup.alias("dup_word_frac"),
         top.alias("top_word_frac"),
-        ((dup <= 0.3) & (top <= 0.2)).alias("keep"),
+        ((dup <= 0.6) & (top <= 0.2)).alias("keep"),
     )
 
 
@@ -2460,6 +2463,122 @@ def b22_table_profile(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("v").alias("n_nonnull"),
         F.countDistinct("v").alias("n_distinct"),
+    )
+
+
+@query(
+    "b24_curation_pipeline",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               END AS text
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM injected
+    ),
+    per_word AS (
+        SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
+    ),
+    signals AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(1 AS DOUBLE)
+                 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                 AS dup_frac,
+               CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_frac
+        FROM per_word GROUP BY doc_id
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               md5(regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+        FROM injected
+    ),
+    kept AS (
+        SELECT s.doc_id, g.n_words, g.dup_frac, g.top_frac, s.scrubbed_md5
+        FROM scrubbed s JOIN signals g USING (doc_id)
+        WHERE g.dup_frac <= 0.6 AND g.top_frac <= 0.2 AND g.n_words >= 5
+    )
+    SELECT doc_id, n_words, dup_frac, top_frac, scrubbed_md5
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY scrubbed_md5 ORDER BY doc_id) AS rn
+          FROM kept)
+    WHERE rn = 1
+    """,
+    doc="B24 (LLM curation END-TO-END, r6): the full document-curation "
+    "pipeline as ONE value-checked dataflow — repetition quality signals "
+    "(Gopher dup/top-word fractions) -> corpus-calibrated threshold "
+    "filter (see b15_repetition_filter) -> PII scrub "
+    "(same injected corpus as b15_pii_scrub) -> exact dedup on the "
+    "scrubbed text with deterministic min-doc_id survivor. Scale shape: "
+    "every per-document signal (word stats via sort_array + aggregate "
+    "run-length, scrub via regexp_replace) is computed in a SINGLE "
+    "map-only pass with higher-order functions — no explode, no "
+    "self-join, no second scan; the only shuffle is the dedup window on "
+    "the scrubbed hash. The oracle replays every stage in SQL CTEs.",
+)
+def b24_curation_pipeline(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    )
+    words = F.sort_array(F.split(injected, " "))
+    # max same-word run length over the sorted array == top word count,
+    # computed per-row inside codegen (no explode, no per-doc aggregation)
+    top_n = F.aggregate(
+        words,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    nw = F.size(words).cast("double")
+    scrubbed = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(injected, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(_PHONE_RE),
+            F.lit("[PHONE]"),
+        )
+    )
+    sig = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / nw
+        ).alias("dup_frac"),
+        (top_n.cast("double") / nw).alias("top_frac"),
+        scrubbed.alias("scrubbed_md5"),
+    )
+    kept = sig.filter(
+        (F.col("dup_frac") <= 0.6)
+        & (F.col("top_frac") <= 0.2)
+        & (F.col("n_words") >= 5)
+    )
+    w = Window.partitionBy("scrubbed_md5").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
