@@ -371,3 +371,28 @@ def test_interval_join_colocated_no_exchange_below_join(spark):
     assert shuffle_count(df) <= 1, shuffle_count(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_repetition_filter_bounded(spark):
+    """Two-level (doc,word)->(doc) aggregation: single scan, two exchanges,
+    map-side combine absorbing the corpus-sized explode."""
+    df = QUERIES["b15_repetition_filter"].fn(spark, SF)
+    assert len(read_schemas(df)) == 1
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_zorder_key_map_only(spark):
+    """The z-order key is pure per-row bit arithmetic — no shuffle at all."""
+    df = QUERIES["b22_zorder_key"].fn(spark, SF)
+    assert shuffle_count(df) == 0, shuffle_count(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan  # whole-stage codegen — JVM-side, no Python boundary
+
+
+def test_curation_pipeline_single_scan_single_shuffle(spark):
+    """The end-to-end curation pipeline computes every per-doc signal in one
+    map-only pass (higher-order functions, no explode/self-join); the dedup
+    window is the ONLY exchange."""
+    df = QUERIES["b24_curation_pipeline"].fn(spark, SF)
+    assert len(read_schemas(df)) == 1, read_schemas(df)
+    assert shuffle_count(df) == 1, shuffle_count(df)
