@@ -30,11 +30,14 @@ from . import extras  # noqa: F401,E402
 # surface; round 4 repeated r3 by mistake; round 5 re-verified the r4 reds +
 # the never-checked tail (50/50 green).  The round-6 window below (VERDICT r5
 # "Next round" #1) = the 4 entries whose oracles were upgraded in r3 but whose
-# only driver rows predate the upgrade (their rows still say no_oracle) + 2
-# entries new this round + 44 re-confirms of entries last driver-checked in
-# r1/r2, BEFORE the r4 testdata regeneration — prioritizing r1 greens, then
-# the r2 fuzzy-dedup / multimodal / UDF / TPC-H surface.  The ~27 remaining
-# stale entries are queued for the r7 window (VERDICT r5 #2).
+# only driver rows predate the upgrade (their rows still say no_oracle) + 5
+# entries new this round (PPM codec, colocated interval join, repetition
+# filter, z-order key, curation pipeline) + 41 re-confirms of entries last
+# driver-checked in r1/r2, BEFORE the r4 testdata regeneration — prioritizing
+# r1 greens, then the r2 fuzzy-dedup / multimodal / UDF / TPC-H surface.
+# The ~30 remaining stale entries (incl. the three displaced re-confirms
+# b10_multiset_ops / b16_frame_sample / q12, each with in-window twins) are
+# queued for the r7 window (VERDICT r5 #2).
 # tests/test_advice_fixes.py::test_driver_window_targets_unchecked_entries
 # derives the same priority classes from the CORRECTNESS_r*.json artifacts, so
 # a forgotten rotation fails CI instead of burning a driver round.
