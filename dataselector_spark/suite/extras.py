@@ -2026,30 +2026,31 @@ def b15_pii_scrub(spark, sf_dir):
 def b02_bucketed_join(spark, sf_dir):
     import os
 
+    from ..operators.layout import dir_fingerprint, ensure_bucketed_table
+
     base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     root = os.path.join("/tmp/dataselector_roundtrip", base)
     to, tl = f"bkt_{base}_orders", f"bkt_{base}_lineitem"
-    (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", os.path.join(root, to))
-        .saveAsTable(to)
+    o = ensure_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        to,
+        os.path.join(root, to),
+        8,
+        "o_orderkey",
+        fingerprint=dir_fingerprint(os.path.join(sf_dir, "orders.parquet")),
     )
-    (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", os.path.join(root, tl))
-        .saveAsTable(tl)
+    l = ensure_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        tl,
+        os.path.join(root, tl),
+        8,
+        "l_orderkey",
+        fingerprint=dir_fingerprint(os.path.join(sf_dir, "lineitem.parquet")),
     )
-    o, l = spark.table(to), spark.table(tl)
     joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -357,6 +357,8 @@ def b04_interval_join_bucketed(spark, sf_dir):
 def b04_interval_join_colocated(spark, sf_dir):
     import os
 
+    from ..operators.layout import dir_fingerprint, ensure_bucketed_table
+
     e = _t(spark, sf_dir, "events")
     base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     root = os.path.join("/tmp/dataselector_roundtrip", base)
@@ -376,16 +378,15 @@ def b04_interval_join_colocated(spark, sf_dir):
         F.col("end"),
         3600,
     )
-    for df, t in ((points, tp), (intervals, ti)):
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(8, "__bucket")
-            .sortBy("__bucket")
-            .option("path", os.path.join(root, t))
-            .saveAsTable(t)
-        )
-    p, iv = spark.table(tp), spark.table(ti)
+    # write-once: reuse the bucketed layout while the source is unchanged
+    # (content fingerprint; a regen or fresh metastore rewrites)
+    fp = dir_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    p = ensure_bucketed_table(
+        spark, points, tp, os.path.join(root, tp), 8, "__bucket", fingerprint=fp
+    )
+    iv = ensure_bucketed_table(
+        spark, intervals, ti, os.path.join(root, ti), 8, "__bucket", fingerprint=fp
+    )
     # merge hint: exercise the co-located sort-merge path (a broadcast would
     # also be shuffle-free but wouldn't prove the bucketed layout works)
     joined = p.join(iv.hint("merge"), "__bucket").filter(

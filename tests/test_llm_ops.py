@@ -801,3 +801,28 @@ def test_zorder_key_interleave_and_clustering(spark):
     spans = sorted((r["lo"], r["hi"]) for r in parts.collect())
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans
+
+
+def test_ensure_bucketed_table_reuses_and_invalidates(spark, tmp_path):
+    """Write-once bucketed layout: a second call with the same source
+    fingerprint must NOT rewrite (marker mtime unchanged); a changed
+    fingerprint must rewrite; results identical either way."""
+    import os
+
+    from dataselector_spark.operators.layout import ensure_bucketed_table
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "bkt")
+    fp1 = [("src", 1, 10)]
+    t1 = ensure_bucketed_table(spark, df, "ebt_test", path, 4, "k", fingerprint=fp1)
+    assert t1.count() == 100
+    marker = os.path.join(path, "_dsspark_fingerprint.json")
+    mtime1 = os.stat(marker).st_mtime_ns
+    t2 = ensure_bucketed_table(spark, df, "ebt_test", path, 4, "k", fingerprint=fp1)
+    assert t2.count() == 100
+    assert os.stat(marker).st_mtime_ns == mtime1  # no rewrite
+    df2 = spark.range(50).withColumnRenamed("id", "k")
+    t3 = ensure_bucketed_table(
+        spark, df2, "ebt_test", path, 4, "k", fingerprint=[("src", 2, 11)]
+    )
+    assert t3.count() == 50  # rewrite picked up the new source
