@@ -35,9 +35,15 @@ from . import extras  # noqa: F401,E402
 # filter, z-order key, curation pipeline) + 41 re-confirms of entries last
 # driver-checked in r1/r2, BEFORE the r4 testdata regeneration — prioritizing
 # r1 greens, then the r2 fuzzy-dedup / multimodal / UDF / TPC-H surface.
-# The ~30 remaining stale entries (incl. the three displaced re-confirms
-# b10_multiset_ops / b16_frame_sample / q12, each with in-window twins) are
-# queued for the r7 window (VERDICT r5 #2).
+# The 32 remaining stale entries are queued for the r7 window (VERDICT r5
+# #2) — computed from the CORRECTNESS artifacts (latest driver round < 4,
+# not in this window): a08/a09/a11/a13_insert/a17_compound/a18_forward/
+# a27/a29, b01 parquet/csv/json/orc/text roundtrips, b02 left/right/full
+# outer + lateral_topk, b03 semi/anti, b06_approx_distinct +
+# b06_correlation_exact_moments, b10_multiset_ops, b12_dedup_composite_key,
+# b13_minhash_lsh/b13_simhash (rows-only), b14_embedding_neardup,
+# b15 text_stats/fingerprint/token_counts/tfidf_top_term, b16_frame_sample,
+# q12 — 32 slots, leaving ~18 free for r7 additions/re-confirms.
 # tests/test_advice_fixes.py::test_driver_window_targets_unchecked_entries
 # derives the same priority classes from the CORRECTNESS_r*.json artifacts, so
 # a forgotten rotation fails CI instead of burning a driver round.
