@@ -24,7 +24,9 @@ SF = "/root/testdata/sf0.01"
 
 
 def main() -> None:
-    from bench import HEADLINE
+    from bench import EXTRA_R6, HEADLINE
+
+    HEADLINE = HEADLINE + EXTRA_R6
 
     spark = get_spark("plan-dump", cpus=8, shuffle_partitions=8)
     out = [
