@@ -1775,16 +1775,21 @@ def b01_orc_roundtrip_lineitem(spark, sf_dir):
 )
 def b15_bpe_pair_counts(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # bind the token array once (array-lambda trick, see word_ngrams):
+    # referencing the split inside the per-position lambda re-runs the regex
+    # split for every pair position — O(tokens²) splits per document
+    pairs = F.transform(
+        F.array(F.split(F.col("text"), " ")),
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
     return (
         d.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
