@@ -826,3 +826,30 @@ def test_ensure_bucketed_table_reuses_and_invalidates(spark, tmp_path):
         spark, df2, "ebt_test", path, 4, "k", fingerprint=[("src", 2, 11)]
     )
     assert t3.count() == 50  # rewrite picked up the new source
+
+
+def test_zorder_key_three_columns(spark):
+    """The Morton interleave generalizes to n dimensions: bit b of column i
+    lands at b*n + i. Exhaustive 8x8x8 grid at bits=3, distinct keys."""
+    from dataselector_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y, z) for x in range(8) for y in range(8) for z in range(8)],
+        "x long, y long, z long",
+    )
+    rows = df.select(
+        "x", "y", "z",
+        zorder_key([F.col("x"), F.col("y"), F.col("z")], bits=3).alias("zk"),
+    ).collect()
+
+    def morton3(x, y, z, bits=3):
+        k = 0
+        for b in range(bits):
+            k |= ((x >> b) & 1) << (3 * b)
+            k |= ((y >> b) & 1) << (3 * b + 1)
+            k |= ((z >> b) & 1) << (3 * b + 2)
+        return k
+
+    for r in rows:
+        assert r["zk"] == morton3(r["x"], r["y"], r["z"])
+    assert len({r["zk"] for r in rows}) == 512
