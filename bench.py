@@ -58,12 +58,16 @@ HEADLINE = [
     "flagship_minute_flag_counts",  # reference read path
 ]
 
-# Round-6 additions: measured and reported per-query, but excluded from
-# `value` so the headline metric stays comparable with BENCH_r3..r5 on the
-# identical 31-query set (the judge's cross-round curve). The colocated
-# interval join's timing includes its one-time bucketed WRITE of both
-# sides — the amortized probe alone is ~3x faster (tools/interval_ladder.py).
-EXTRA_R6 = [
+# HEADLINE_V2 (VERDICT r6 #5): the round-6 additions, FROZEN as a second
+# versioned wall (`headline_v2_wall`) so r7+ rounds compare them
+# round-over-round exactly like the 31-query v1 set. Excluded from `value`
+# so the v1 metric stays comparable with BENCH_r3..r6. For the colocated
+# interval join, only the first COLD rep pays the one-time bucketed WRITE
+# of both sides (ensure_bucketed_table's fingerprint marker skips it on
+# later reps — and on later bench runs entirely, if /tmp persists); the
+# reported median-of-warm number is the amortized zero-shuffle probe
+# (ADVICE r6 #4; write-vs-probe split measured in tools/interval_ladder.py).
+HEADLINE_V2 = [
     "b26_rolling_dau",  # B26 single-scan DAU/WAU contribution explode
     "b15_repetition_filter",  # B15 Gopher repetition quality signals
     "b16_ppm_roundtrip",  # B16 color codec roundtrip (Arrow mapInPandas)
@@ -89,7 +93,7 @@ def main() -> None:
     # medians are robust to local[32] GC jitter that min/best-of-2 is not.
     reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTRA_R6:
+    for name in HEADLINE + HEADLINE_V2:
         fn = QUERIES[name].fn
         runs: list[float] = []
         for _ in range(reps):
@@ -105,7 +109,7 @@ def main() -> None:
         timings[name] = round(median, 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
-    extra = round(sum(timings[n] for n in EXTRA_R6), 3)
+    extra = round(sum(timings[n] for n in HEADLINE_V2), 3)
     print(
         json.dumps(
             {
@@ -119,6 +123,9 @@ def main() -> None:
                 # `value` spans the r3-stable 31-query headline set only;
                 # the 6 r6 additions are timed in queries{} and summed here
                 "headline_n": len(HEADLINE),
+                "headline_v2_wall": extra,
+                "headline_v2_n": len(HEADLINE_V2),
+                # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,
                 # r3+ are median of warm reps — make the JSON self-describing

@@ -51,20 +51,37 @@ def zorder_key_sql(col_exprs: list[str], bits: int = 8) -> str:
 
 
 def dir_fingerprint(path: str) -> list:
-    """Content fingerprint of a data file/directory: (name, mtime_ns, size)
-    per part file. Cheap (os.stat only) and catches regeneration — the same
+    """Content fingerprint of a data file/directory: (relpath, mtime_ns,
+    size) per part file, walked RECURSIVELY so an in-place rewrite inside a
+    nested (e.g. hive-partitioned) layout — which changes neither the
+    subdirectory's mtime nor its size — still invalidates (ADVICE r6 #2).
+    Cheap (one os.stat per file) and catches regeneration — the same
     invalidation rule as catalog.events_ts_unit's probe cache."""
     import os
 
     if os.path.isdir(path):
-        return sorted(
-            (e, os.stat(os.path.join(path, e)).st_mtime_ns,
-             os.stat(os.path.join(path, e)).st_size)
-            for e in os.listdir(path)
-            if not e.startswith(("_", "."))
-        )
+        out = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for e in files:
+                if e.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, e))
+                rel = os.path.relpath(os.path.join(root, e), path)
+                out.append((rel, st.st_mtime_ns, st.st_size))
+        return sorted(out)
     st = os.stat(path)
     return [(os.path.basename(path), st.st_mtime_ns, st.st_size)]
+
+
+def _layout_version(df: DataFrame, n_buckets: int, key: str) -> str:
+    """Hash of the DERIVED layout (schema + bucket count + bucket key) so a
+    changed query definition over an unchanged source invalidates the
+    write-once marker (ADVICE r6 #1)."""
+    import hashlib
+
+    spec = f"{df.schema.json()}|{n_buckets}|{key}"
+    return hashlib.sha256(spec.encode()).hexdigest()[:16]
 
 
 def ensure_bucketed_table(
@@ -89,10 +106,12 @@ def ensure_bucketed_table(
     import os
 
     marker = os.path.join(path, "_dsspark_fingerprint.json")
+    layout = _layout_version(df, n_buckets, key)
+    want = {"source": [list(t) for t in fingerprint or []], "layout": layout}
     if fingerprint is not None and os.path.exists(marker):
         try:
             with open(marker) as f:
-                same = json.load(f) == [list(t) for t in fingerprint]
+                same = json.load(f) == want
         except Exception:
             same = False
         if same and spark.catalog.tableExists(table):
@@ -106,8 +125,12 @@ def ensure_bucketed_table(
         .saveAsTable(table)
     )
     if fingerprint is not None:
-        with open(marker, "w") as f:
-            json.dump([list(t) for t in fingerprint], f)
+        # Atomic publish (write-tmp + rename) so a concurrent reader never
+        # sees a torn marker (VERDICT r6 next-round #4).
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, marker)
     return spark.table(table)
 
 

@@ -828,6 +828,58 @@ def test_ensure_bucketed_table_reuses_and_invalidates(spark, tmp_path):
     assert t3.count() == 50  # rewrite picked up the new source
 
 
+def test_ensure_bucketed_table_invalidates_on_layout_change(spark, tmp_path):
+    """ADVICE r6 #1: the marker keys on the DERIVED layout too — same
+    source fingerprint but a different schema, bucket count, or key must
+    rewrite rather than silently serve the stale table."""
+    import os
+
+    from dataselector_spark.operators.layout import ensure_bucketed_table
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "bkt")
+    fp = [("src", 1, 10)]
+    ensure_bucketed_table(spark, df, "ebt_layout", path, 4, "k", fingerprint=fp)
+    marker = os.path.join(path, "_dsspark_fingerprint.json")
+    mtime1 = os.stat(marker).st_mtime_ns
+
+    # bucket-count change, same source → must rewrite
+    ensure_bucketed_table(spark, df, "ebt_layout", path, 8, "k", fingerprint=fp)
+    mtime2 = os.stat(marker).st_mtime_ns
+    assert mtime2 != mtime1
+
+    # schema change (extra column), same source → must rewrite
+    df_wide = df.withColumn("v", F.col("k") * 2)
+    t = ensure_bucketed_table(
+        spark, df_wide, "ebt_layout", path, 8, "k", fingerprint=fp
+    )
+    assert os.stat(marker).st_mtime_ns != mtime2
+    assert t.columns == ["k", "v"]
+
+
+def test_dir_fingerprint_recursive(tmp_path):
+    """ADVICE r6 #2: a rewrite INSIDE a nested subdirectory (partitioned
+    layout) must change the fingerprint even though the top-level dir's
+    entries are unchanged."""
+    import os
+    import time
+
+    from dataselector_spark.operators.layout import dir_fingerprint
+
+    sub = tmp_path / "date=2026-01-01"
+    sub.mkdir()
+    f = sub / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    (tmp_path / "_SUCCESS").write_bytes(b"")  # underscore files ignored
+    fp1 = dir_fingerprint(str(tmp_path))
+    assert fp1 and all("part-0" in e[0] for e in fp1)
+    time.sleep(0.01)
+    f.write_bytes(b"bbbb")  # same size, same top-level mtime relevance
+    os.utime(sub, ns=(0, 0))  # freeze subdir mtime: only the file changed
+    fp2 = dir_fingerprint(str(tmp_path))
+    assert fp1 != fp2
+
+
 def test_zorder_key_three_columns(spark):
     """The Morton interleave generalizes to n dimensions: bit b of column i
     lands at b*n + i. Exhaustive 8x8x8 grid at bits=3, distinct keys."""
