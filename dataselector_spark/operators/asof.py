@@ -117,3 +117,124 @@ def asof_join(
             for c in right_payload
         ],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance=None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')``: for each left row, attach
+    the right row (same ``on`` key) whose timestamp is CLOSEST in either
+    direction; equal distance breaks to the earlier (backward) row.
+
+    Same merge-asof plan as `asof_join` — one union, ONE hash shuffle on the
+    key, one per-key sort — with TWO window frames over that single sort:
+    ``last(payload) ignorenulls`` over UNBOUNDED PRECEDING..CURRENT (the
+    backward candidate) and ``first(payload) ignorenulls`` over
+    CURRENT..UNBOUNDED FOLLOWING (the forward candidate), then a row-local
+    CASE picks the closer. An exactly-simultaneous right row sorts BEFORE
+    the left row, so it is the backward candidate at distance 0 — which
+    always wins — making the forward frame's blindness to equal timestamps
+    harmless.
+
+    Determinism: right rows are deduplicated to one row per (key, ts) first
+    (greatest ``dedup_tiebreak`` tuple wins — REQUIRED for a stable survivor;
+    defaults to the payload columns), mirroring what an engine-native ASOF
+    leaves unspecified under timestamp ties.
+
+    ``tolerance``: maximum allowed |left_ts - right_ts| (Column or literal
+    in the ts difference algebra); farther matches are nulled, both
+    directions.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, right_ts)]
+
+    from .dedup import dedup_exact
+
+    right = dedup_exact(
+        right, [on, right_ts], [F.col(c).desc() for c in right_payload]
+    )
+
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__match_ts"),
+            *[F.col(c) for c in right_payload],
+        ).alias("__p"),
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left.columns],
+    )
+    r_full = r.select(
+        "__k",
+        "__ts",
+        "__side",
+        "__p",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    unioned = r_full.unionByName(l.select("__k", "__ts", "__side", "__p", *left.columns))
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    w_back = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *left.columns,
+        F.col(left_ts).alias("__lts"),
+        F.col("__side"),
+        F.last("__p", ignorenulls=True).over(w_back).alias("__b"),
+        F.first("__p", ignorenulls=True).over(w_fwd).alias("__f"),
+    ).filter(F.col("__side") == 1)
+
+    # Distance algebra: exact micros for timestamps, plain subtraction for
+    # numeric ts — both engine-exact longs/doubles, no float rounding.
+    is_ts = str(left.schema[left_ts].dataType).startswith("Timestamp")
+
+    def dist(a: Column, b: Column) -> Column:
+        if is_ts:
+            return F.unix_micros(a) - F.unix_micros(b)
+        return a - b
+
+    b_ts = F.col("__b").getField("__match_ts")
+    f_ts = F.col("__f").getField("__match_ts")
+    d_b = dist(F.col("__lts"), b_ts)
+    d_f = dist(f_ts, F.col("__lts"))
+    winner = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(d_f < d_b, F.col("__f"))  # strict: ties fall back(ward)
+        .otherwise(F.col("__b"))
+    )
+    picked = filled.withColumn("__p", winner)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        w_ts = F.col("__p").getField("__match_ts")
+        gap = F.when(w_ts <= F.col("__lts"), F.col("__lts") - w_ts).otherwise(
+            w_ts - F.col("__lts")
+        )
+        picked = picked.withColumn(
+            "__p", F.when(F.col("__p").isNotNull() & (gap <= tol), F.col("__p"))
+        )
+    return picked.select(
+        *left.columns,
+        *[F.col("__p").getField(c).alias(f"{c}{suffix}") for c in right_payload],
+    )

@@ -2690,3 +2690,300 @@ def b23_snapshot_diff(spark, sf_dir):
         F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
         change.alias("change"),
     )
+
+
+# --- round 7 additions -------------------------------------------------------
+
+
+@query(
+    "b05_asof_nearest",
+    oracle="""
+    WITH errs AS (
+        SELECT user_id, ts, event_id AS near_error_id, value AS near_error_value
+        FROM events WHERE event_type = 'error'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts
+            ORDER BY near_error_id DESC, near_error_value DESC) = 1
+    )
+    SELECT e.event_id,
+           CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+                WHEN b.ts IS NULL THEN f.near_error_id
+                WHEN f.ts IS NULL THEN b.near_error_id
+                WHEN (f.ts - e.ts) < (e.ts - b.ts) THEN f.near_error_id
+                ELSE b.near_error_id END AS near_error_id,
+           CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+                WHEN b.ts IS NULL THEN f.near_error_value
+                WHEN f.ts IS NULL THEN b.near_error_value
+                WHEN (f.ts - e.ts) < (e.ts - b.ts) THEN f.near_error_value
+                ELSE b.near_error_value END AS near_error_value
+    FROM events e
+    ASOF LEFT JOIN errs b ON e.user_id = b.user_id AND e.ts >= b.ts
+    ASOF LEFT JOIN errs f ON e.user_id = f.user_id AND e.ts <= f.ts
+    """,
+    doc="B5 (r7): as-of join with direction='nearest' (pandas merge_asof) — "
+    "each event attaches the same user's CLOSEST error in either direction; "
+    "equal distance breaks backward. Same single-shuffle merge-asof plan as "
+    "b05_asof_join, with two window frames (backward last / forward first) "
+    "over the one per-key sort and a row-local CASE picking the closer — "
+    "never a theta-join pair blowup. Right side deduped to one row per "
+    "(user, ts) so the survivor under timestamp ties is deterministic in "
+    "both engines (DuckDB replays it via the two-ASOF decomposition: "
+    "backward >= + forward <=, dist compare).",
+)
+def b05_asof_nearest(spark, sf_dir):
+    from ..operators.asof import asof_join_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("near_error_id"),
+        F.col("value").alias("near_error_value"),
+    )
+    joined = asof_join_nearest(
+        e.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        right_payload=["near_error_id", "near_error_value"],
+        suffix="",
+    )
+    return joined.select("event_id", "near_error_id", "near_error_value")
+
+
+@query(
+    "b12_dedup_normalized_text",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           count(*) AS n_dupes,
+           min(length(norm)) AS norm_chars
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    GROUP BY md5(norm)
+    """,
+    doc="B12 (r7): normalization-then-exact dedup — the standard curation "
+    "step between byte-exact and fuzzy dedup: lowercase, collapse every "
+    "non-alphanumeric run to one space, trim, then group. The group key is "
+    "md5(norm), NOT the normalized text itself: at 100 TB the shuffle moves "
+    "16-byte digests instead of multi-KB strings (the same width argument "
+    "as b12_dedup_exact), and min/count are partial-aggregatable so the "
+    "map side combines before the exchange. Survivor = min doc_id, "
+    "deterministic. Normalization is engine-portable POSIX regex; DuckDB "
+    "replays it with regexp_replace(..., 'g') and the identical md5.",
+)
+def b12_dedup_normalized_text(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .groupBy(F.md5(F.col("norm")).alias("__sig"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min(F.length("norm")).alias("norm_chars"),
+        )
+        .select("doc_id", "n_dupes", "norm_chars")
+    )
+
+
+@query(
+    "b24_token_budget_cap",
+    oracle="""
+    SELECT doc_id, source, cum_chars FROM (
+        SELECT doc_id, source,
+               CAST(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_chars
+        FROM documents
+    ) WHERE cum_chars <= 100000
+    """,
+    doc="B24 (r7): per-domain token-budget capping — keep each source's "
+    "documents in deterministic (doc_id) order until a running size budget "
+    "is exhausted, the mixture-control step that stops one crawled domain "
+    "from dominating a training corpus (DoReMi/Pile-style domain caps by "
+    "budget rather than count). One window (running sum per source) + a "
+    "filter: a single hash shuffle on source, linear state. Under a "
+    "mega-domain the running sum is the textbook prefix-sum skew case — "
+    "the two-level distributed prefix sum in operators/prefixsum.py "
+    "(b15_sequence_packing) is the drop-in replacement at that scale.",
+)
+def b24_token_budget_cap(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.sum("n_chars").over(w).alias("cum_chars"),
+        )
+        .filter(F.col("cum_chars") <= 100000)
+    )
+
+
+def _zorder3_oracle():
+    from ..operators.layout import zorder_key_sql
+
+    expr = zorder_key_sql(
+        ["(user_id % 64)", "(event_id % 64)", "date_part('minute', ts)"],
+        bits=6,
+    )
+    return f"""
+    SELECT event_id,
+           user_id % 64 AS ux,
+           event_id % 64 AS ex,
+           date_part('minute', ts) AS mx,
+           {expr} AS zkey
+    FROM events
+    """
+
+
+@query(
+    "b22_zorder_key_3d",
+    oracle=_zorder3_oracle(),
+    doc="B22 (r7): three-dimensional z-order key — the Morton interleave "
+    "generalized to (user, event, minute-of-hour): bit b of column i lands "
+    "at b*3 + i, so every range-partitioned file gets a bounding box small "
+    "in ALL THREE clustered dimensions and parquet row-group stats prune "
+    "predicates on any of them. 6 bits/dim = an 18-bit key: resolution "
+    "deliberately saturates (adding bits past the file count adds nothing "
+    "— the curve only needs to order FILES). Pure JVM bit arithmetic in "
+    "whole-stage codegen; the oracle replays every bit via the shared "
+    "zorder_key_sql generator (operators/layout.py).",
+)
+def b22_zorder_key_3d(spark, sf_dir):
+    from ..operators.layout import zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    dims = [
+        F.col("user_id") % 64,
+        F.col("event_id") % 64,
+        F.minute("ts").cast("long"),
+    ]
+    return e.select(
+        "event_id",
+        (F.col("user_id") % 64).alias("ux"),
+        (F.col("event_id") % 64).alias("ex"),
+        F.minute("ts").cast("long").alias("mx"),
+        zorder_key(dims, bits=6).alias("zkey"),
+    )
+
+
+@query(
+    "b22_zorder_write_readback",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    doc="B22 (r7): the z-order WRITE path itself, driver-checked end to end "
+    "— cluster_by_zorder (repartitionByRange on the Morton key + "
+    "sortWithinPartitions) writes the events projection to parquet, the "
+    "entry reads that layout back and returns its content, and the oracle "
+    "is the plain source projection: proves the one-shuffle clustered "
+    "rewrite is content-preserving (no row lost/duplicated/mutated by the "
+    "range repartition), closing the gap where only the key MATH had a "
+    "driver row (b22_zorder_key) while the write was pytest-only. "
+    "Clustering effectiveness (contiguous per-file key spans, 25%-of-scan "
+    "row-group pruning) is asserted in tests/test_llm_ops.py and measured "
+    "in tools/zorder_ladder.py.",
+)
+def b22_zorder_write_readback(spark, sf_dir):
+    import os
+
+    from ..operators.layout import cluster_by_zorder, zorder_key
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    zk = zorder_key([F.col("user_id") % 256, F.col("event_id") % 256], bits=8)
+    out = f"/tmp/dsspark_zrb_{os.path.basename(sf_dir.rstrip('/'))}"
+    cluster_by_zorder(e, zk, partitions=8).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "b23_streaming_upsert_sink",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="B23 (r7): the STREAMING half of MERGE/CDC, driver-checked — a real "
+    "Structured Streaming run (file source, maxFilesPerTrigger=1, "
+    "availableNow) folds three time-ordered micro-batches of the events "
+    "feed through the crash-safe foreachBatch upsert sink "
+    "(streaming/upsert_sink -> operators/merge.merge_upsert: batch ANTI "
+    "JOIN target + UNION, staged-rename publish), then returns the final "
+    "materialized per-user state. Batches are disjoint ascending time "
+    "ranges, so last-write-wins composes across batches and the oracle is "
+    "closed-form: the max-(ts, event_id) row per user. Per batch the merge "
+    "is ONE key shuffle (co-located and shuffle-free once the target is "
+    "key-bucketed); the local sink rewrites the whole target, the "
+    "documented cluster posture is dynamic partition overwrite of only "
+    "the key-bucket partitions a batch touches.",
+)
+def b23_streaming_upsert_sink(spark, sf_dir):
+    import os
+    import shutil
+
+    from ..streaming import upsert_sink
+
+    e = load_table(spark, sf_dir, "events")
+    base = f"/tmp/dsspark_upsert_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    # Three micro-batches = three disjoint ascending time ranges, published
+    # as one file each with ascending mtimes so the file source replays them
+    # in event-time order (two driver-side scalars; the split itself is a
+    # distributed filter, not a collect).
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    c1, c2 = lo + span, lo + span * 2
+    preds = [
+        F.col("ts") < F.lit(c1),
+        (F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2)),
+        F.col("ts") >= F.lit(c2),
+    ]
+    t0 = 1_700_000_000
+    for i, p in enumerate(preds):
+        stage = os.path.join(base, f"stage{i}")
+        e.filter(p).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        os.utime(dst, (t0 + i * 100, t0 + i * 100))
+        shutil.rmtree(stage)
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_sink(target, ["user_id"], order_by=["ts", "event_id"])
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -574,3 +574,80 @@ def test_interval_join_bucketed_probe_is_cached_per_plan(spark):
     assert any("degenerate" in str(c.message) for c in first)
     assert not any("degenerate" in str(c.message) for c in second)
     assert any("degenerate" in str(c.message) for c in other_width)
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    """Property: asof_join_nearest must agree with pandas
+    merge_asof(direction='nearest') row for row on randomized keyed series
+    (pandas also breaks distance ties backward)."""
+    import pandas as pd
+
+    from dataselector_spark.operators.asof import asof_join_nearest
+
+    rows = []
+    for i in range(240):
+        k = f"k{(i * 7) % 3}"
+        ts = (i * 2654435761) % 1000
+        rows.append((k, ts, float(i)))
+    # unique (k, ts) on the right so pandas/Spark survivor rules can't differ
+    seen = set()
+    right_rows = []
+    for k, ts, v in rows[::2]:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_rows.append((k, ts, v))
+    left_rows = [(k, (ts + 3) % 1000) for (k, ts, _v) in rows[1::2]]
+
+    right = spark.createDataFrame(right_rows, "k string, ts long, num double")
+    left = spark.createDataFrame(left_rows, "k string, ts long")
+    got = {
+        (r.k, r.ts): r.num_asof
+        for r in asof_join_nearest(left, right, on="k").collect()
+    }
+
+    pl = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    pr = pd.DataFrame(right_rows, columns=["k", "ts", "num"]).sort_values("ts")
+    exp = pd.merge_asof(pl, pr, on="ts", by="k", direction="nearest")
+    for _, row in exp.iterrows():
+        pnum = None if pd.isna(row["num"]) else row["num"]
+        assert got[(row["k"], row["ts"])] == pnum, (row["k"], row["ts"])
+
+
+def test_asof_join_nearest_tie_and_tolerance(spark):
+    """Equal forward/backward distance resolves BACKWARD; tolerance nulls
+    matches farther than the bound in EITHER direction."""
+    from dataselector_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([("a", 10), ("a", 50)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 5, "t5"), ("a", 15, "t15"), ("a", 90, "t90")],
+        "k string, ts long, tag string",
+    )
+    got = {
+        r.ts: r.tag_asof
+        for r in asof_join_nearest(left, right, on="k").collect()
+    }
+    assert got[10] == "t5"  # |10-5| == |15-10| -> backward wins the tie
+    assert got[50] == "t15"  # backward dist 35 < forward dist 40
+
+    tol = {
+        r.ts: r.tag_asof
+        for r in asof_join_nearest(left, right, on="k", tolerance=6).collect()
+    }
+    assert tol[10] == "t5"  # distance 5 <= 6
+    assert tol[50] is None  # nearest is 35 away, over tolerance
+
+
+def test_streaming_upsert_entry_runs_multiple_batches(spark):
+    """b23_streaming_upsert_sink must actually fold MULTIPLE micro-batches
+    through the foreachBatch merge (not one batch that trivially equals the
+    oracle): the checkpoint's offsets log records one entry per batch."""
+    import os
+
+    from dataselector_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES["b23_streaming_upsert_sink"].fn(spark, sf).collect()
+    ckpt = f"/tmp/dsspark_upsert_{os.path.basename(sf)}/ckpt/offsets"
+    batches = [f for f in os.listdir(ckpt) if not f.startswith(".")]
+    assert len(batches) >= 3, batches

@@ -396,3 +396,19 @@ def test_curation_pipeline_single_scan_single_shuffle(spark):
     df = QUERIES["b24_curation_pipeline"].fn(spark, SF)
     assert len(read_schemas(df)) == 1, read_schemas(df)
     assert shuffle_count(df) == 1, shuffle_count(df)
+
+
+def test_asof_join_nearest_two_shuffles_no_theta(spark):
+    """direction='nearest' stays on the merge-asof plan: one shuffle for the
+    right-side (key, ts) dedup + one for the unioned key sort — and never a
+    theta-join pair blowup (no BroadcastNestedLoop/Cartesian)."""
+    from dataselector_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, SF, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("near_id")
+    )
+    out = asof_join_nearest(e.select("event_id", "user_id", "ts"), errors, on="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert shuffle_count(out) <= 2, shuffle_count(out)
