@@ -26,95 +26,103 @@ from . import relational  # noqa: F401,E402
 from . import extras  # noqa: F401,E402
 
 # Explicit window control: the driver's correctness harness checks the FIRST
-# 50 registered entries each round.  Rounds 1-3 covered the never-checked
-# surface; round 4 repeated r3 by mistake; round 5 re-verified the r4 reds +
-# the never-checked tail (50/50 green).  The round-6 window below (VERDICT r5
-# "Next round" #1) = the 4 entries whose oracles were upgraded in r3 but whose
-# only driver rows predate the upgrade (their rows still say no_oracle) + 5
-# entries new this round (PPM codec, colocated interval join, repetition
-# filter, z-order key, curation pipeline) + 41 re-confirms of entries last
-# driver-checked in r1/r2, BEFORE the r4 testdata regeneration — prioritizing
-# r1 greens, then the r2 fuzzy-dedup / multimodal / UDF / TPC-H surface.
-# The 32 remaining stale entries are queued for the r7 window (VERDICT r5
-# #2) — computed from the CORRECTNESS artifacts (latest driver round < 4,
-# not in this window): a08/a09/a11/a13_insert/a17_compound/a18_forward/
-# a27/a29, b01 parquet/csv/json/orc/text roundtrips, b02 left/right/full
-# outer + lateral_topk, b03 semi/anti, b06_approx_distinct +
-# b06_correlation_exact_moments, b10_multiset_ops, b12_dedup_composite_key,
-# b13_minhash_lsh/b13_simhash (rows-only), b14_embedding_neardup,
-# b15 text_stats/fingerprint/token_counts/tfidf_top_term, b16_frame_sample,
-# q12 — 32 slots, leaving ~18 free for r7 additions/re-confirms.
+# 50 registered entries each round.  History: r1-r3 covered the never-checked
+# surface; r4 repeated r3 by mistake; r5 re-verified the r4 reds + the tail;
+# r6 landed the oracle-upgraded + new entries and 41 pre-regen re-confirms
+# (50/50 green).  The round-7 window below (VERDICT r6 "Next round" #1-2)
+# closes the freshness ledger:
+#   * 32 queued stale entries — every remaining entry whose latest driver row
+#     predates the r4 testdata regeneration (the exact set the rotation
+#     tripwire derives from the CORRECTNESS_r*.json artifacts);
+#   * 6 entries whose IMPLEMENTATIONS were rewritten in r6 after their last
+#     driver row (ADVICE r6 #3's "changed since last driver round" class,
+#     now declared in REWRITTEN_IN_ROUND below so the tripwire enforces it):
+#     b26_rolling_dau (single-scan reshape), b15_bpe_pair_counts (array
+#     bind), b02_bucketed_join (ensure_bucketed_table migration),
+#     b16_pgm_roundtrip (decode strictness), b15_decontaminate (word_ngrams
+#     O(n^2) fix), b04_interval_join_bucketed (cached skew probe);
+#   * 6 entries NEW in r7: nearest-direction as-of, normalized-text dedup,
+#     per-domain token-budget cap, 3-D z-order key, z-order clustered-write
+#     readback, streaming foreachBatch upsert sink;
+#   * 6 re-confirms of the OLDEST post-regen rows (r4): TPC-H q3/q10, the
+#     B23 merge/changelog pair, b06_percentiles, b22_train_val_split.
+# After this round every entry's latest driver row is post-regen and
+# post-rewrite — freshness debt zero.
 # tests/test_advice_fixes.py::test_driver_window_targets_unchecked_entries
-# derives the same priority classes from the CORRECTNESS_r*.json artifacts, so
-# a forgotten rotation fails CI instead of burning a driver round.
-_R6_WINDOW = [
-    # oracles upgraded in r3, never driver-checked with them (rows say
-    # no_oracle; the code now proves plane/centroid/arithmetic equality)
-    "b14_ann_lsh",
-    "b14_ann_ivf",
-    "b15_lang_id_quality",
-    "b16_multimodal_features",
-    # new this round (never driver-checked): color PPM/P6 codec roundtrip,
-    # write-once-bucketed zero-shuffle interval join
-    "b16_ppm_roundtrip",
-    "b04_interval_join_colocated",
-    # re-confirms: last green r1, pre-regen
-    "q1_pricing_summary",
-    "b05_asof_join",
-    "b04_interval_join_keyed",
-    "b11_scalar_battery",
-    "a19_group_count",
-    "a20_distinct_sort",
-    "a21_export",
-    "a26_format_truncate",
-    "b07_rollup",
-    "b07_cube",
-    "b07_grouping_sets",
-    "b08_lag_lead",
-    "b08_range_frame",
-    "b08_rank_battery",
-    "b08_rolling_frames",
-    "b09_topk_global",
-    "b09_topk_per_group",
-    "b10_set_ops",
-    # (b10_multiset_ops re-confirm displaced by the new repetition-filter
-    # entry; B10 keeps the in-window twin b10_set_ops, multiset queued r7)
-    "b15_repetition_filter",
-    "b10_union_schema_evolution",
-    "b02_join_revenue_per_nation",
-    "b06_agg_battery",
-    "b06_multires_rollup",
-    # (b06_correlation_exact_moments queued for r7 — B6 keeps two in-window
-    # twins above)
-    # re-confirms: last green r2, pre-regen
-    "b13_ngram_jaccard",
-    "b13_dedup_clusters",
-    "b13_dedup_survivors",
-    "b14_topk_cosine",
-    "b16_multimodal_meta",
-    "b16_resize",
-    # (b16_frame_sample re-confirm displaced by the new z-order entry; B16
-    # keeps four in-window twins — meta, resize, features, ppm — frame
-    # sample queued r7)
-    "b22_zorder_key",
-    "b21_pandas_udf_scalar",
-    "b21_grouped_applyinpandas",
-    "b21_python_udtf",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    # (q12 re-confirm displaced by the end-to-end curation pipeline entry;
-    # ten TPC-H analogues remain in-window, q12 queued r7)
-    "b24_curation_pipeline",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
+# derives the same priority classes from the CORRECTNESS_r*.json artifacts
+# (and from REWRITTEN_IN_ROUND), so a forgotten rotation fails CI instead of
+# burning a driver round.
+
+# Entries whose implementation changed materially in round N after their
+# last driver row: the rotation tripwire treats a driver row older than the
+# rewrite round as stale (ADVICE r6 #3). Add a line here whenever an
+# already-green entry's code path is rewritten.
+REWRITTEN_IN_ROUND = {
+    "b26_rolling_dau": 6,
+    "b15_bpe_pair_counts": 6,
+    "b02_bucketed_join": 6,
+    "b16_pgm_roundtrip": 6,
+    "b15_decontaminate": 6,
+    "b04_interval_join_bucketed": 6,
+}
+
+_R7_WINDOW = [
+    # --- 32 queued stale entries (pre-regen driver rows), VERDICT r6 #1 ---
+    "a08_round_to_step",
+    "a09_clamp",
+    "a11_affine_scale",
+    "a13_selection_insert",
+    "a17_retract_compound",
+    "a18_forward_index",
+    "a27_regex_replace",
+    "a29_cross_join",
+    "b01_parquet_roundtrip",
+    "b01_csv_roundtrip",
+    "b01_json_roundtrip",
+    "b01_orc_roundtrip",
+    "b01_text_roundtrip",
+    "b02_join_left_outer",
+    "b02_join_right_outer",
+    "b02_join_full_outer",
+    "b02_lateral_topk",
+    "b03_semi_join",
+    "b03_anti_join",
+    "b06_approx_distinct",
+    "b06_correlation_exact_moments",
+    "b10_multiset_ops",
+    "b12_dedup_composite_key",
+    "b13_minhash_lsh",
+    "b13_simhash",
+    "b14_embedding_neardup",
+    "b15_text_stats",
+    "b15_fingerprint",
+    "b15_token_counts",
+    "b15_tfidf_top_term",
+    "b16_frame_sample",
+    "q12_late_shipment_priority",
+    # --- 6 rewritten-in-r6 entries (REWRITTEN_IN_ROUND), ADVICE r6 #3 ---
+    "b26_rolling_dau",
+    "b15_bpe_pair_counts",
+    "b02_bucketed_join",
+    "b16_pgm_roundtrip",
+    "b15_decontaminate",
+    "b04_interval_join_bucketed",
+    # --- 6 entries new in r7 ---
+    "b05_asof_nearest",
+    "b12_dedup_normalized_text",
+    "b24_token_budget_cap",
+    "b22_zorder_key_3d",
+    "b22_zorder_write_readback",
+    "b23_streaming_upsert_sink",
+    # --- 6 oldest post-regen (r4) re-confirms ---
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "b23_merge_upsert",
+    "b23_apply_changelog",
+    "b06_percentiles",
+    "b22_train_val_split",
 ]
-assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 
 # Import-time guard: every oracle may only reference driver-registered views
 # or its own CTEs (base.check_oracle_tables) — a typo'd table name fails HERE,
@@ -125,8 +133,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R6_WINDOW]
-_order = _R6_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R7_WINDOW]
+_order = _R7_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

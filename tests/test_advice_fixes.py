@@ -191,11 +191,13 @@ def test_driver_window_targets_unchecked_entries():
 
     Generalized invariant, derived from the CORRECTNESS_r*.json artifacts
     rather than a hand-pinned list: every window slot must go to an entry
-    that NEEDS a driver row — never checked, red (hash_match False), or
-    crashed (err other than no_oracle) — as long as such entries exist
-    outside the window.  If this fails after a new CORRECTNESS file lands,
-    rotate the window list in dataselector_spark/suite/__init__.py."""
-    from dataselector_spark.suite import QUERIES
+    that NEEDS a driver row — never checked, red (hash_match False),
+    crashed (err other than no_oracle), pre-regen, or rewritten since its
+    last driver row (suite REWRITTEN_IN_ROUND, ADVICE r6 #3) — as long as
+    such entries exist outside the window.  If this fails after a new
+    CORRECTNESS file lands, rotate the window list in
+    dataselector_spark/suite/__init__.py."""
+    from dataselector_spark.suite import REWRITTEN_IN_ROUND, QUERIES
 
     results = _driver_results()
 
@@ -212,6 +214,8 @@ def test_driver_window_targets_unchecked_entries():
             return True  # oracle added/upgraded since the last driver row
         if row["__round"] < _TESTDATA_REGEN_ROUND:
             return True  # last checked against the pre-regen testdata
+        if row["__round"] < REWRITTEN_IN_ROUND.get(name, 0):
+            return True  # implementation rewritten since the last row
         return False
 
     window = list(QUERIES)[:50]
