@@ -77,6 +77,22 @@ HEADLINE_V2 = [
 ]
 
 
+def _cpu_probe() -> float:
+    """Single-core reference probe (2M chained md5 digests): a fixed pure-CPU
+    workload whose wall time calibrates the HOST, not the engine. Round-over-
+    round bench walls on this shared box swing with boots/neighbors (r7
+    measured two isolated runs at 1.25x r6's wall with zero code changes on
+    the measured paths); dividing headline walls by cpu_probe_s ratio
+    separates host drift from real regressions before anyone chases noise."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x"
+    for _ in range(2_000_000):
+        h = hashlib.md5(h).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -131,6 +147,10 @@ def main() -> None:
                 # r3+ are median of warm reps — make the JSON self-describing
                 "method": "median_of_warm",
                 "reps": reps,
+                # host-speed calibration (r7): fixed single-core md5 loop,
+                # seconds. Compare across rounds to separate shared-host
+                # drift from engine regressions (see _cpu_probe docstring).
+                "cpu_probe_s": _cpu_probe(),
             }
         )
     )

@@ -41,11 +41,13 @@ from . import extras  # noqa: F401,E402
 #     bind), b02_bucketed_join (ensure_bucketed_table migration),
 #     b16_pgm_roundtrip (decode strictness), b15_decontaminate (word_ngrams
 #     O(n^2) fix), b04_interval_join_bucketed (cached skew probe);
-#   * 6 entries NEW in r7: nearest-direction as-of, normalized-text dedup,
+#   * 12 entries NEW in r7: nearest-direction as-of, normalized-text dedup,
 #     per-domain token-budget cap, 3-D z-order key, z-order clustered-write
-#     readback, streaming foreachBatch upsert sink;
-#   * 6 re-confirms of the OLDEST post-regen rows (r4): TPC-H q3/q10, the
-#     B23 merge/changelog pair, b06_percentiles, b22_train_val_split.
+#     readback, streaming foreachBatch upsert sink, SCD Type-2 dimension
+#     build, blocked edit-distance near-dup, zone-map manifest stats,
+#     diversified top-k, exact-k per-cell sample, Dataset.observe metrics
+#     (never-checked entries outrank re-confirms — the tripwire enforced
+#     exactly this swap when the second six landed).
 # After this round every entry's latest driver row is post-regen and
 # post-rewrite — freshness debt zero.
 # tests/test_advice_fixes.py::test_driver_window_targets_unchecked_entries
@@ -114,13 +116,13 @@ _R7_WINDOW = [
     "b22_zorder_key_3d",
     "b22_zorder_write_readback",
     "b23_streaming_upsert_sink",
-    # --- 6 oldest post-regen (r4) re-confirms ---
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "b23_merge_upsert",
-    "b23_apply_changelog",
-    "b06_percentiles",
-    "b22_train_val_split",
+    # --- 6 more entries new in r7 (post-rotation batch) ---
+    "b23_scd2_dimension",
+    "b13_editdist_neardup",
+    "b22_zone_map_stats",
+    "b09_diversified_topk",
+    "b22_cell_sample_exact_k",
+    "b22_observe_metrics",
 ]
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 

@@ -2987,3 +2987,283 @@ def b23_streaming_upsert_sink(spark, sf_dir):
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "b23_scd2_dimension",
+    oracle="""
+    SELECT user_id, event_id,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+           event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="B23 (r7): SCD Type-2 dimension build — turn a change stream into "
+    "validity intervals: each version row gets effective_from = its own "
+    "change time and effective_to = the NEXT change for the same key "
+    "(NULL = current), the standard warehouse shape for as-of dimension "
+    "lookups (and the batch complement of b23_apply_changelog, which keeps "
+    "only the latest version). One hash shuffle on the dimension key + a "
+    "per-key sort for lead(); tie-break (ts, event_id) makes the interval "
+    "chain deterministic under same-timestamp changes. At 100 TB this is "
+    "the canonical single-window pattern — no self-join, no range join: "
+    "the naive 'join each version to the min(later version)' plan is "
+    "quadratic per hot key, lead() is linear and partial-sort-friendly.",
+)
+def b23_scd2_dimension(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        "event_type",
+    )
+
+
+@query(
+    "b13_editdist_neardup",
+    oracle="""
+    SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_2,
+           levenshtein(left(a.text, 64), left(b.text, 64)) AS prefix_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND length(a.text) // 16 = length(b.text) // 16
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(left(a.text, 64), left(b.text, 64)) <= 12
+    """,
+    doc="B13 (r7): character-level near-duplicate detection by BLOCKED exact "
+    "edit distance — the third fuzzy-dedup family next to token-shingle "
+    "Jaccard (b13_ngram_jaccard) and bit-signature Hamming (b13_simhash): "
+    "candidates are generated by an equi-join on a cheap blocking key "
+    "(lang, 16-char length bucket — levenshtein >= length difference, so "
+    "far-apart lengths can never be near) and only candidates pay the "
+    "O(m*n) Levenshtein, computed on a fixed 64-char prefix so per-pair "
+    "cost is bounded regardless of document size. Blocking is an EQUI-join "
+    "(hash-partitionable); never all-pairs. At 100 TB the length bucket "
+    "alone does not bound block width — the production key adds a prefix "
+    "fingerprint (e.g. first-shingle minhash band, b13_minhash_lsh) so "
+    "block sizes stay O(1); semantics are unchanged. JVM-side "
+    "F.levenshtein; DuckDB replays with its identical-semantics "
+    "levenshtein() (Wagner-Fischer, unit costs).",
+)
+def b13_editdist_neardup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.length("text") / 16).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 64).alias("prefix"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.len_bucket") == F.col("b.len_bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            dist.alias("prefix_dist"),
+        )
+        .filter(F.col("prefix_dist") <= 12)
+    )
+
+
+@query(
+    "b22_zone_map_stats",
+    oracle="""
+    SELECT zone,
+           count(*) AS n_rows,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CASE WHEN min(n_chars) > 1200 THEN 'full'
+                WHEN max(n_chars) <= 1200 THEN 'pruned'
+                ELSE 'partial' END AS scan_class
+    FROM (SELECT doc_id // 100 AS zone, n_chars FROM documents)
+    GROUP BY zone
+    """,
+    doc="B22 (r7): zone-map (data-skipping manifest) computation — per "
+    "storage chunk (modeled as 100-row doc_id zones, the row-group "
+    "analog), the min/max/count a scan planner needs, plus each zone's "
+    "classification under a sample predicate (n_chars > 1200): 'pruned' "
+    "zones are skipped without reading, 'full' zones skip the filter, "
+    "only 'partial' zones evaluate per row. This is the manifest the "
+    "z-order work makes effective (tools/zorder_ladder.py measures 25% "
+    "vs 100% row-group scans once data is clustered) — computing it is "
+    "one partial-aggregatable pass, map-side combined, one shuffle on "
+    "zone id; at 100 TB it runs per-file from parquet footers instead "
+    "(metadata-only), same algebra.",
+)
+def b22_zone_map_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    z = d.select(
+        (F.col("doc_id") / 100).cast("long").alias("zone"), "n_chars"
+    )
+    agg = z.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return agg.select(
+        "zone",
+        "n_rows",
+        "min_chars",
+        "max_chars",
+        F.when(F.col("min_chars") > 1200, "full")
+        .when(F.col("max_chars") <= 1200, "pruned")
+        .otherwise("partial")
+        .alias("scan_class"),
+    )
+
+
+@query(
+    "b09_diversified_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="B09 (r7): diversified top-k — global top-20 orders by price with "
+    "AT MOST 2 per customer, the result-diversification constraint search "
+    "and retrieval layers put on plain top-k (and the relational shape of "
+    "'per-source caps' in corpus sampling). Two ranking stages, one "
+    "shuffle each, both sub-linear in output: the per-customer cap is a "
+    "row_number window partitioned on the diversity key (hash shuffle, "
+    "per-key sort, AQE-safe), and the survivor set — at most 2 rows per "
+    "key — feeds a global TakeOrderedAndProject, which holds only 20 rows "
+    "per partition and never materializes a total sort. Deterministic "
+    "tie-breaks ((price DESC, orderkey) in both stages) keep the result "
+    "engine-portable.",
+)
+def b09_diversified_topk(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    capped = (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            dec2("o_totalprice").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+    return (
+        capped.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        # decimal for the deterministic compare/sort, double at the edge
+        # (suite-wide float policy, tpch_full.py module docstring)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+    )
+
+
+@query(
+    "b22_cell_sample_exact_k",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY (doc_id * 2246822519) % 1048576, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+    doc="B22 (r7): exact-k per-cell deterministic sampling — exactly "
+    "min(5, |cell|) documents from every (lang, source) cell, chosen by a "
+    "Knuth-multiplicative hash ORDER on the key rather than an RNG: the "
+    "fixed-size complement of b22_stratified_sample_hash's fixed-FRACTION "
+    "gate, for eval-set carving and per-cell inspection pulls where the "
+    "budget is per cell, not proportional. Same reproducibility argument "
+    "(identical survivors on any engine, partitioning, or cluster size); "
+    "integer hash ordering with a doc_id tie-break means no float "
+    "comparisons cross engines. One hash shuffle on the cell key + "
+    "per-cell rank; the window never holds more than a cell's rows, and "
+    "a mega-cell degrades to the same prefix-sum fallback documented on "
+    "b24_token_budget_cap.",
+)
+def b22_cell_sample_exact_k(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id") * F.lit(2246822519)) % 1048576
+    w = Window.partitionBy("lang", "source").orderBy(
+        hkey.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "b22_observe_metrics",
+    oracle="""
+    SELECT count(*) AS rows_scanned,
+           count(*) FILTER (WHERE l_quantity >= 25) AS rows_kept,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                AS DOUBLE) AS qty_total
+    FROM lineitem
+    """,
+    doc="B22 (r7): pipeline observability via Dataset.observe — named "
+    "accumulator metrics (rows scanned, rows surviving a QC filter, total "
+    "quantity) collected AS the pipeline's own action runs: zero extra "
+    "scans, zero extra shuffles, exactly the mechanism a 100 TB curation "
+    "job uses to emit per-stage audit counters (docs retained per filter, "
+    "bytes per stage) without re-running any stage. Two observe points "
+    "bracket the filter; the metric exprs are partial-aggregatable "
+    "(count/sum), so they ride the existing tasks map-side. The only "
+    "driver transfer is the metric row itself — a few scalars, the same "
+    "model-state category as b14's centroid means. Quantity totals go "
+    "through DECIMAL so the audit numbers are bit-stable across engines "
+    "and partitionings (float sum order is not).",
+)
+def b22_observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    at_scan = Observation("scan")
+    at_keep = Observation("kept")
+    flowed = li.observe(
+        at_scan,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(dec2("l_quantity")).alias("qty_total"),
+    ).filter(F.col("l_quantity") >= 25).observe(
+        at_keep, F.count(F.lit(1)).alias("rows_kept")
+    )
+    # The observed pipeline's own action (noop sink: full plan, no driver
+    # rows) — metrics piggyback on these tasks, they do not add a job.
+    flowed.write.format("noop").mode("overwrite").save()
+    scan, kept = at_scan.get, at_keep.get
+    # decimal inside the metric expr (bit-stable partial agg), double at
+    # the edge (suite-wide float policy, tpch_full.py module docstring)
+    return spark.createDataFrame(
+        [(scan["rows_scanned"], kept["rows_kept"], float(scan["qty_total"]))],
+        "rows_scanned bigint, rows_kept bigint, qty_total double",
+    )

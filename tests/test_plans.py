@@ -412,3 +412,46 @@ def test_asof_join_nearest_two_shuffles_no_theta(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert shuffle_count(out) <= 2, shuffle_count(out)
+
+
+def test_scd2_single_shuffle(spark):
+    """The SCD2 interval build is one window: exactly one hash exchange on
+    the dimension key, no self-join (the naive min-later-version join plan
+    is quadratic per hot key)."""
+    df = QUERIES["b23_scd2_dimension"].fn(spark, SF)
+    assert shuffle_count(df) == 1, shuffle_count(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_editdist_neardup_equi_blocked(spark):
+    """Edit-distance candidates come from an EQUI-join on the blocking key —
+    a nested-loop/cartesian anywhere means blocking degenerated to
+    all-pairs (broadcast hash join on the equi keys is fine)."""
+    df = QUERIES["b13_editdist_neardup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_zone_map_stats_partial_agg(spark):
+    """Zone-map manifest = one partial-aggregatable pass: a single exchange
+    with map-side combine (two HashAggregate levels around it)."""
+    df = QUERIES["b22_zone_map_stats"].fn(spark, SF)
+    assert shuffle_count(df) == 1, shuffle_count(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_diversified_topk_take_ordered(spark):
+    """The global stage of diversified top-k must be a bounded heap
+    (TakeOrderedAndProject), never a total sort of the capped set."""
+    df = QUERIES["b09_diversified_topk"].fn(spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_cell_sample_single_shuffle(spark):
+    """Exact-k per-cell sampling is one window on the cell key: one
+    exchange, no join, integer-only ordering."""
+    df = QUERIES["b22_cell_sample_exact_k"].fn(spark, SF)
+    assert shuffle_count(df) == 1, shuffle_count(df)
