@@ -508,3 +508,176 @@ def resize_bitmap_nn(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, BITMAP_SCHEMA)
+
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", AUDIO_META),
+    ]
+)
+
+
+def synthesize_pcm(docs: DataFrame) -> DataFrame:
+    """Deterministic mono int16 PCM clips (the audio sibling of
+    `synthesize_bitmaps`): doc_id gets n = doc_id%512 + 256 samples at
+    8 kHz with sample(i) = ((doc_id*7919 + i*2654435761) mod 65536) - 32768
+    — integer closed form, so every decoded sample is replayable in SQL
+    with no float trig. Little-endian int16 payload bytes, reproducible on
+    any executor layout."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 512 + 256
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 7919 + i * 2654435761) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                payloads.append(samples.tobytes())
+                metas.append(
+                    {
+                        "media_type": "audio/raw-s16le",
+                        "sample_rate": 8000,
+                        "n_samples": n,
+                        "n_bytes": 2 * n,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def encode_wav(media: DataFrame) -> DataFrame:
+    """Encode raw int16 PCM as a REAL RIFF/WAVE file, byte-exact with no
+    codec library: ``RIFF <size> WAVE`` + a 16-byte PCM ``fmt `` chunk
+    (format 1, mono, 16-bit, byte-rate/block-align derived) + the ``data``
+    chunk. Output payloads play in any audio player / load with the stdlib
+    ``wave`` module. Arrow-batched mapInPandas, map-only."""
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                pcm = bytes(p)
+                sr, ch, bits = int(m["sample_rate"]), 1, 16
+                block = ch * bits // 8
+                fmt = struct.pack(
+                    "<4sIHHIIHH", b"fmt ", 16, 1, ch, sr, sr * block, block, bits
+                )
+                data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+                riff = struct.pack(
+                    "<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE"
+                )
+                buf = riff + fmt + data
+                payloads.append(buf)
+                metas.append(
+                    {
+                        "media_type": "audio/wav",
+                        "sample_rate": sr,
+                        "n_samples": len(pcm) // block,
+                        "n_bytes": len(buf),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL audio decode with no optional dependency: walk the RIFF chunk
+    list per spec (magic, chunk ids + sizes, word alignment), require a PCM
+    (format 1) mono 16-bit ``fmt `` chunk before ``data``, and reject
+    trailing bytes, unknown compression codes, or a truncated data chunk —
+    the same strictness contract as `decode_pgm`/`decode_ppm` (a silent
+    partial decode would hide corruption). Unknown NON-essential chunks
+    (e.g. LIST metadata) are skipped, as the spec requires. Returns the raw
+    s16le payload + rebuilt metadata. Swap in soundfile/ffmpeg for
+    compressed codecs — schema, batching, and partitioning stay identical."""
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        def parse(buf: bytes):
+            if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError(f"not a RIFF/WAVE payload: {buf[:12]!r}")
+            (riff_size,) = struct.unpack_from("<I", buf, 4)
+            if 8 + riff_size != len(buf):
+                raise ValueError(
+                    f"RIFF size {riff_size} != payload {len(buf) - 8}"
+                )
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid, csize = struct.unpack_from("<4sI", buf, pos)
+                body = buf[pos + 8 : pos + 8 + csize]
+                if len(body) != csize:
+                    raise ValueError(f"truncated {cid!r} chunk")
+                if cid == b"fmt ":
+                    if csize < 16:
+                        raise ValueError(f"fmt chunk too short: {csize}")
+                    code, ch, sr, _br, _ba, bits = struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if code != 1 or ch != 1 or bits != 16:
+                        raise ValueError(
+                            f"only PCM mono 16-bit supported: "
+                            f"code={code} ch={ch} bits={bits}"
+                        )
+                    fmt = sr
+                elif cid == b"data":
+                    if fmt is None:
+                        raise ValueError("data chunk before fmt chunk")
+                    data = body
+                # other chunks (LIST, fact, ...) skipped per spec
+                pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+            if pos != len(buf):
+                raise ValueError(f"trailing bytes after last chunk: {len(buf) - pos}")
+            if data is None:
+                raise ValueError("no data chunk")
+            if len(data) % 2:
+                raise ValueError("odd data length for 16-bit samples")
+            return fmt, data
+
+        for pdf in it:
+            payloads, metas = [], []
+            for buf in pdf["payload"]:
+                sr, pcm = parse(bytes(buf))
+                payloads.append(pcm)
+                metas.append(
+                    {
+                        "media_type": "audio/raw-s16le",
+                        "sample_rate": sr,
+                        "n_samples": len(pcm) // 2,
+                        "n_bytes": len(pcm),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)

@@ -3267,3 +3267,79 @@ def b22_observe_metrics(spark, sf_dir):
         [(scan["rows_scanned"], kept["rows_kept"], float(scan["qty_total"]))],
         "rows_scanned bigint, rows_kept bigint, qty_total double",
     )
+
+
+@query(
+    "b16_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 512 + 256 AS INTEGER) AS n_samples,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, doc_id % 512 + 256), i ->
+                   (doc_id * 7919 + i * 2654435761) % 65536 - 32768)),
+               (a, b) -> a + b) AS amp_sum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, doc_id % 512 + 256), i -> CAST(
+                   CASE WHEN ((doc_id * 7919 + (i-1) * 2654435761) % 65536 - 32768)
+                           * ((doc_id * 7919 + i * 2654435761) % 65536 - 32768) < 0
+                        THEN 1 ELSE 0 END AS BIGINT))),
+               (a, b) -> a + b) AS zero_crossings
+    FROM documents
+    """,
+    doc="B16 (multimodal, REAL audio codec, zero optional deps): each doc "
+    "gets a deterministic mono int16 PCM clip, encoded as a spec-compliant "
+    "RIFF/WAVE file (16-byte PCM fmt chunk, data chunk, word-aligned — the "
+    "stdlib `wave` module opens the bytes, asserted in tests), then "
+    "DECODED back by walking the RIFF chunk list with the same strictness "
+    "contract as decode_pgm (trailing bytes, unknown compression, "
+    "truncated chunks all raise; non-essential chunks skipped per spec). "
+    "Because the source PCM is an integer closed form "
+    "(sample(i) = (id*7919 + i*2654435761) mod 65536 - 32768), the oracle "
+    "recomputes every decoded sample in SQL: amplitude sum and "
+    "zero-crossing count — the audio analogs of pixel_sum — are "
+    "hash-checked end-to-end through encode->decode. Arrow-batched "
+    "mapInPandas, map-only, no shuffle; at 100 TB this is one embarrassing"
+    "ly-parallel pass, and the decode stage swaps to soundfile/ffmpeg for "
+    "compressed codecs with identical schema and partitioning.",
+)
+def b16_wav_roundtrip(spark, sf_dir):
+    from ..multimodal import decode_wav, encode_wav, synthesize_pcm
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_wav(encode_wav(synthesize_pcm(d)))
+
+    def features(it):
+        import numpy as np
+        import pandas as pd
+
+        rows = {
+            "doc_id": [],
+            "sample_rate": [],
+            "n_samples": [],
+            "amp_sum": [],
+            "zero_crossings": [],
+        }
+        for pdf in it:
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                s = np.frombuffer(p, dtype="<i2").astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_samples"].append(m["n_samples"])
+                rows["amp_sum"].append(int(s.sum()))
+                rows["zero_crossings"].append(int((s[:-1] * s[1:] < 0).sum()))
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("amp_sum", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+    return decoded.mapInPandas(features, schema)

@@ -905,3 +905,87 @@ def test_zorder_key_three_columns(spark):
     for r in rows:
         assert r["zk"] == morton3(r["x"], r["y"], r["z"])
     assert len({r["zk"] for r in rows}) == 512
+
+
+def test_wav_codec_roundtrip_stdlib_parity_and_strictness(spark):
+    """Audio sibling of the PGM/PPM codec tests: encode_wav -> decode_wav is
+    byte-identity on the PCM; the encoded bytes are a VALID wav per the
+    stdlib `wave` module (independent decoder parity — rate, width,
+    channels, frames, frame bytes); and the decoder's strictness contract
+    rejects wrong magic, bad RIFF size, non-PCM format codes, truncated
+    data, and trailing garbage. A LIST metadata chunk (non-essential) is
+    skipped per spec, not rejected."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+    import pytest as pt
+
+    from dataselector_spark.multimodal import (
+        decode_wav,
+        encode_wav,
+        synthesize_pcm,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 77, 123]}))
+    src = synthesize_pcm(docs)
+    enc = encode_wav(src)
+    back = decode_wav(enc)
+    orig = {r["doc_id"]: r for r in src.collect()}
+    for r in back.collect():
+        o = orig[r["doc_id"]]
+        assert bytes(r["payload"]) == bytes(o["payload"])
+        assert r["meta"]["sample_rate"] == 8000
+        assert r["meta"]["n_samples"] == o["meta"]["n_samples"]
+    # independent decoder: the stdlib wave module must agree byte-for-byte
+    for r in enc.collect():
+        w = wave.open(io.BytesIO(bytes(r["payload"])))
+        o = orig[r["doc_id"]]
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+            8000,
+            1,
+            2,
+        )
+        assert w.getnframes() == o["meta"]["n_samples"]
+        assert w.readframes(w.getnframes()) == bytes(o["payload"])
+
+    good = [r for r in enc.collect() if r["doc_id"] == 77][0]
+    buf = bytes(good["payload"])
+    meta = dict(good["meta"].asDict())
+
+    def one(payload):
+        pdf = pd.DataFrame({"doc_id": [77], "payload": [payload], "meta": [meta]})
+        df = spark.createDataFrame(pdf, schema=enc.schema)
+        return decode_wav(df).collect()
+
+    with pt.raises(Exception, match="RIFF"):
+        one(b"JUNK" + buf[4:])
+    with pt.raises(Exception, match="size"):
+        one(struct.pack("<4sI", b"RIFF", 999) + buf[8:])
+    bad_fmt = bytearray(buf)
+    bad_fmt[20] = 3  # format code 3 = IEEE float, not PCM
+    with pt.raises(Exception, match="PCM"):
+        one(bytes(bad_fmt))
+    with pt.raises(Exception, match="truncated|size"):
+        one(buf[:-2])
+    trailing = (
+        struct.pack("<4sI4s", b"RIFF", len(buf) - 8 + 3, b"WAVE") + buf[12:] + b"xyz"
+    )
+    with pt.raises(Exception, match="trailing|truncated"):
+        one(trailing)
+    # a LIST chunk between fmt and data is skipped per spec, not an error
+    fmt_chunk, data_chunk = buf[12:36], buf[36:]
+    lst = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # word-aligned
+    with_list = (
+        struct.pack(
+            "<4sI4s", b"RIFF", 4 + len(fmt_chunk) + len(lst) + len(data_chunk), b"WAVE"
+        )
+        + fmt_chunk
+        + lst
+        + data_chunk
+    )
+    rows = one(with_list)
+    assert bytes(rows[0]["payload"]) == bytes(
+        [r for r in src.collect() if r["doc_id"] == 77][0]["payload"]
+    )
