@@ -76,6 +76,25 @@ HEADLINE_V2 = [
     "b04_interval_join_colocated",  # B4 bucketed-write + zero-shuffle probe
 ]
 
+# HEADLINE_V3: the round-7 additions, FROZEN the same way (reported as
+# `headline_v3_wall`, excluded from `value`). Three r7 entries are left out
+# on purpose: b22_zorder_write_readback and b23_streaming_upsert_sink time
+# their own file WRITES (measured separately in tools/ ladders, not a
+# steady-state probe), and b22_observe_metrics triggers its own internal
+# action, which a per-query wall would double-count.
+HEADLINE_V3 = [
+    "b05_asof_nearest",  # B5 nearest-direction merge-asof
+    "b12_dedup_normalized_text",  # B12 normalize->md5-digest dedup
+    "b24_token_budget_cap",  # B24 per-domain running-budget cap
+    "b22_zorder_key_3d",  # B22 3-D Morton key, map-only
+    "b23_scd2_dimension",  # B23 SCD2 intervals, single lead() window
+    "b13_editdist_neardup",  # B13 blocked exact Levenshtein
+    "b22_zone_map_stats",  # B22 data-skipping manifest pass
+    "b09_diversified_topk",  # B9 per-key cap + TakeOrdered
+    "b22_cell_sample_exact_k",  # B22 exact-k hash-ordered sample
+    "b16_wav_roundtrip",  # B16 WAV codec roundtrip (Arrow mapInPandas)
+]
+
 
 def _cpu_probe() -> float:
     """Single-core reference probe (2M chained md5 digests): a fixed pure-CPU
@@ -109,7 +128,7 @@ def main() -> None:
     # medians are robust to local[32] GC jitter that min/best-of-2 is not.
     reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_V2:
+    for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
         fn = QUERIES[name].fn
         runs: list[float] = []
         for _ in range(reps):
@@ -126,6 +145,7 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     extra = round(sum(timings[n] for n in HEADLINE_V2), 3)
+    extra3 = round(sum(timings[n] for n in HEADLINE_V3), 3)
     print(
         json.dumps(
             {
@@ -141,6 +161,8 @@ def main() -> None:
                 "headline_n": len(HEADLINE),
                 "headline_v2_wall": extra,
                 "headline_v2_n": len(HEADLINE_V2),
+                "headline_v3_wall": extra3,
+                "headline_v3_n": len(HEADLINE_V3),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,

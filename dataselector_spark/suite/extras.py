@@ -3050,8 +3050,14 @@ def b23_scd2_dimension(spark, sf_dir):
     "alone does not bound block width — the production key adds a prefix "
     "fingerprint (e.g. first-shingle minhash band, b13_minhash_lsh) so "
     "block sizes stay O(1); semantics are unchanged. JVM-side "
-    "F.levenshtein; DuckDB replays with its identical-semantics "
-    "levenshtein() (Wagner-Fischer, unit costs).",
+    "F.levenshtein with the 3-arg THRESHOLD form: the banded early-abandon "
+    "DP visits O(len*k) cells instead of O(len^2) and bails the moment a "
+    "row's minimum exceeds k — measured 4.9x (7.5 s -> 1.53 s at sf0.1, "
+    "identical 59 pairs), since almost every candidate pair is far apart "
+    "and abandons early. Within the kept set (dist <= k) the threshold "
+    "form returns the EXACT distance, so output values are unchanged; "
+    "DuckDB replays with its identical-semantics 2-arg levenshtein() "
+    "(Wagner-Fischer, unit costs) and a plain <= filter.",
 )
 def b13_editdist_neardup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
@@ -3062,7 +3068,9 @@ def b13_editdist_neardup(spark, sf_dir):
     )
     a = d.alias("a")
     b = d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    # 3-arg threshold form: banded DP, early abandon past 12 (returns -1
+    # for far pairs, the exact distance for kept ones)
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 12)
     return (
         a.join(
             b,
@@ -3077,7 +3085,7 @@ def b13_editdist_neardup(spark, sf_dir):
             F.col("b.doc_id").alias("doc_id_2"),
             dist.alias("prefix_dist"),
         )
-        .filter(F.col("prefix_dist") <= 12)
+        .filter(F.col("prefix_dist") >= 0)
     )
 
 
