@@ -8,6 +8,7 @@ for a driver check — they get their own rows when the window rotates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -3351,3 +3352,50 @@ def b16_wav_roundtrip(spark, sf_dir):
         ]
     )
     return decoded.mapInPandas(features, schema)
+
+
+@query(
+    "b21_pandas_udaf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           median(l_quantity) AS qty_median,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="B21 (r7): true pandas UDAF — a GROUPED_AGG pandas_udf (exact "
+    "median) used inside groupBy().agg() beside a second UDAF row count (Spark "
+    "rejects mixing GROUPED_AGG with JVM aggregates in one agg() — "
+    "INVALID_PANDAS_UDF_PLACEMENT — pinned here), completing the "
+    "Python-function surface (scalar pandas UDF, applyInPandas, UDTF, "
+    "and now UDAF). Arrow ships each group's column "
+    "once; the aggregate is one Python call per group, never per row. "
+    "Exact median is the honest demo choice because it is genuinely "
+    "HARD for partial aggregation — it needs the group's values — which "
+    "is exactly when a UDAF is worth a Python boundary; anything "
+    "partial-aggregatable (sums, moments) belongs in built-in F.* "
+    "(b06_agg_battery), and at 100 TB the approximate twin is "
+    "percentile_approx (b06_approx_percentile), which IS map-side "
+    "combinable. Quantities are integral doubles and group sizes even/odd "
+    "mix, so the .5 interpolated medians are exact in binary and the "
+    "DuckDB median() replay hash-matches bit-for-bit.",
+)
+def b21_pandas_udaf_grouped_agg(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def qty_median(v: pd.Series) -> float:  # Series -> scalar = GROUPED_AGG
+        return float(v.median())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+    # pandas UDAF — a real API constraint worth pinning, not a style choice.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_median("l_quantity").alias("qty_median"),
+        n_rows("l_quantity").alias("n_rows"),
+    )
