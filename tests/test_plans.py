@@ -455,3 +455,14 @@ def test_cell_sample_single_shuffle(spark):
     exchange, no join, integer-only ordering."""
     df = QUERIES["b22_cell_sample_exact_k"].fn(spark, SF)
     assert shuffle_count(df) == 1, shuffle_count(df)
+
+
+def test_ann_recall_report_single_pass(spark):
+    """The recall eval must broadcast the tiny query set against the corpus
+    exactly ONCE (one BroadcastNestedLoopJoin for the all-pairs ground
+    truth) and rank both ways on one qid shuffle — re-deriving the pair
+    pass per aggregate would triple the dominant cost."""
+    df = QUERIES["b14_ann_recall_report"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:2000]
+    assert shuffle_count(df) <= 2, shuffle_count(df)
