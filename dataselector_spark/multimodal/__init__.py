@@ -681,3 +681,176 @@ def decode_wav(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", VIDEO_META),
+    ]
+)
+
+
+def synthesize_clips(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-frame grayscale clips (the video sibling of
+    `synthesize_bitmaps`): doc_id gets n = doc_id%6 + 2 frames of
+    (h = doc_id%12 + 6) x (w = doc_id%16 + 8) uint8 luma with
+    pixel(t, r, c) = (doc_id*31 + t*17 + r*7 + c*13) mod 256 — closed-form,
+    so every decoded pixel of every frame is replayable in SQL. Payload =
+    frames concatenated row-major."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = d % 16 + 8, d % 12 + 6, d % 6 + 2
+                t = np.arange(nf, dtype=np.int64)[:, None, None]
+                r = np.arange(h, dtype=np.int64)[None, :, None]
+                c = np.arange(w, dtype=np.int64)[None, None, :]
+                clip = ((d * 31 + t * 17 + r * 7 + c * 13) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(clip.tobytes())
+                metas.append(
+                    {
+                        "media_type": "video/raw8",
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "n_bytes": w * h * nf,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, VIDEO_SCHEMA)
+
+
+def encode_y4m(media: DataFrame) -> DataFrame:
+    """Encode raw luma clips as a REAL video container — YUV4MPEG2 (.y4m),
+    byte-exact with no codec library: stream header
+    ``YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 Cmono\\n`` then per frame
+    ``FRAME\\n`` + the row-major luma plane (Cmono = luma-only, so plane
+    size is exactly w*h). Output payloads play in ffplay/mpv and parse
+    with ffprobe. Arrow-batched mapInPandas, map-only."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(p)
+                w, h, nf = int(m["width"]), int(m["height"]), int(m["n_frames"])
+                head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+                frames = b"".join(
+                    b"FRAME\n" + raw[i * w * h : (i + 1) * w * h]
+                    for i in range(nf)
+                )
+                buf = head + frames
+                payloads.append(buf)
+                metas.append(
+                    {
+                        "media_type": "video/x-yuv4mpeg2",
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "n_bytes": len(buf),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, VIDEO_SCHEMA)
+
+
+def decode_y4m(media: DataFrame) -> DataFrame:
+    """REAL video-container decode with no optional dependency: parse the
+    YUV4MPEG2 stream header (magic, space-separated W/H/F/I/A/C parameter
+    tagged fields — unknown X extension fields skipped per spec), require
+    Cmono (luma-only; subsampled chroma needs a real pixel lib), then walk
+    the FRAME markers — each may carry its own parameters up to the
+    newline, and every plane must be exactly w*h bytes. Strictness contract
+    as decode_pgm/decode_wav: wrong magic, missing W/H, unsupported
+    colorspace, truncated plane, or trailing bytes all raise. Returns the
+    concatenated raw luma + rebuilt metadata; swap in ffmpeg for compressed
+    codecs with identical schema/batching/partitioning."""
+
+    def batches(it):
+        import pandas as pd
+
+        def parse(buf: bytes):
+            nl = buf.find(b"\n")
+            if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+                raise ValueError(f"not a YUV4MPEG2 payload: {buf[:12]!r}")
+            w = h = None
+            cs = "420"  # the spec default when no C field is present
+            for tok in buf[9:nl].split(b" "):
+                if not tok:
+                    continue
+                tag, val = tok[:1], tok[1:]
+                if tag == b"W":
+                    w = int(val)
+                elif tag == b"H":
+                    h = int(val)
+                elif tag == b"C":
+                    cs = val.decode("ascii")
+                # F/I/A/X fields are valid but irrelevant to the raster
+            if w is None or h is None:
+                raise ValueError("stream header missing W or H")
+            if cs != "mono":
+                raise ValueError(f"only Cmono supported, got C{cs}")
+            pos, planes = nl + 1, []
+            while pos < len(buf):
+                if buf[pos : pos + 5] != b"FRAME":
+                    raise ValueError(f"expected FRAME marker at {pos}")
+                fnl = buf.find(b"\n", pos)
+                if fnl < 0:
+                    raise ValueError("unterminated FRAME header")
+                plane = buf[fnl + 1 : fnl + 1 + w * h]
+                if len(plane) != w * h:
+                    raise ValueError(
+                        f"truncated frame plane: {len(plane)} != {w * h}"
+                    )
+                planes.append(plane)
+                pos = fnl + 1 + w * h
+            if not planes:
+                raise ValueError("no frames")
+            return w, h, b"".join(planes)
+
+        for pdf in it:
+            payloads, metas = [], []
+            for buf in pdf["payload"]:
+                w, h, raw = parse(bytes(buf))
+                payloads.append(raw)
+                metas.append(
+                    {
+                        "media_type": "video/raw8",
+                        "width": w,
+                        "height": h,
+                        "n_frames": len(raw) // (w * h),
+                        "n_bytes": len(raw),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, VIDEO_SCHEMA)

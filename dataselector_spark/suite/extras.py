@@ -3525,3 +3525,88 @@ def b14_ann_recall_report(spark, sf_dir):
         n_hit.alias("n_hit"),
         (n_hit / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+@query(
+    "b16_y4m_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 16 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 12 + 6 AS INTEGER) AS height,
+           CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   range(0, (doc_id % 6 + 2) * (doc_id % 12 + 6) * (doc_id % 16 + 8)),
+                   i -> (doc_id * 31
+                         + (i // ((doc_id % 12 + 6) * (doc_id % 16 + 8))) * 17
+                         + ((i % ((doc_id % 12 + 6) * (doc_id % 16 + 8)))
+                            // (doc_id % 16 + 8)) * 7
+                         + (i % (doc_id % 16 + 8)) * 13) % 256)),
+               (a, b) -> a + b) AS pixel_sum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (doc_id % 12 + 6) * (doc_id % 16 + 8)),
+                   i -> (doc_id * 31
+                         + (doc_id % 6 + 1) * 17
+                         + (i // (doc_id % 16 + 8)) * 7
+                         + (i % (doc_id % 16 + 8)) * 13) % 256)),
+               (a, b) -> a + b) AS last_frame_sum
+    FROM documents
+    """,
+    doc="B16 (multimodal, REAL video container, zero optional deps): each "
+    "doc gets a deterministic multi-frame luma clip, encoded as a "
+    "spec-compliant YUV4MPEG2 (.y4m) stream — tagged-field stream header, "
+    "FRAME markers, Cmono luma planes; the bytes play in ffplay/mpv — "
+    "then DECODED back by parsing the header fields (unknown X extensions "
+    "skipped per spec) and walking every FRAME marker with the codec "
+    "strictness contract (wrong magic, non-mono colorspace, truncated "
+    "plane, trailing bytes all raise). Completes the real-codec trifecta: "
+    "netpbm images, RIFF/WAVE audio, YUV4MPEG2 video. The closed-form "
+    "source (pixel(t,r,c) = (id*31 + t*17 + r*7 + c*13) mod 256) lets the "
+    "oracle replay EVERY pixel of EVERY frame: whole-clip and "
+    "last-frame checksums are hash-checked through encode->decode. "
+    "Arrow-batched mapInPandas, map-only, no shuffle; frame-level "
+    "parallelism at 100 TB comes from sample_frames (b16_frame_sample) "
+    "exploding clips into per-frame rows.",
+)
+def b16_y4m_roundtrip(spark, sf_dir):
+    from ..multimodal import decode_y4m, encode_y4m, synthesize_clips
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_y4m(encode_y4m(synthesize_clips(d)))
+
+    def checksum(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "pixel_sum": [],
+                "last_frame_sum": [],
+            }
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                arr = np.frombuffer(p, dtype="uint8").astype("int64")
+                w, h, nf = m["width"], m["height"], m["n_frames"]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+                rows["pixel_sum"].append(int(arr.sum()))
+                rows["last_frame_sum"].append(int(arr[-w * h :].sum()))
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("last_frame_sum", T.LongType()),
+        ]
+    )
+    return decoded.mapInPandas(checksum, schema)

@@ -989,3 +989,66 @@ def test_wav_codec_roundtrip_stdlib_parity_and_strictness(spark):
     assert bytes(rows[0]["payload"]) == bytes(
         [r for r in src.collect() if r["doc_id"] == 77][0]["payload"]
     )
+
+
+def test_y4m_codec_roundtrip_and_strictness(spark):
+    """Video sibling of the PGM/PPM/WAV codec tests: encode_y4m ->
+    decode_y4m is byte-identity on the concatenated luma planes; the
+    stream header is the exact YUV4MPEG2 grammar; and the strictness
+    contract rejects wrong magic, missing dimensions, non-mono colorspace,
+    truncated planes, and trailing bytes. Unknown X extension fields in
+    the stream header are skipped per spec, not rejected."""
+    import re
+
+    import pandas as pd
+    import pytest as pt
+
+    from dataselector_spark.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        synthesize_clips,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 77, 123]}))
+    src = synthesize_clips(docs)
+    enc = encode_y4m(src)
+    back = decode_y4m(enc)
+    orig = {r["doc_id"]: r for r in src.collect()}
+    for r in back.collect():
+        o = orig[r["doc_id"]]
+        assert bytes(r["payload"]) == bytes(o["payload"])
+        assert r["meta"]["n_frames"] == o["meta"]["n_frames"]
+    # header grammar: tagged fields, mandatory newline, FRAME markers
+    for r in enc.collect():
+        buf = bytes(r["payload"])
+        m = re.match(rb"YUV4MPEG2 W(\d+) H(\d+) F25:1 Ip A1:1 Cmono\n", buf)
+        assert m, buf[:60]
+        w, h = int(m.group(1)), int(m.group(2))
+        o = orig[r["doc_id"]]["meta"]
+        assert (w, h) == (o["width"], o["height"])
+        assert buf.count(b"FRAME\n") == o["n_frames"]
+
+    good = [r for r in enc.collect() if r["doc_id"] == 77][0]
+    buf = bytes(good["payload"])
+    meta = dict(good["meta"].asDict())
+
+    def one(payload):
+        pdf = pd.DataFrame({"doc_id": [77], "payload": [payload], "meta": [meta]})
+        df = spark.createDataFrame(pdf, schema=enc.schema)
+        return decode_y4m(df).collect()
+
+    with pt.raises(Exception, match="YUV4MPEG2"):
+        one(b"JUNKMPEG2" + buf[9:])
+    with pt.raises(Exception, match="missing W or H"):
+        one(b"YUV4MPEG2 F25:1 Cmono\n" + buf[buf.find(b"\n") + 1 :])
+    with pt.raises(Exception, match="Cmono"):
+        one(buf.replace(b"Cmono", b"C420j", 1))
+    with pt.raises(Exception, match="truncated"):
+        one(buf[:-3])
+    with pt.raises(Exception, match="FRAME"):
+        one(buf + b"xyz")
+    # an X extension field in the stream header is skipped per spec
+    nl = buf.find(b"\n")
+    with_ext = buf[:nl] + b" XSPARK1" + buf[nl:]
+    rows = one(with_ext)
+    assert bytes(rows[0]["payload"]) == bytes(orig[77]["payload"])
