@@ -1052,3 +1052,94 @@ def test_y4m_codec_roundtrip_and_strictness(spark):
     with_ext = buf[:nl] + b" XSPARK1" + buf[nl:]
     rows = one(with_ext)
     assert bytes(rows[0]["payload"]) == bytes(orig[77]["payload"])
+
+
+def test_wav_y4m_codec_property_roundtrip(spark):
+    """Property twins of test_pgm_codec_property_roundtrip for the audio and
+    video codecs: for ANY sample count / clip dimensions and payload bytes,
+    hand-built spec-bytes decode back to the exact payload. One Spark job
+    per codec over the whole hypothesis batch."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataselector_spark.multimodal import decode_wav, decode_y4m
+
+    wav_cases, y4m_cases = [], []
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=600),
+        sr=st.sampled_from([8000, 16000, 44100]),
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=18),
+        nf=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def collect(n, sr, w, h, nf, seed):
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype("<i2")
+        wav_cases.append((sr, n, pcm.tobytes()))
+        y4m_cases.append(
+            (w, h, nf, rng.integers(0, 256, size=w * h * nf, dtype=np.uint8).tobytes())
+        )
+
+    collect()
+
+    def wav_bytes(sr, pcm):
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16)
+        data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+        # odd data chunk is impossible for 16-bit, so no pad byte needed
+        return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data
+
+    wav_pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(wav_cases)),
+            "payload": [wav_bytes(sr, pcm) for sr, _, pcm in wav_cases],
+            "meta": [
+                {"media_type": "audio/wav", "sample_rate": sr, "n_samples": n,
+                 "n_bytes": len(pcm) + 44}
+                for sr, n, pcm in wav_cases
+            ],
+        }
+    )
+    wdf = spark.createDataFrame(
+        wav_pdf,
+        schema="doc_id long, payload binary, meta struct<media_type:string,"
+        "sample_rate:int,n_samples:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_wav(wdf).collect()}
+    for i, (sr, n, pcm) in enumerate(wav_cases):
+        assert bytes(got[i]["payload"]) == pcm, (i, sr, n)
+        assert got[i]["meta"]["sample_rate"] == sr
+
+    y4m_pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(y4m_cases)),
+            "payload": [
+                f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+                + b"".join(
+                    b"FRAME\n" + raw[i * w * h : (i + 1) * w * h]
+                    for i in range(nf)
+                )
+                for w, h, nf, raw in y4m_cases
+            ],
+            "meta": [
+                {"media_type": "video/x-yuv4mpeg2", "width": w, "height": h,
+                 "n_frames": nf, "n_bytes": len(raw)}
+                for w, h, nf, raw in y4m_cases
+            ],
+        }
+    )
+    vdf = spark.createDataFrame(
+        y4m_pdf,
+        schema="doc_id long, payload binary, meta struct<media_type:string,"
+        "width:int,height:int,n_frames:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_y4m(vdf).collect()}
+    for i, (w, h, nf, raw) in enumerate(y4m_cases):
+        assert bytes(got[i]["payload"]) == raw, (i, w, h, nf)
+        assert got[i]["meta"]["n_frames"] == nf
