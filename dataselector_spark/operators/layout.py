@@ -150,3 +150,46 @@ def cluster_by_zorder(
         else keyed.repartitionByRange("__zkey")
     )
     return parted.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def compact_small_files(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_by: list | None = None,
+) -> int:
+    """Bin-pack a directory of (possibly thousands of) small parquet files
+    into ~``target_file_bytes`` outputs at ``dst`` — the OPTIMIZE/compaction
+    maintenance op every streaming or incremental sink eventually needs:
+    micro-batch sinks (e.g. the b23 foreachBatch upsert) and per-partition
+    appends accrete files far below the row-group sweet spot, and at 100 TB
+    the scan-planning overhead (one footer read + task per file) plus the
+    loss of row-group-level pruning dominates query time long before data
+    size does.
+
+    Output file count = ceil(source bytes / target) from the real listing
+    (not a guess); with ``order_by`` the rewrite re-sorts via a range
+    exchange so the compacted files carry disjoint key ranges — preserving
+    (or establishing) the min/max-prunable layout that `cluster_by_zorder`
+    / time-sorted writes produce, instead of destroying it with a hash
+    round-robin. Returns the output file count."""
+    import math
+    import os
+
+    total = 0
+    for root, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.stat(os.path.join(root, f)).st_size
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if order_by:
+        out = df.repartitionByRange(n_out, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    return n_out

@@ -3610,3 +3610,121 @@ def b16_y4m_roundtrip(spark, sf_dir):
         ]
     )
     return decoded.mapInPandas(checksum, schema)
+
+
+@query(
+    "b23_scd2_incremental",
+    oracle="""
+    SELECT user_id, event_id,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+           event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="B23 (r7): INCREMENTAL SCD Type-2 maintenance — apply a late "
+    "changelog batch (events on/after Jan 20) to an existing SCD2 "
+    "dimension (built from events before Jan 20) without touching "
+    "unaffected keys: keys absent from the batch pass through AS IS "
+    "(their rows are never shuffled, re-sorted, or rewritten — at 100 TB "
+    "the delta usually touches a tiny key fraction, and partition-"
+    "overwrite on the touched keys is the physical form); for touched "
+    "keys, the old CURRENT row re-enters the window with the delta rows "
+    "and its open interval closes against the first new change. The "
+    "closed (historical) rows of touched keys are immutable — they "
+    "re-attach untouched with a union, not a recompute. The oracle is "
+    "the STRONG equivalence: incremental(base, delta) must equal the "
+    "full rebuild over ALL events — exactly the invariant an "
+    "incremental view maintainer has to prove.",
+)
+def b23_scd2_incremental(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base_events = e.filter(F.col("ts") < cutoff)
+    delta = e.filter(F.col("ts") >= cutoff)
+
+    # The pre-existing dimension (what a warehouse would already have on
+    # disk): SCD2 over the base events only.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    dim = base_events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        "event_type",
+    )
+
+    # --- the incremental application starts here ---
+    touched = delta.select("user_id").distinct()
+    untouched_rows = dim.join(touched, "user_id", "left_anti")
+    closed_rows = dim.join(touched, "user_id", "left_semi").filter(
+        F.col("is_current") == 0
+    )
+    # Only the touched keys' OPEN rows re-enter the window, together with
+    # the delta — the minimal re-sort set.
+    reopen = (
+        dim.join(touched, "user_id", "left_semi")
+        .filter(F.col("is_current") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("effective_from").alias("ts"),
+            "event_type",
+        )
+    )
+    recomputed = reopen.unionByName(
+        delta.select("user_id", "event_id", "ts", "event_type")
+    )
+    nxt2 = F.lead("ts").over(w)
+    fresh = recomputed.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("effective_from"),
+        nxt2.alias("effective_to"),
+        F.when(nxt2.isNull(), 1).otherwise(0).alias("is_current"),
+        "event_type",
+    )
+    return untouched_rows.unionByName(closed_rows).unionByName(fresh)
+
+
+@query(
+    "b22_compaction_readback",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="B22 (r7): small-file compaction (the OPTIMIZE maintenance op), "
+    "value-checked end-to-end: the documents table is first written as "
+    "64 deliberately-tiny files (the shape a micro-batch sink accretes), "
+    "then compact_small_files bin-packs them into ceil(bytes/target) "
+    "outputs — sized from the REAL directory listing, not a guess — with "
+    "a doc_id range re-sort so the compacted files carry disjoint, "
+    "min/max-prunable key ranges instead of hash-scrambled ones. The "
+    "readback is hash-compared against the source content (md5 of every "
+    "text), proving the rewrite is loss-free; the file-count collapse "
+    "itself is asserted in tests/test_llm_ops.py. At 100 TB compaction "
+    "is run per partition as tables accrete; the per-file cost it "
+    "removes (footer read + task per tiny file, no row-group pruning) "
+    "dominates scan time long before data size does.",
+)
+def b22_compaction_readback(spark, sf_dir):
+    import os
+
+    from ..operators.layout import compact_small_files
+
+    base = f"/tmp/dsspark_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    frag, packed = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
+    d = load_table(spark, sf_dir, "documents")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files(
+        spark, frag, packed, target_file_bytes=8 * 1024 * 1024,
+        order_by=["doc_id"],
+    )
+    return spark.read.parquet(packed).select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )

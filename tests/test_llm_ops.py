@@ -1143,3 +1143,46 @@ def test_wav_y4m_codec_property_roundtrip(spark):
     for i, (w, h, nf, raw) in enumerate(y4m_cases):
         assert bytes(got[i]["payload"]) == raw, (i, w, h, nf)
         assert got[i]["meta"]["n_frames"] == nf
+
+
+def test_compact_small_files_collapses_and_orders(spark, tmp_path):
+    """compact_small_files must (1) actually collapse the file count to
+    ceil(bytes/target), (2) preserve content exactly, and (3) with
+    order_by, produce files whose key ranges are DISJOINT (min/max
+    prunable) rather than hash-scrambled."""
+    import os
+
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.operators.layout import compact_small_files
+
+    frag, packed = str(tmp_path / "frag"), str(tmp_path / "packed")
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d.repartition(32).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag == 32
+
+    n_out = compact_small_files(
+        spark, frag, packed, target_file_bytes=64 * 1024, order_by=["doc_id"]
+    )
+    parts = sorted(f for f in os.listdir(packed) if f.endswith(".parquet"))
+    assert len(parts) == n_out < n_frag, (len(parts), n_out, n_frag)
+
+    back = spark.read.parquet(packed)
+    assert back.count() == d.count()
+    assert back.select("doc_id").exceptAll(d.select("doc_id")).count() == 0
+
+    # per-file min/max must not overlap (range partitioned, sorted)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for p in parts:
+        md = pq.read_metadata(os.path.join(packed, p))
+        ids = [
+            (md.row_group(i).column(0).statistics.min,
+             md.row_group(i).column(0).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(a for a, _ in ids), max(b for _, b in ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
