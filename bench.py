@@ -77,11 +77,12 @@ HEADLINE_V2 = [
 ]
 
 # HEADLINE_V3: the round-7 additions, FROZEN the same way (reported as
-# `headline_v3_wall`, excluded from `value`). Three r7 entries are left out
-# on purpose: b22_zorder_write_readback and b23_streaming_upsert_sink time
-# their own file WRITES (measured separately in tools/ ladders, not a
-# steady-state probe), and b22_observe_metrics triggers its own internal
-# action, which a per-query wall would double-count.
+# `headline_v3_wall`, excluded from `value`). Four r7 entries are left out
+# on purpose: b22_zorder_write_readback, b23_streaming_upsert_sink and
+# b22_compaction_readback time their own file WRITES (measured separately
+# in tools/ ladders, not a steady-state probe), and b22_observe_metrics
+# triggers its own internal action, which a per-query wall would
+# double-count.
 HEADLINE_V3 = [
     "b05_asof_nearest",  # B5 nearest-direction merge-asof
     "b12_dedup_normalized_text",  # B12 normalize->md5-digest dedup
@@ -93,6 +94,10 @@ HEADLINE_V3 = [
     "b09_diversified_topk",  # B9 per-key cap + TakeOrdered
     "b22_cell_sample_exact_k",  # B22 exact-k hash-ordered sample
     "b16_wav_roundtrip",  # B16 WAV codec roundtrip (Arrow mapInPandas)
+    "b16_y4m_roundtrip",  # B16 Y4M video container roundtrip
+    "b14_ann_recall_report",  # B14 recall@10 eval, one broadcast pass
+    "b21_pandas_udaf_grouped_agg",  # B21 GROUPED_AGG pandas UDAF
+    "b23_scd2_incremental",  # B23 incremental SCD2 maintenance
 ]
 
 
