@@ -3728,3 +3728,59 @@ def b22_compaction_readback(spark, sf_dir):
     return spark.read.parquet(packed).select(
         "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
     )
+
+
+@query(
+    "b23_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, event_id AS version_id, value AS tier_value,
+               ts AS effective_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS effective_to
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.version_id, d.tier_value
+    FROM events f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.effective_from
+     AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+    WHERE f.event_type = 'click'
+    """,
+    doc="B23 (r7): the CONSUMER side of SCD Type-2 — point-in-time version "
+    "lookup: every click event fetches the purchase-defined dimension "
+    "version valid AT ITS OWN TIMESTAMP. The relational spec is an "
+    "interval theta-join (ts BETWEEN effective_from AND effective_to), "
+    "which DuckDB runs as written for the oracle — but because SCD2 "
+    "intervals PARTITION time per key, the valid version is exactly the "
+    "latest effective_from <= fact ts, so the Spark plan is the "
+    "merge-asof encoding (operators/asof.py): one union + one hash "
+    "shuffle + one per-key sort, linear state, instead of a per-key "
+    "quadratic interval join. This is the standard warehouse pattern "
+    "for enriching a 100 TB fact stream against a versioned dimension "
+    "without a range-join blowup; same-instant fact and version match "
+    "(>=) on both paths.",
+)
+def b23_scd2_lookup(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("tier_value"),
+    )
+    facts = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        facts,
+        dim,
+        on="user_id",
+        right_payload=["version_id", "tier_value"],
+        suffix="",
+    )
+    return out.select("event_id", "user_id", "ts", "version_id", "tier_value")

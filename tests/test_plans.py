@@ -466,3 +466,13 @@ def test_ann_recall_report_single_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:2000]
     assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_scd2_lookup_merge_asof_plan(spark):
+    """The point-in-time dimension lookup must stay on the merge-asof plan
+    (one union shuffle + per-key sort) — never a theta/interval join pair
+    blowup."""
+    df = QUERIES["b23_scd2_lookup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+    assert shuffle_count(df) <= 1, shuffle_count(df)
