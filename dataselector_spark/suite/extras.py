@@ -3841,3 +3841,92 @@ def b08_outlier_mad(spark, sf_dir):
             (F.abs(rz) > 3.5).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "b01_parquet_merge_schema",
+    oracle="""
+    SELECT doc_id, lang, NULL AS source, NULL AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id, NULL AS lang, source, n_chars
+    FROM documents
+    """,
+    doc="B1 (r7): parquet schema evolution on read — two file generations "
+    "with different column sets (an old writer emitting (doc_id, lang), a "
+    "new one emitting (doc_id, source, n_chars)) read as ONE table via "
+    "mergeSchema: the footer-schema union fills absent columns with "
+    "nulls, the exact situation a long-lived 100 TB table is always in "
+    "after a column is added. mergeSchema costs one extra footer read "
+    "per file at planning time (not a data pass) and is OFF by default "
+    "for that reason — the entry documents turning it on deliberately, "
+    "per read, not globally. Value-checked: the merged readback must "
+    "equal the UNION of both generations with null-filled columns.",
+)
+def b01_parquet_merge_schema(spark, sf_dir):
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    base = f"/tmp/dsspark_mergeschema_{os.path.basename(sf_dir.rstrip('/'))}"
+    d.select("doc_id", "lang").write.mode("overwrite").parquet(
+        os.path.join(base, "gen=1")
+    )
+    d.select("doc_id", "source", "n_chars").write.mode("overwrite").parquet(
+        os.path.join(base, "gen=2")
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return merged.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "b01_partitioned_write_pruning",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
+          BETWEEN '2024-01-10' AND '2024-01-12'
+    """,
+    doc="B1 (r7): hive-partitioned write + partition-pruned read — events "
+    "written partitionBy(day), then a day-range predicate on the readback "
+    "must resolve at PLANNING time from directory names (PartitionFilters "
+    "in the scan, asserted in tests/test_plans.py) so non-matching "
+    "partitions contribute zero files to the scan — the first-order "
+    "layout decision for any 100 TB time-series table, and the directory-"
+    "level coarse sibling of the row-group zone maps (b22_zone_map_stats) "
+    "and z-order clustering that prune WITHIN what partition pruning "
+    "lets through. Partition count stays bounded (days, not minutes): "
+    "over-partitioning recreates the small-file problem "
+    "b22_compaction_readback exists to fix.",
+)
+def b01_partitioned_write_pruning(spark, sf_dir):
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    base = f"/tmp/dsspark_partwrite_{os.path.basename(sf_dir.rstrip('/'))}"
+    (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    # partition-value inference types `day` as DATE — filter on the native
+    # type (so pruning sees a typed comparison), string-cast at the edge
+    return back.filter(
+        F.col("day").between("2024-01-10", "2024-01-12")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+    )

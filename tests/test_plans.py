@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from dataselector_spark.catalog import load_table
 from dataselector_spark.plans import (
+    formatted_plan,
     has_broadcast_join,
     has_take_ordered,
     pushed_filters,
@@ -476,3 +477,15 @@ def test_scd2_lookup_merge_asof_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
     assert shuffle_count(df) <= 1, shuffle_count(df)
+
+
+def test_partitioned_write_prunes_at_planning_time(spark):
+    """The day-range predicate must become PartitionFilters on the scan —
+    zero data files from non-matching day directories."""
+    df = QUERIES["b01_partitioned_write_pruning"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [" in plan, plan[:2000]
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), m and m.group(1)
