@@ -3930,3 +3930,96 @@ def b01_partitioned_write_pruning(spark, sf_dir):
         "event_type",
         F.col("day").cast("string").alias("day"),
     )
+
+
+@query(
+    "b24_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    quotas AS (
+        SELECT source, n,
+               CAST(floor(200.0 * sqrt(n) /
+                    sum(sqrt(n)) OVER ()) AS BIGINT) AS quota
+        FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN quotas q USING (source)
+    QUALIFY row_number() OVER (
+        PARTITION BY d.source
+        ORDER BY (d.doc_id * 2246822519) % 1048576, d.doc_id
+    ) <= q.quota
+    """,
+    doc="B24 (r7): temperature-scaled mixture sampling — the XLM-R/mT5 "
+    "rebalancing step: per-domain quotas proportional to n^alpha (alpha = "
+    "0.5 flattens the head, boosts the tail) for a 200-doc budget, filled "
+    "deterministically by hash order. alpha = 0.5 is deliberate ENGINE "
+    "PARITY, not just a common setting: sqrt, divide, and multiply are "
+    "IEEE correctly-rounded, so both engines compute bit-identical "
+    "quotas; a general pow(n, alpha) is not correctly-rounded and one "
+    "ulp at a floor() boundary would flip a whole quota. Plan: one tiny "
+    "counts agg, quota arithmetic against a broadcast scalar "
+    "denominator, broadcast join back, per-domain hash-ranked row_number — "
+    "the fact table shuffles once (domain key) and the same mega-domain "
+    "prefix-sum fallback as b24_token_budget_cap applies.",
+)
+def b24_temperature_mixture(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # denominator as a broadcast single-row scalar (the tpch_full.py
+    # pattern), not an empty-partitionBy window (single-partition warning)
+    denom = counts.agg(F.sum(F.sqrt("n")).alias("denom"))
+    quotas = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.floor(F.lit(200.0) * F.sqrt("n") / F.col("denom"))
+        .cast("long")
+        .alias("quota"),
+    )
+    hkey = (F.col("doc_id") * F.lit(2246822519)) % 1048576
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        d.join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id", "source", F.row_number().over(w).alias("rn"), "quota"
+        )
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "b15_feature_hashing",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS bucket,
+           count(*) AS cnt
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+    doc="B15 (r7): the feature-hashing trick (Weinberger et al.) — tokens "
+    "folded into a fixed 1024-dim sparse count vector by a hash, the "
+    "standard no-vocabulary featurizer for linear models / sketches over "
+    "unbounded token spaces. The hash is PORTABLE by construction: bucket "
+    "= first 28 md5 bits mod 1024 (28 bits keeps the int positive in "
+    "both engines' signed parsing, and md5 is the same everywhere), not "
+    "murmur3, whose seeding is engine-specific — the same argument as "
+    "b12_dedup_normalized_text's digest keys. One explode + one "
+    "map-side-combined groupBy on (doc_id, bucket); output is the "
+    "exploded sparse form (doc_id, bucket, cnt), which at 100 TB is the "
+    "shuffle-friendly representation (dense 1024-vectors would multiply "
+    "the row width by the fill rate's inverse).",
+)
+def b15_feature_hashing(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long") % 1024
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
