@@ -287,3 +287,57 @@ def topk_cosine_ivf(
         F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, k: int = 8, seed: int = 100
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: for each of ``m``
+    subvectors of width dim/m, ``k`` centroids from the seeded RNG-free
+    generator (one seed per subvector). Production PQ trains these with
+    per-subspace k-means; the encode dataflow is identical, so — as with
+    the IVF coarse quantizer — the plumbing is what the suite pins."""
+    sub = dim // m
+    return [_pseudo_centroids(sub, k, seed=seed + s) for s in range(m)]
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 100,
+) -> DataFrame:
+    """Product-quantization encode: split each ``dim`` vector into ``m``
+    subvectors, assign each to its nearest of ``k`` codebook centroids
+    (squared L2, left-to-right summation; first-minimum tie-break via
+    array_position), and emit the ``m`` small codes — the compressed form
+    (m*log2(k) bits/vector, here 8x3 = 3 bytes vs 256 bytes of floats)
+    that makes billion-scale ANN fit in memory (Jegou et al., PQ for
+    nearest neighbor search; the IVF+PQ pairing is the FAISS workhorse).
+    All JVM-side literal arithmetic inside whole-stage codegen — the same
+    plan-time-literal contract as the LSH planes/IVF centroids, so a
+    DuckDB oracle replays every distance and argmin bit-for-bit. Map-only:
+    zero shuffles at any scale."""
+    books = pq_codebooks(dim, m, k, seed)
+    sub = dim // m
+    v = F.col(vec_col)
+
+    def d2(s: int, cent: list[float]) -> Column:
+        # left-to-right fold of squared diffs, mirrored by the SQL oracle
+        total = None
+        for i in range(sub):
+            x = v[s * sub + i].cast("double") - F.lit(cent[i])
+            term = x * x
+            total = term if total is None else total + term
+        return total
+
+    cols = []
+    for s, book in enumerate(books):
+        dists = F.array(*[d2(s, c) for c in book])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).alias(f"c{s}")
+        )
+    return embeddings.select(F.col(id_col), *cols)

@@ -4023,3 +4023,49 @@ def b15_feature_hashing(spark, sf_dir):
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def _pq_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
+    from ..operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m, k, seed=100)
+    sub = dim // m
+    cols = []
+    for s, book in enumerate(books):
+        dists = []
+        for cent in book:
+            terms = " + ".join(
+                f"power(CAST(embedding[{s * sub + i + 1}] AS DOUBLE)"
+                f" - ({cent[i]!r}), 2)"
+                for i in range(sub)
+            )
+            dists.append(f"({terms})")
+        arr = "[" + ", ".join(dists) + "]"
+        cols.append(
+            f"CAST(list_position({arr}, list_min({arr})) - 1 AS BIGINT) AS c{s}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"SELECT vec_id,\n           {sel}\n    FROM embeddings"
+
+
+@query(
+    "b14_pq_codes",
+    oracle=_pq_oracle(),
+    doc="B14 (r7): product-quantization encode (Jegou et al.; the FAISS "
+    "IVF+PQ workhorse) — each 64-dim embedding splits into 8 subvectors, "
+    "each assigned to its nearest of 8 codebook centroids by squared L2, "
+    "compressing 256 float bytes to 8 x 3 bits: the representation that "
+    "makes billion-scale ANN RAM-resident, with asymmetric distances "
+    "computed from tiny per-query lookup tables at search time. Codebooks "
+    "are seeded plan-time literals (per-subspace, the IVF-centroid "
+    "contract; production swaps in per-subspace k-means with the same "
+    "dataflow), all distance arithmetic is JVM literal expressions inside "
+    "whole-stage codegen with left-to-right summation, and argmin is "
+    "first-minimum via array_position — so the DuckDB oracle replays "
+    "every distance and every code bit-for-bit. Map-only, zero shuffles "
+    "at any scale; plan-asserted.",
+)
+def b14_pq_codes(spark, sf_dir):
+    from ..operators.similarity import pq_codes
+
+    return pq_codes(load_table(spark, sf_dir, "embeddings"))

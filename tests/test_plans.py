@@ -489,3 +489,12 @@ def test_partitioned_write_prunes_at_planning_time(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "day" in m.group(1), m and m.group(1)
+
+
+def test_pq_codes_map_only(spark):
+    """PQ encode is pure per-row literal arithmetic — zero shuffles, inside
+    whole-stage codegen."""
+    df = QUERIES["b14_pq_codes"].fn(spark, SF)
+    assert shuffle_count(df) == 0, shuffle_count(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan  # codegen span — no Python boundary
