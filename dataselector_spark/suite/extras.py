@@ -4069,3 +4069,98 @@ def b14_pq_codes(spark, sf_dir):
     from ..operators.similarity import pq_codes
 
     return pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_adc_luts(qv, m: int = 8, k: int = 8, dim: int = 64):
+    """Per-subspace ADC lookup tables for a literal query vector: lut[s][c] =
+    squared L2 between the query's s-th subvector and centroid c — plain
+    driver-side Python over the plan-time literals, left-to-right summation
+    (the shared-formula contract: the SQL oracle embeds the SAME floats)."""
+    from ..operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m, k, seed=100)
+    sub = dim // m
+    luts = []
+    for s, book in enumerate(books):
+        row = []
+        for cent in book:
+            total = 0.0
+            for i in range(sub):
+                x = float(qv[s * sub + i]) - cent[i]
+                total = total + x * x
+            row.append(total)
+        luts.append(row)
+    return luts
+
+
+def _pq_adc_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
+    codes_sql = _pq_oracle(m, k, dim)
+    # LUTs depend on the query vector — resolved per-sf inside the oracle by
+    # joining against the vec_id=0 row is impossible for literal tables, so
+    # the oracle recomputes lut entries inline from the SAME centroid
+    # literals and the query's embedding via a CTE.
+    from ..operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m, k, seed=100)
+    sub = dim // m
+    terms = []
+    for s, book in enumerate(books):
+        dists = []
+        for cent in book:
+            e = " + ".join(
+                f"power(CAST(q.qv[{s * sub + i + 1}] AS DOUBLE)"
+                f" - ({cent[i]!r}), 2)"
+                for i in range(sub)
+            )
+            dists.append(f"({e})")
+        terms.append(f"([{', '.join(dists)}])[c.c{s} + 1]")
+    adc = " + ".join(terms)
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    codes AS ({codes_sql})
+    SELECT c.vec_id, {adc} AS adc_dist
+    FROM codes c, q
+    WHERE c.vec_id != 0
+    ORDER BY adc_dist ASC, c.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query(
+    "b14_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    doc="B14 (r7): asymmetric-distance (ADC) top-k over the PQ codes — the "
+    "search half of IVF+PQ: the query builds m tiny lookup tables (k "
+    "squared-L2 entries per subspace, 64 floats total) ONCE, and each "
+    "candidate's approximate distance is m table lookups + adds instead "
+    "of a 64-dim float scan — the arithmetic that lets one core scan "
+    "billions of codes. The LUTs are computed driver-side from the "
+    "literal codebooks and the vec_id=0 query vector (same few-scalars "
+    "model-state category as the IVF centroid means) and enter the plan "
+    "as array literals indexed by the code columns — all JVM element_at "
+    "+ adds in whole-stage codegen, ranked by TakeOrderedAndProject with "
+    "a vec_id tie-break. The oracle recomputes the SAME lut floats "
+    "inline from the shared centroid literals, so distances hash-match "
+    "bit-for-bit. Map-only + top-k heap: zero full shuffles.",
+)
+def b14_pq_adc_topk(spark, sf_dir):
+    from ..operators.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    luts = _pq_adc_luts(qv)
+    codes = pq_codes(emb).filter(F.col("vec_id") != 0)
+    adc = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]),
+            (F.col(f"c{s}") + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -498,3 +498,12 @@ def test_pq_codes_map_only(spark):
     assert shuffle_count(df) == 0, shuffle_count(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(1)" in plan  # codegen span — no Python boundary
+
+
+def test_pq_adc_topk_take_ordered(spark):
+    """ADC search over PQ codes must be map-only arithmetic feeding a
+    bounded top-k heap — no full sort, no shuffle beyond the heap merge."""
+    df = QUERIES["b14_pq_adc_topk"].fn(spark, SF)
+    assert has_take_ordered(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
