@@ -14,8 +14,19 @@ from __future__ import annotations
 DIM = 64  # embeddings.embedding width (TESTDATA.md)
 
 
+def sql_double_literal(x: float) -> str:
+    """repr(x) with an exponent marker so DuckDB parses it directly as
+    DOUBLE (strtod, correctly rounded). A bare decimal literal types as
+    DECIMAL, and DuckDB's DECIMAL->DOUBLE cast can be one ulp off strtod
+    (found r7: CAST(0.43836522568017244 AS DOUBLE) != the nearest double),
+    which silently poisons any value-checked float arithmetic built on
+    embedded literals."""
+    r = repr(float(x))
+    return r if ("e" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
 def sql_vec_literal(vec: list[float]) -> str:
-    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+    return "[" + ", ".join(sql_double_literal(x) for x in vec) + "]"
 
 
 def sql_dot(a_expr: str, b_expr: str, dim: int = DIM) -> str:

@@ -4025,8 +4025,9 @@ def b15_feature_hashing(spark, sf_dir):
     )
 
 
-def _pq_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
+def _pq_oracle(m: int = 8, k: int = 8, dim: int = 64, src: str = "embeddings") -> str:
     from ..operators.similarity import pq_codebooks
+    from ._sqlgen import sql_double_literal as _dl
 
     books = pq_codebooks(dim, m, k, seed=100)
     sub = dim // m
@@ -4035,8 +4036,10 @@ def _pq_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
         dists = []
         for cent in book:
             terms = " + ".join(
-                f"power(CAST(embedding[{s * sub + i + 1}] AS DOUBLE)"
-                f" - ({cent[i]!r}), 2)"
+                f"((CAST(embedding[{s * sub + i + 1}] AS DOUBLE)"
+                f" - {_dl(cent[i])})"
+                f" * (CAST(embedding[{s * sub + i + 1}] AS DOUBLE)"
+                f" - {_dl(cent[i])}))"
                 for i in range(sub)
             )
             dists.append(f"({terms})")
@@ -4045,7 +4048,7 @@ def _pq_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
             f"CAST(list_position({arr}, list_min({arr})) - 1 AS BIGINT) AS c{s}"
         )
     sel = ",\n           ".join(cols)
-    return f"SELECT vec_id,\n           {sel}\n    FROM embeddings"
+    return f"SELECT vec_id,\n           {sel}\n    FROM {src}"
 
 
 @query(
@@ -4100,6 +4103,7 @@ def _pq_adc_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
     # the oracle recomputes lut entries inline from the SAME centroid
     # literals and the query's embedding via a CTE.
     from ..operators.similarity import pq_codebooks
+    from ._sqlgen import sql_double_literal as _dl
 
     books = pq_codebooks(dim, m, k, seed=100)
     sub = dim // m
@@ -4108,8 +4112,10 @@ def _pq_adc_oracle(m: int = 8, k: int = 8, dim: int = 64) -> str:
         dists = []
         for cent in book:
             e = " + ".join(
-                f"power(CAST(q.qv[{s * sub + i + 1}] AS DOUBLE)"
-                f" - ({cent[i]!r}), 2)"
+                f"((CAST(q.qv[{s * sub + i + 1}] AS DOUBLE)"
+                f" - {_dl(cent[i])})"
+                f" * (CAST(q.qv[{s * sub + i + 1}] AS DOUBLE)"
+                f" - {_dl(cent[i])}))"
                 for i in range(sub)
             )
             dists.append(f"({e})")
@@ -4152,6 +4158,126 @@ def b14_pq_adc_topk(spark, sf_dir):
     )
     luts = _pq_adc_luts(qv)
     codes = pq_codes(emb).filter(F.col("vec_id") != 0)
+    adc = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]),
+            (F.col(f"c{s}") + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _adc_terms(m: int = 8, k: int = 8, dim: int = 64) -> str:
+    """ADC distance as SQL over code columns c0..c{m-1} and the q CTE's qv —
+    the shared-formula twin of _pq_adc_luts, inlined per centroid."""
+    from ..operators.similarity import pq_codebooks
+    from ._sqlgen import sql_double_literal as _dl
+
+    books = pq_codebooks(dim, m, k, seed=100)
+    sub = dim // m
+    terms = []
+    for s, book in enumerate(books):
+        dists = []
+        for cent in book:
+            e = " + ".join(
+                f"((CAST(q.qv[{s * sub + i + 1}] AS DOUBLE)"
+                f" - {_dl(cent[i])})"
+                f" * (CAST(q.qv[{s * sub + i + 1}] AS DOUBLE)"
+                f" - {_dl(cent[i])}))"
+                for i in range(sub)
+            )
+            dists.append(f"({e})")
+        terms.append(f"([{', '.join(dists)}])[c.c{s} + 1]")
+    return " + ".join(terms)
+
+
+def _ivfpq_oracle() -> str:
+    from ..operators.similarity import _pseudo_centroids
+    from ._sqlgen import sql_centroid_values, sql_cosine
+
+    cents = _pseudo_centroids(64, 16, seed=7)
+    codes_sql = _pq_oracle(src="cand")
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT cell FROM (
+            SELECT cents.cell,
+                   row_number() OVER (
+                       ORDER BY {sql_cosine("cents.c", "q.qv")} DESC,
+                                cents.cell ASC) AS rn
+            FROM {sql_centroid_values(cents)}, q
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, cents.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine("e.embedding", "cents.c")} DESC,
+                                cents.cell DESC) AS rn
+            FROM embeddings e, {sql_centroid_values(cents)}
+        ) WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+          AND vec_id != 0
+    ),
+    codes AS ({codes_sql})
+    SELECT c.vec_id, {_adc_terms()} AS adc_dist
+    FROM codes c, q
+    ORDER BY adc_dist ASC, c.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query(
+    "b14_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="B14 (r7): the full FAISS-style IVF+PQ search, end to end — coarse "
+    "quantizer prunes the corpus to the query's 4 nearest of 16 inverted "
+    "lists (~4/16 scanned, the b14_ann_ivf machinery), then candidates "
+    "are ranked by PQ asymmetric distance (8 lookup-table adds per "
+    "candidate, the b14_pq_adc_topk machinery) instead of a 64-float "
+    "exact scan: at billion scale the probed lists are read as compact "
+    "3-byte codes from cell-partitioned storage and never touch the raw "
+    "vectors, which is THE standard production ANN architecture. Both "
+    "quantizers are seeded plan-time literals, every distance and argmin "
+    "is shared-formula replayed (probe ties -> lower cell, assignment "
+    "ties -> higher cell, ADC ranked with a vec_id tie-break), so the "
+    "composed pipeline stays fully value-checked. Map-side assignment + "
+    "cell filter + TakeOrdered heap: the only wide op is the final "
+    "k-row merge.",
+)
+def b14_ivfpq_topk(spark, sf_dir):
+    from ..operators.similarity import (
+        _pseudo_centroids,
+        ivf_assignments,
+        pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    centroids = _pseudo_centroids(64, 16, seed=7)
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(16), key=lambda i: -_cos(qv, centroids[i]))[:4]
+    cand = (
+        ivf_assignments(emb, centroids)
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", "embedding")
+    )
+    codes = pq_codes(cand)
+    luts = _pq_adc_luts(qv)
     adc = None
     for s, lut in enumerate(luts):
         term = F.element_at(

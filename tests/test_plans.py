@@ -507,3 +507,12 @@ def test_pq_adc_topk_take_ordered(spark):
     assert has_take_ordered(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:1500]
+
+
+def test_ivfpq_topk_plan(spark):
+    """IVF+PQ end-to-end: map-side assignment + cell filter + ADC feeding a
+    bounded heap — no joins, no full sort."""
+    df = QUERIES["b14_ivfpq_topk"].fn(spark, SF)
+    assert has_take_ordered(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
