@@ -25,7 +25,9 @@ def _sql_dot_literal(vec_expr: str, plane: list[float]) -> str:
     """DuckDB fold of vec · plane-literal, accumulation order identical to
     functions/vectors.py dot_product (sequential left fold of per-index
     products, double arithmetic)."""
-    lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+    from ._sqlgen import sql_double_literal
+
+    lits = "[" + ", ".join(sql_double_literal(x) for x in plane) + "]"
     return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform(range(1, {_DIM} + 1),
             i -> CAST({vec_expr}[i] AS DOUBLE) * CAST(({lits})[i] AS DOUBLE))),
