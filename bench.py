@@ -98,6 +98,9 @@ HEADLINE_V3 = [
     "b14_ann_recall_report",  # B14 recall@10 eval, one broadcast pass
     "b21_pandas_udaf_grouped_agg",  # B21 GROUPED_AGG pandas UDAF
     "b23_scd2_incremental",  # B23 incremental SCD2 maintenance
+    "b14_pq_codes",  # B14 PQ encode, map-only literal arithmetic
+    "b14_pq_adc_topk",  # B14 ADC lookup-table top-k over codes
+    "b14_ivfpq_topk",  # B14 IVF prune + ADC rerank, end to end
 ]
 
 

@@ -227,19 +227,53 @@ def ivf_assignments(
     """(id, vec, cell): each vector assigned to its max-cosine centroid —
     the IVF inverted-list build. At scale, write this out partitioned by
     `cell` so queries prune to probed cells at the storage layer."""
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_similarity(F.col(vec_col), _query_vec_lit(c)).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # Indexed-transform over ONE nested centroid array literal instead of
+    # num_centroids expanded cosine expressions — same r7 compile-cost fix
+    # as pq_codes (the expanded tree's analysis/codegen dominated bench
+    # wall). Arithmetic and tie semantics are unchanged bit-for-bit:
+    # zip_with/aggregate reproduce the sql_cosine fold order, and array_max
+    # over (s, cell) structs still breaks score ties toward the HIGHER
+    # cell, which the oracle mirrors (rn ... ORDER BY cos DESC, cell DESC).
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col)
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        v, c, lambda a, b: a.cast("double") * b.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                / (
+                    vnorm
+                    * F.sqrt(
+                        F.aggregate(
+                            F.transform(c, lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, t: a + t,
+                        )
+                    )
+                )
+            ).alias("s"),
+            i.alias("cell"),
+        ),
     )
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.array_max(scored)["cell"].alias("cell"),
+        F.array_max(scored)["cell"].cast("int").alias("cell"),
     )
 
 
@@ -325,18 +359,32 @@ def pq_codes(
     sub = dim // m
     v = F.col(vec_col)
 
-    def d2(s: int, cent: list[float]) -> Column:
-        # left-to-right fold of squared diffs, mirrored by the SQL oracle
-        total = None
-        for i in range(sub):
-            x = v[s * sub + i].cast("double") - F.lit(cent[i])
-            term = x * x
-            total = term if total is None else total + term
-        return total
-
+    # Distances via higher-order functions over centroid ARRAY LITERALS, not
+    # k*sub expanded scalar expressions: the expanded form compiled a ~4k-node
+    # tree whose analysis/codegen dominated wall time at bench scale
+    # (b14_pq_codes 3.7 s at sf0.1, almost all of it per-query compile). The
+    # transform/zip_with/aggregate form is ~50 nodes, same arithmetic, same
+    # IEEE order: zip_with preserves index order and aggregate folds left
+    # with a 0.0 seed — and 0.0 + t0 == t0 exactly, so the SQL oracle's
+    # explicit (t0 + t1 + ...) chains still hash-match bit-for-bit.
     cols = []
     for s, book in enumerate(books):
-        dists = F.array(*[d2(s, c) for c in book])
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        subvec = F.slice(v, s * sub + 1, sub)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    subvec,
+                    c,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
         cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).alias(f"c{s}")
         )
