@@ -343,6 +343,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 100,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each ``dim`` vector into ``m``
     subvectors, assign each to its nearest of ``k`` codebook centroids
@@ -355,7 +356,7 @@ def pq_codes(
     plan-time-literal contract as the LSH planes/IVF centroids, so a
     DuckDB oracle replays every distance and argmin bit-for-bit. Map-only:
     zero shuffles at any scale."""
-    books = pq_codebooks(dim, m, k, seed)
+    books = codebooks if codebooks is not None else pq_codebooks(dim, m, k, seed)
     sub = dim // m
     v = F.col(vec_col)
 
@@ -389,3 +390,39 @@ def pq_codes(
             (F.array_position(dists, F.array_min(dists)) - 1).alias(f"c{s}")
         )
     return embeddings.select(F.col(id_col), *cols)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """TRAINED product-quantization codebooks: one independent Lloyd run per
+    subspace over the corpus's subvectors (the actual PQ training recipe),
+    reusing `kmeans_centroids` — so the 100 TB posture (deterministic
+    sampling, skinny-row mean shuffle, driver-side k*dim metadata) is
+    inherited per subspace. Drop-in replacement for the seeded
+    `pq_codebooks` in `pq_codes(codebooks=...)`; reconstruction error is
+    guaranteed non-increasing per Lloyd step, measured in tools/pq_ladder.py
+    against the untrained books."""
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("v")
+        )
+        books.append(
+            kmeans_centroids(
+                sliced,
+                num_centroids=k,
+                iters=iters,
+                sample_fraction=sample_fraction,
+                vec_col="v",
+                seed=100 + s,
+            )
+        )
+    return books

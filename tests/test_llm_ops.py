@@ -1186,3 +1186,47 @@ def test_compact_small_files_collapses_and_orders(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_train_pq_codebooks_reduces_reconstruction_error(spark):
+    """Per-subspace Lloyd training must cut PQ reconstruction error hard vs
+    the seeded books (kmeans' objective is exactly this quantity; measured
+    22x at sf0.01). Asserted at a conservative 3x so data regen can't flake
+    the bound."""
+    from pyspark.sql import functions as F
+
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.operators.similarity import (
+        pq_codebooks,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def recon_mse(books):
+        total = None
+        for s, book in enumerate(books):
+            cents = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+            )
+            subvec = F.slice("embedding", s * 8 + 1, 8)
+            dists = F.transform(
+                cents,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        subvec,
+                        c,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            t = F.array_min(dists)
+            total = t if total is None else total + t
+        return emb.agg(F.avg(total)).first()[0]
+
+    untrained = recon_mse(pq_codebooks(64, 8, 8, 100))
+    trained = recon_mse(train_pq_codebooks(emb, iters=2))
+    assert trained < untrained / 3, (trained, untrained)
