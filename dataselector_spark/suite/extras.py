@@ -4292,3 +4292,38 @@ def b14_ivfpq_topk(spark, sf_dir):
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "b01_ignore_corrupt_files",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+    doc="B1 (r7): corrupt-input tolerance on the batch read path — a "
+    "directory holding the real table plus a truncated-garbage '.parquet' "
+    "file (the torn half-written part a crashed writer leaves behind) "
+    "reads COMPLETELY with spark.sql.files.ignoreCorruptFiles scoped to "
+    "this one read via the DataFrameReader option, not session-wide: "
+    "globally swallowing corrupt files is how silent data loss happens, "
+    "so the blast radius stays one deliberate scan. Value-checked: the "
+    "readback must equal exactly the intact table's content — tolerance "
+    "must not drop good rows or invent partial ones from the torn file. "
+    "The strict default (read fails loudly) is pinned by the pytest "
+    "twin in tests/test_llm_ops.py.",
+)
+def b01_ignore_corrupt_files(spark, sf_dir):
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = f"/tmp/dsspark_corrupt_{os.path.basename(sf_dir.rstrip('/'))}"
+    d.write.mode("overwrite").parquet(base)
+    torn = os.path.join(base, "part-99999-torn.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"PAR1" + b"\x00garbage-not-a-footer" * 8)  # no magic footer
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(base)
+        .select("doc_id", "lang", "n_chars")
+    )

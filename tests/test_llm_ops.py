@@ -1230,3 +1230,22 @@ def test_train_pq_codebooks_reduces_reconstruction_error(spark):
     untrained = recon_mse(pq_codebooks(64, 8, 8, 100))
     trained = recon_mse(train_pq_codebooks(emb, iters=2))
     assert trained < untrained / 3, (trained, untrained)
+
+
+def test_corrupt_parquet_strict_default_fails_loudly(spark, tmp_path):
+    """The strict-by-default contract behind b01_ignore_corrupt_files: the
+    same torn file WITHOUT the scoped option must fail the read, not
+    silently drop data."""
+    import pytest as pt
+
+    from dataselector_spark.catalog import load_table
+
+    base = str(tmp_path / "tbl")
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    d.write.mode("overwrite").parquet(base)
+    with open(base + "/part-99999-torn.parquet", "wb") as f:
+        f.write(b"PAR1" + b"\x00garbage" * 8)
+    with pt.raises(Exception, match="[Cc]orrupt|[Ff]ooter|[Pp]arquet"):
+        spark.read.parquet(base).count()
