@@ -4327,3 +4327,56 @@ def b01_ignore_corrupt_files(spark, sf_dir):
         .parquet(base)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "b06_footer_stats_agg",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(l_quantity) AS q_min,
+           max(l_quantity) AS q_max,
+           min(l_shipdate) AS ship_min,
+           max(l_shipdate) AS ship_max
+    FROM lineitem
+    """,
+    doc="B6 (r7): metadata-only aggregation — COUNT/MIN/MAX answered from "
+    "parquet FOOTER STATISTICS (PushedAggregation in the scan, asserted "
+    "in tests/test_plans.py), reading zero data pages: at 100 TB this "
+    "turns a full-table profile query into a per-file metadata read, the "
+    "same statistics zone maps (b22_zone_map_stats) and the INT96 fix "
+    "(catalog.py pins TIMESTAMP_MICROS precisely so timestamp columns "
+    "CARRY these stats) exist to serve. Pushdown needs the DataSource V2 "
+    "scan and is valid only for the filter-less whole-table shape, so "
+    "both confs are scoped to this one read and restored — and the "
+    "eager .schema inside the scope pins the analyzed V2 relation so "
+    "the plan keeps the pushed aggregate after restore. Results are "
+    "value-checked against DuckDB computing the same aggregates from "
+    "the data itself: footer stats must agree with the rows they "
+    "describe.",
+)
+def b06_footer_stats_agg(spark, sf_dir):
+    from ..catalog import table_path
+
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = (
+            spark.read.parquet(table_path(sf_dir, "lineitem"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("l_quantity").alias("q_min"),
+                F.max("l_quantity").alias("q_max"),
+                F.min("l_shipdate").alias("ship_min"),
+                F.max("l_shipdate").alias("ship_max"),
+            )
+        )
+        df.schema  # force analysis: pin the V2 relation + pushed aggregate
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", old_agg)
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+    return df

@@ -516,3 +516,12 @@ def test_ivfpq_topk_plan(spark):
     assert has_take_ordered(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:1500]
+
+
+def test_footer_stats_agg_pushed(spark):
+    """The whole-table COUNT/MIN/MAX must be answered from parquet footer
+    statistics: PushedAggregation on a V2 BatchScan, zero data pages."""
+    df = QUERIES["b06_footer_stats_agg"].fn(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in phys, phys[:2000]
+    assert "BatchScan" in phys, phys[:2000]  # the V2 scan the pushdown needs
