@@ -4380,3 +4380,67 @@ def b06_footer_stats_agg(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
     return df
+
+
+@query(
+    "b02_dynamic_partition_pruning",
+    oracle="""
+    WITH facts AS (
+        SELECT event_id, user_id, value,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               1 AS is_campaign
+        FROM events
+        WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
+              IN ('2024-01-05', '2024-01-15', '2024-01-25')
+    )
+    SELECT f.event_id, f.user_id, f.day,
+           CAST(f.value AS DECIMAL(12,2)) AS value
+    FROM facts f JOIN dim d ON f.day = d.day
+    """,
+    doc="B2 (r7): dynamic partition pruning — the fact side is the "
+    "day-partitioned layout (b01_partitioned_write_pruning's write), the "
+    "dim side is a small filtered date dimension, and the join key IS "
+    "the partition column: Spark plans a dynamicpruning#N subquery "
+    "inside the fact scan's PartitionFilters (asserted), so the fact "
+    "directories to read are decided AT RUNTIME from the dim's surviving "
+    "days — the star-schema shape where the selective predicate lives on "
+    "the dimension and a static planner would scan every fact partition. "
+    "At 100 TB this is the difference between reading 3 days and 3 "
+    "years. Value is decimal-cast at the edge per the suite float "
+    "policy; the oracle computes the same join from the raw table.",
+)
+def b02_dynamic_partition_pruning(spark, sf_dir):
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    base = f"/tmp/dsspark_dpp_{os.path.basename(sf_dir.rstrip('/'))}"
+    (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(base)
+    )
+    facts = spark.read.parquet(base)
+    dim = (
+        e.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .filter(F.col("day").isin("2024-01-05", "2024-01-15", "2024-01-25"))
+        .withColumn("is_campaign", F.lit(1))
+    )
+    return facts.join(dim, "day").select(
+        "event_id",
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        dec2("value").cast("double").alias("value"),
+    )

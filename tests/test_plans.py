@@ -525,3 +525,12 @@ def test_footer_stats_agg_pushed(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregation" in phys, phys[:2000]
     assert "BatchScan" in phys, phys[:2000]  # the V2 scan the pushdown needs
+
+
+def test_dynamic_partition_pruning_subquery(spark):
+    """The fact scan's PartitionFilters must carry a dynamicpruning#N
+    subquery fed by the dim — runtime pruning, not a static scan of every
+    day directory."""
+    df = QUERIES["b02_dynamic_partition_pruning"].fn(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in phys, phys[:2000]
