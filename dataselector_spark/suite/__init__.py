@@ -55,6 +55,19 @@ from . import extras  # noqa: F401,E402
 # (and from REWRITTEN_IN_ROUND), so a forgotten rotation fails CI instead of
 # burning a driver round.
 
+# r8-queue note: every entry registered AFTER the 50-slot r7 window below is
+# new in r7 and has never had a driver row — the rotation tripwire derives
+# the exact set from the CORRECTNESS artifacts, but for the record the queue
+# is (in registration order): b21_pandas_udaf_grouped_agg, b16_wav_roundtrip,
+# b14_ann_recall_report, b16_y4m_roundtrip, b23_scd2_incremental,
+# b22_compaction_readback, b23_scd2_lookup, b08_outlier_mad,
+# b01_parquet_merge_schema, b01_partitioned_write_pruning,
+# b24_temperature_mixture, b15_feature_hashing, b14_pq_codes,
+# b14_pq_adc_topk, b14_ivfpq_topk, b01_ignore_corrupt_files,
+# b06_footer_stats_agg, b02_dynamic_partition_pruning — plus the 6 second-
+# batch r7 entries already pulled INTO the window. All are locally green at
+# sf0.001+sf0.01 (this round's full differentials).
+
 # Entries whose implementation changed materially in round N after their
 # last driver row: the rotation tripwire treats a driver row older than the
 # rewrite round as stale (ADVICE r6 #3). Add a line here whenever an
