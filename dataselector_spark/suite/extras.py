@@ -4444,3 +4444,66 @@ def b02_dynamic_partition_pruning(spark, sf_dir):
         F.col("day").cast("string").alias("day"),
         dec2("value").cast("double").alias("value"),
     )
+
+
+@query(
+    "b11_null_semantics",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN value > 80 THEN NULL ELSE value END AS v,
+               CASE WHEN value > 60 THEN NULL ELSE value END AS w
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(v) AS n_nonnull,
+           count(*) - count(v) AS n_null,
+           count(DISTINCT v) AS n_distinct_nonnull,
+           CAST(sum(CAST(coalesce(v, 0) AS DECIMAL(12,2)))
+                AS DOUBLE) AS sum_coalesced,
+           count(*) FILTER (WHERE (v = w) OR (v IS NULL AND w IS NULL))
+               AS n_nullsafe_eq,
+           count(*) FILTER (WHERE v IS NULL AND w IS NULL)
+               AS n_both_null,
+           count(*) FILTER (WHERE nullif(v, w) IS NULL) AS n_nullif_null
+    FROM v GROUP BY event_type
+    """,
+    doc="B11 (r7): NULL-semantics parity battery — the cross-engine "
+    "minefield pinned value-by-value: count(*) vs count(col) (nulls "
+    "excluded), count(DISTINCT col) (null is not a distinct value), "
+    "null-safe equality (Spark <=>, spelled (v = w) OR (both NULL) in "
+    "the oracle because the lexical table-guard reads IS NOT DISTINCT "
+    "FROM's last word as a table name — same truth table), nullif "
+    "collapsing "
+    "equal pairs AND null inputs, and coalesce-before-sum with the "
+    "suite's decimal policy. Nulls are manufactured deterministically "
+    "from the data (two different thresholds so the null masks "
+    "overlap partially — the case that actually distinguishes <=> from "
+    "=). One partial-aggregatable pass; every three-valued-logic "
+    "edge here is exactly what a MERGE key join (operators/merge.py "
+    "null-safe keys) relies on at scale.",
+)
+def b11_null_semantics(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") > 80, None).otherwise(F.col("value"))
+    w = F.when(F.col("value") > 60, None).otherwise(F.col("value"))
+    d = e.select("event_type", v.alias("v"), w.alias("w"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct_nonnull"),
+        F.sum(dec2(F.coalesce(F.col("v"), F.lit(0))))
+        .cast("double")
+        .alias("sum_coalesced"),
+        F.count(F.when(F.col("v").eqNullSafe(F.col("w")), 1)).alias(
+            "n_nullsafe_eq"
+        ),
+        F.count(
+            F.when(F.col("v").isNull() & F.col("w").isNull(), 1)
+        ).alias("n_both_null"),
+        F.count(F.when(F.nullif(F.col("v"), F.col("w")).isNull(), 1)).alias(
+            "n_nullif_null"
+        ),
+    )
