@@ -4507,3 +4507,51 @@ def b11_null_semantics(spark, sf_dir):
             "n_nullif_null"
         ),
     )
+
+
+@query(
+    "b22_dataset_fingerprint",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
+               || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)
+           ), 1, 15))::BIGINT) AS VARCHAR) AS content_sum,
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT) AS VARCHAR)
+               AS text_sum
+    FROM documents
+    """,
+    doc="B22 (r7): order-independent dataset content fingerprint — one "
+    "number that equals if and only if (w.h.p.) two copies of a table "
+    "hold the same multiset of rows, regardless of row order, file "
+    "layout, partitioning, or engine: each row hashes to a 60-bit "
+    "integer (md5 of a canonical field serialization — portable, unlike "
+    "murmur3) and the COMMUTATIVE sum is the digest, so the aggregation "
+    "is map-side combinable and the shuffle carries one partial per "
+    "task. This is how a 100 TB pipeline cheaply answers 'did the "
+    "migration/replica/compaction change the data?' (the per-run twin "
+    "of b22_compaction_readback's one-shot readback check, and the "
+    "content half of snapshot_diff without materializing the diff). "
+    "60-bit row hashes summed exactly in wide integers — no modular "
+    "wrap, no overflow at any plausible row count — comparable across "
+    "engines (Spark sums through DECIMAL(38,0), DuckDB through "
+    "HUGEINT; both render the identical digit string, which is the "
+    "digest's exchange format).",
+)
+def b22_dataset_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("string"),
+        F.md5("text"),
+    )
+    row_h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    text_h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_h.cast("decimal(38,0)")).cast("string").alias("content_sum"),
+        F.sum(text_h.cast("decimal(38,0)")).cast("string").alias("text_sum"),
+    )
