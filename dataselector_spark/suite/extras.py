@@ -4555,3 +4555,320 @@ def b22_dataset_fingerprint(spark, sf_dir):
         F.sum(row_h.cast("decimal(38,0)")).cast("string").alias("content_sum"),
         F.sum(text_h.cast("decimal(38,0)")).cast("string").alias("text_sum"),
     )
+
+
+@query(
+    "b06_heavy_hitters_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    t AS (SELECT count(*) AS total FROM tok)
+    SELECT token, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    WHERE cnt * 200 >= total
+    """,
+    doc="B6 (r8): exact distributed heavy hitters / frequent items — the "
+    "corpus-curation primitive behind 'what dominates my tokenizer "
+    "vocabulary' and 'which key dominates my shuffle' (it pairs with the "
+    "B2 salted-join skew guard: run this on a join key FIRST, salt only "
+    "the keys it returns). Tokens explode map-side, the groupBy partial-"
+    "aggregates before the shuffle (the exchange carries one partial per "
+    "distinct token per task, not one row per token occurrence), and the "
+    "corpus-total denominator is a broadcast single-row crossJoin — no "
+    "second scan, no windowed global sum, no collect. Threshold is the "
+    "classic phi-fraction form (share >= 0.5% via integer cross-multiply, "
+    "exact in both engines); at 100 TB the same plan holds because the "
+    "shuffle volume is bounded by distinct-token count x tasks, and the "
+    "output by 1/phi = 200 rows max. The sketch twin that answers the "
+    "same question with bounded memory on unbounded key domains is "
+    "b06_count_min_sketch.",
+)
+def b06_heavy_hitters_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 200 >= F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            (
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+# Count-min-sketch geometry: depth 4 x width 64. The row hashes are
+# multiply-mod-prime (h_i(k) = ((k*a_i + b_i) mod P) mod W) instead of
+# murmur/xxhash so the DuckDB oracle replays every bucket index with plain
+# integer arithmetic — the estimates are value-checked, not rows-only.
+_CMS_DEPTH = 4
+_CMS_W = 64
+_CMS_P = 104729
+_CMS_A = [3079, 5407, 8191, 9973]
+_CMS_B = [17, 101, 911, 2027]
+
+
+def _cms_oracle() -> str:
+    a = "[" + ", ".join(str(x) for x in _CMS_A) + "]"
+    b = "[" + ", ".join(str(x) for x in _CMS_B) + "]"
+    hexpr = (
+        f"((user_id * ({a})[d.depth + 1] + ({b})[d.depth + 1])"
+        f" % {_CMS_P}) % {_CMS_W}"
+    )
+    cand_h = hexpr.replace("user_id", "t.user_id")
+    return f"""
+    WITH hb AS (
+        SELECT d.depth, {hexpr} AS bucket
+        FROM events, generate_series(0, {_CMS_DEPTH - 1}) d(depth)
+    ),
+    sketch AS (
+        SELECT depth, bucket, count(*) AS cell FROM hb GROUP BY depth, bucket
+    ),
+    truth AS (
+        SELECT user_id, count(*) AS true_cnt FROM events
+        WHERE user_id % 17 = 0 GROUP BY user_id
+    ),
+    cand AS (
+        SELECT t.user_id, t.true_cnt, d.depth, {cand_h} AS bucket
+        FROM truth t, generate_series(0, {_CMS_DEPTH - 1}) d(depth)
+    )
+    SELECT c.user_id, c.true_cnt, min(s.cell) AS cms_est,
+           min(s.cell) - c.true_cnt AS overcount
+    FROM cand c JOIN sketch s ON s.depth = c.depth AND s.bucket = c.bucket
+    GROUP BY c.user_id, c.true_cnt
+    """
+
+
+@query(
+    "b06_count_min_sketch",
+    oracle=_cms_oracle(),
+    doc="B6 (r8): count-min sketch, the bounded-memory frequency estimator "
+    "for unbounded key domains — the streaming/approximate twin of "
+    "b06_heavy_hitters_tokens. Build: each row expands map-side into "
+    "depth=4 (row, bucket) cells via pairwise-independent multiply-mod-"
+    "prime hashes and ONE groupBy folds them; after map-side partial "
+    "aggregation the shuffle carries at most depth*width = 256 cells per "
+    "task regardless of input size, which is the whole point at 100 TB "
+    "(the sketch is mergeable across partitions/days by cell-wise add). "
+    "Estimate: candidate keys (every user_id % 17 == 0, with exact "
+    "counts for comparison) join the 256-row broadcast sketch on their 4 "
+    "cells and take the min cell — the classic one-sided CMS bound "
+    "(estimate >= truth always; <= truth + N/width in expectation), "
+    "which the `overcount` column exposes and "
+    "tests/test_llm_ops.py pins (every overcount >= 0). Hashes are "
+    "plain integer arithmetic, so the oracle replays every bucket index "
+    "and every estimate bit-exactly — a value-checked SKETCH, unlike "
+    "the rows-only HLL/KLL entries.",
+)
+def b06_count_min_sketch(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id")
+
+    def _bucket(key, i):
+        return ((key * _CMS_A[i] + _CMS_B[i]) % _CMS_P) % _CMS_W
+
+    cells = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _bucket(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("hb")
+    )
+    sketch = cells.groupBy(
+        F.col("hb.depth").alias("depth"), F.col("hb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cell"))
+    truth = (
+        e.filter(F.col("user_id") % 17 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    cand = truth.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _bucket(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("hb"),
+    ).select(
+        "user_id",
+        "true_cnt",
+        F.col("hb.depth").alias("depth"),
+        F.col("hb.bucket").alias("bucket"),
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+    )
+
+
+def _ivf_recall_clustered_oracle() -> str:
+    from ..operators.similarity import _pseudo_centroids
+    from ._sqlgen import (
+        sql_centroid_values,
+        sql_cosine,
+        sql_dot,
+        sql_norm,
+        sql_vec_literal,
+    )
+
+    cents = _pseudo_centroids(64, 8, seed=21)
+    nested = "[" + ", ".join(sql_vec_literal(c) for c in cents) + "]"
+    cvec = f"""list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * 0.25e0
+             + ({nested})[(vec_id % 8) + 1][i])"""
+    return f"""
+    WITH base AS (
+        SELECT vec_id, {cvec} AS cvec FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, cvec, cell FROM (
+            SELECT b.vec_id, b.cvec, cents.cell,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {sql_cosine("b.cvec", "cents.c")} DESC,
+                                cents.cell DESC) AS rn
+            FROM base b, {sql_centroid_values(cents)}
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, cvec AS qv, cell AS qcell,
+               {sql_norm("cvec")} AS qnrm
+        FROM assigned WHERE vec_id % 101 = 0
+    ),
+    pairs AS (
+        SELECT q.qid, c.vec_id AS cid, c.cell = q.qcell AS in_probe,
+               {sql_dot("c.cvec", "q.qv")} / (q.qnrm * {sql_norm("c.cvec")})
+                   AS cosine
+        FROM assigned c, q WHERE c.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, in_probe,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS exact_rn,
+               row_number() OVER (
+                   PARTITION BY qid, in_probe
+                   ORDER BY cosine DESC, cid ASC) AS probe_rn
+        FROM pairs
+    )
+    SELECT qid,
+           count(*) FILTER (WHERE exact_rn <= 10) AS n_exact,
+           count(*) FILTER (WHERE in_probe AND probe_rn <= 10) AS n_ann,
+           count(*) FILTER (WHERE exact_rn <= 10 AND in_probe
+                              AND probe_rn <= 10) AS n_hit,
+           count(*) FILTER (WHERE exact_rn <= 10 AND in_probe
+                              AND probe_rn <= 10) / 10.0 AS recall_at_10
+    FROM ranked GROUP BY qid
+    """
+
+
+@query(
+    "b14_ivf_recall_clustered",
+    oracle=_ivf_recall_clustered_oracle(),
+    doc="B14 (r8): the POSITIVE recall demonstration the r7 report could "
+    "not give — b14_ann_recall_report honestly measured recall ~0 on the "
+    "isotropic synthetic corpus and explained that the number is a "
+    "property of the data geometry, not the index. This entry closes "
+    "that caveat with a demonstration: the corpus is made CLUSTERED in "
+    "closed form (cvec = 0.25*embedding + center[vec_id % 8], 8 well-"
+    "separated seeded centers, pairwise center cosine <= 0.63 while "
+    "within-cluster cosine is ~0.99), the IVF coarse quantizer is the "
+    "matching 8-centroid index (ivf_assignments, max-cosine cell, ties "
+    "to the higher cell), and the query probes nprobe=1 — its own cell. "
+    "Ground-truth top-10 and in-probe top-10 ride the same qid shuffle "
+    "as two window rankings off ONE broadcast corpus-x-queries pass "
+    "(the b14_ann_recall_report machinery verbatim), and recall@10 "
+    "comes out ~1.0: when embeddings have neighbor structure and the "
+    "quantizer matches it, scanning 1/8th of the corpus loses nothing — "
+    "tests/test_llm_ops.py pins mean recall >= 0.9. Every float (cvec "
+    "construction, assignment argmax, cosines, rankings) is shared-"
+    "formula replayed by the oracle, so the recall numbers themselves "
+    "are hash-checked. At 100 TB the corpus is written partitioned by "
+    "cell and a query scans only its probed cells' files.",
+)
+def b14_ivf_recall_clustered(spark, sf_dir):
+    from ..functions.vectors import dot_product, l2_norm
+    from ..operators.similarity import _pseudo_centroids, ivf_assignments
+
+    cents = _pseudo_centroids(64, 8, seed=21)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    center = F.element_at(cents_lit, ((F.col("vec_id") % 8) + 1).cast("int"))
+    cvec = F.zip_with(
+        F.col("embedding"),
+        center,
+        lambda a, b: a.cast("double") * F.lit(0.25) + b,
+    )
+    clustered = emb.select("vec_id", cvec.alias("cvec"))
+    assigned = ivf_assignments(clustered, cents, id_col="vec_id", vec_col="cvec")
+    base = assigned.select(
+        "vec_id", "cvec", "cell", l2_norm("cvec").alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cvec").alias("qv"),
+        F.col("cell").alias("qcell"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("cvec").alias("cv"),
+        "cell",
+        F.col("nrm").alias("cnrm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid",
+        "cid",
+        (F.col("cell") == F.col("qcell")).alias("in_probe"),
+        (dot_product("cv", "qv") / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "cosine"
+        ),
+    )
+    w_exact = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    w_probe = Window.partitionBy("qid", "in_probe").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    ranked = pairs.select(
+        "qid",
+        "in_probe",
+        F.row_number().over(w_exact).alias("exact_rn"),
+        F.row_number().over(w_probe).alias("probe_rn"),
+    )
+    in_exact = F.col("exact_rn") <= 10
+    in_ann = F.col("in_probe") & (F.col("probe_rn") <= 10)
+    n_hit = F.count(F.when(in_exact & in_ann, 1))
+    return ranked.groupBy("qid").agg(
+        F.count(F.when(in_exact, 1)).alias("n_exact"),
+        F.count(F.when(in_ann, 1)).alias("n_ann"),
+        n_hit.alias("n_hit"),
+        (n_hit / F.lit(10.0)).alias("recall_at_10"),
+    )

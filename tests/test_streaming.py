@@ -414,3 +414,78 @@ def test_end_to_end_streaming_corpus_ingest(spark, tmp_path):
     got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 6.0, 3: 7.0, 4: 1.0}
     assert 2 not in got  # sentinel row gated out by the quality filter
+
+def test_upsert_sink_exactly_once_under_midstream_crash(spark, tmp_path):
+    """ADVICE r7 #6a: exactly-once sink semantics under a MID-STREAM crash —
+    the worst-case failure window is after foreachBatch has fully PUBLISHED a
+    batch but before Structured Streaming commits the checkpoint offset: work
+    done, progress not recorded. On restart the engine replays that batch
+    with the SAME batch_id and data; the merge-by-key sink must make the
+    replay a no-op so the final state equals the no-crash oracle (effective
+    exactly-once from at-least-once delivery + idempotent apply).
+
+    Mechanics: three single-file micro-batches (maxFilesPerTrigger=1); a
+    wrapper sink applies the real upsert_sink, then raises the FIRST time it
+    finishes batch 1 — after publish, before commit. The stream dies with
+    the injected error; a restart from the same checkpoint must replay batch
+    1, continue through batch 2, and converge to the same per-key state."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dataselector_spark.streaming import upsert_sink
+
+    src = str(tmp_path / "xo_src")
+    target = str(tmp_path / "xo_target")
+    ckpt = str(tmp_path / "xo_ckpt")
+    marker = tmp_path / "crashed_once"
+    os.makedirs(src)
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, "x", 1.0), (2, "2024-01-01 10:01:00", 1, "x", 2.0)],
+        [(2, "2024-01-01 11:00:00", 1, "x", 9.0), (3, "2024-01-01 11:01:00", 2, "y", 3.0)],
+        [(3, "2024-01-01 12:00:00", 2, "y", 7.0), (4, "2024-01-01 12:01:00", 3, "z", 4.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_events(os.path.join(src, f"b{i}.parquet"), rows)
+        os.utime(
+            os.path.join(src, f"b{i}.parquet"),
+            (1_700_000_000 + i * 100, 1_700_000_000 + i * 100),
+        )
+
+    real = upsert_sink(target, ["event_id"], order_by=["ts"])
+
+    def crash_after_publish(batch_df, batch_id):
+        real(batch_df, batch_id)  # the batch is FULLY applied...
+        if batch_id == 1 and not marker.exists():
+            marker.write_text("injected")
+            raise RuntimeError("injected crash: published but not committed")
+
+    def start():
+        raw = (
+            spark.readStream.schema(EVENTS_PHYSICAL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            ev.select("event_id", "ts", "user_id", "value")
+            .writeStream.foreachBatch(crash_after_publish)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream should have died on the injected crash")
+    except StreamingQueryException:
+        pass
+    assert marker.exists()  # batch 1 WAS published before the crash
+    # State after the crash: batches 0 and 1 applied, batch 1 uncommitted.
+    mid = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert mid == {1: 1.0, 2: 9.0, 3: 3.0}
+
+    q = start()  # resume from the same checkpoint: replays batch 1, runs 2
+    q.awaitTermination()
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 7.0, 4: 4.0}
