@@ -104,6 +104,21 @@ HEADLINE_V3 = [
 ]
 
 
+# HEADLINE_V4: the round-8 additions, FROZEN the same way (reported as
+# `headline_v4_wall`, excluded from `value`).
+HEADLINE_V4 = [
+    "b06_heavy_hitters_tokens",  # B6 exact frequent items, partial-agg shuffle
+    "b06_count_min_sketch",  # B6 value-checked CMS, 256-cell bounded shuffle
+    "b14_ivf_recall_clustered",  # B14 recall@10 on the clustered corpus
+]
+
+# r7's measured probe value — the normalization anchor (VERDICT r7 #3).
+# `*_normalized` walls = raw * (CPU_PROBE_REF / cpu_probe_s): they answer
+# "what would this wall have been on the r7-era host", so cross-round
+# comparisons divide out shared-box speed drift instead of hand-arguing it.
+CPU_PROBE_REF = 1.116
+
+
 def _cpu_probe() -> float:
     """Single-core reference probe (2M chained md5 digests): a fixed pure-CPU
     workload whose wall time calibrates the HOST, not the engine. Round-over-
@@ -136,7 +151,7 @@ def main() -> None:
     # medians are robust to local[32] GC jitter that min/best-of-2 is not.
     reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
+    for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3 + HEADLINE_V4:
         fn = QUERIES[name].fn
         runs: list[float] = []
         for _ in range(reps):
@@ -154,6 +169,9 @@ def main() -> None:
     total = round(sum(timings[n] for n in HEADLINE), 3)
     extra = round(sum(timings[n] for n in HEADLINE_V2), 3)
     extra3 = round(sum(timings[n] for n in HEADLINE_V3), 3)
+    extra4 = round(sum(timings[n] for n in HEADLINE_V4), 3)
+    probe = _cpu_probe()
+    scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
     print(
         json.dumps(
             {
@@ -171,6 +189,8 @@ def main() -> None:
                 "headline_v2_n": len(HEADLINE_V2),
                 "headline_v3_wall": extra3,
                 "headline_v3_n": len(HEADLINE_V3),
+                "headline_v4_wall": extra4,
+                "headline_v4_n": len(HEADLINE_V4),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,
@@ -180,7 +200,15 @@ def main() -> None:
                 # host-speed calibration (r7): fixed single-core md5 loop,
                 # seconds. Compare across rounds to separate shared-host
                 # drift from engine regressions (see _cpu_probe docstring).
-                "cpu_probe_s": _cpu_probe(),
+                "cpu_probe_s": probe,
+                # drift-normalized walls (VERDICT r7 #3): raw * (ref/probe),
+                # i.e. "this wall at r7-era host speed" — the cross-round
+                # comparison number, so verdicts stop hand-arguing drift.
+                "cpu_probe_ref": CPU_PROBE_REF,
+                "value_normalized": round(total * scale, 3),
+                "headline_v2_wall_normalized": round(extra * scale, 3),
+                "headline_v3_wall_normalized": round(extra3 * scale, 3),
+                "headline_v4_wall_normalized": round(extra4 * scale, 3),
             }
         )
     )

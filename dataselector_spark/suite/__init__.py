@@ -55,18 +55,24 @@ from . import extras  # noqa: F401,E402
 # (and from REWRITTEN_IN_ROUND), so a forgotten rotation fails CI instead of
 # burning a driver round.
 
-# r8-queue note: every entry registered AFTER the 50-slot r7 window below is
-# new in r7 and has never had a driver row — the rotation tripwire derives
-# the exact set from the CORRECTNESS artifacts, but for the record the queue
-# is (in registration order): b21_pandas_udaf_grouped_agg, b16_wav_roundtrip,
-# b14_ann_recall_report, b16_y4m_roundtrip, b23_scd2_incremental,
-# b22_compaction_readback, b23_scd2_lookup, b08_outlier_mad,
-# b01_parquet_merge_schema, b01_partitioned_write_pruning,
-# b24_temperature_mixture, b15_feature_hashing, b14_pq_codes,
-# b14_pq_adc_topk, b14_ivfpq_topk, b01_ignore_corrupt_files,
-# b06_footer_stats_agg, b02_dynamic_partition_pruning — plus the 6 second-
-# batch r7 entries already pulled INTO the window. All are locally green at
-# sf0.001+sf0.01 (this round's full differentials).
+# The round-8 window (VERDICT r7 "Next round" #1 and #4):
+#   * the 20 entries new in r7 that have never had a driver row (the red
+#     tripwire's exact derivation — WAV/Y4M codecs, PQ/ADC/IVF+PQ family,
+#     SCD2 incremental + lookup, partition-pruning pair, footer-stats agg,
+#     NULL-semantics battery, dataset fingerprint, UDAF, recall report,
+#     merge-schema, corrupt-file tolerance, MAD outlier, temperature
+#     mixture, feature hashing, compaction readback);
+#   * the 3 entries NEW in r8: exact heavy hitters, value-checked count-min
+#     sketch, clustered-corpus IVF recall (never-checked entries outrank
+#     re-confirms);
+#   * 27 of the 36 oracle-bearing entries whose latest driver row is r4 —
+#     post-regen (so not technically stale) but three rounds old (VERDICT
+#     r7 #4: spend the free slots on the OLDEST rows, oldest first, and
+#     never again on the rows-only-by-design approx entries).
+# r9 queue, for the record: the 9 remaining r4-row entries
+# (b15_rarity_score, b01_json_permissive, b22_mixture_upsample,
+# b22_drift_chisq, b22_drift_ks, b22_winsorize, b16_resize_nn,
+# b26_transition_bigrams, b06_equidepth_histogram) plus anything new in r8+.
 
 # Entries whose implementation changed materially in round N after their
 # last driver row: the rotation tripwire treats a driver row older than the
@@ -81,63 +87,62 @@ REWRITTEN_IN_ROUND = {
     "b04_interval_join_bucketed": 6,
 }
 
-_R7_WINDOW = [
-    # --- 32 queued stale entries (pre-regen driver rows), VERDICT r6 #1 ---
-    "a08_round_to_step",
-    "a09_clamp",
-    "a11_affine_scale",
-    "a13_selection_insert",
-    "a17_retract_compound",
-    "a18_forward_index",
-    "a27_regex_replace",
-    "a29_cross_join",
-    "b01_parquet_roundtrip",
-    "b01_csv_roundtrip",
-    "b01_json_roundtrip",
-    "b01_orc_roundtrip",
-    "b01_text_roundtrip",
-    "b02_join_left_outer",
-    "b02_join_right_outer",
-    "b02_join_full_outer",
-    "b02_lateral_topk",
-    "b03_semi_join",
-    "b03_anti_join",
-    "b06_approx_distinct",
-    "b06_correlation_exact_moments",
-    "b10_multiset_ops",
-    "b12_dedup_composite_key",
-    "b13_minhash_lsh",
-    "b13_simhash",
-    "b14_embedding_neardup",
-    "b15_text_stats",
-    "b15_fingerprint",
-    "b15_token_counts",
-    "b15_tfidf_top_term",
-    "b16_frame_sample",
-    "q12_late_shipment_priority",
-    # --- 6 rewritten-in-r6 entries (REWRITTEN_IN_ROUND), ADVICE r6 #3 ---
-    "b26_rolling_dau",
-    "b15_bpe_pair_counts",
-    "b02_bucketed_join",
-    "b16_pgm_roundtrip",
-    "b15_decontaminate",
-    "b04_interval_join_bucketed",
-    # --- 6 entries new in r7 ---
-    "b05_asof_nearest",
-    "b12_dedup_normalized_text",
-    "b24_token_budget_cap",
-    "b22_zorder_key_3d",
-    "b22_zorder_write_readback",
-    "b23_streaming_upsert_sink",
-    # --- 6 more entries new in r7 (post-rotation batch) ---
-    "b23_scd2_dimension",
-    "b13_editdist_neardup",
-    "b22_zone_map_stats",
-    "b09_diversified_topk",
-    "b22_cell_sample_exact_k",
-    "b22_observe_metrics",
+_R8_WINDOW = [
+    # --- 20 entries new in r7, never driver-checked (VERDICT r7 #1) ---
+    "b16_wav_roundtrip",
+    "b21_pandas_udaf_grouped_agg",
+    "b14_ann_recall_report",
+    "b16_y4m_roundtrip",
+    "b23_scd2_incremental",
+    "b22_compaction_readback",
+    "b23_scd2_lookup",
+    "b08_outlier_mad",
+    "b01_parquet_merge_schema",
+    "b01_partitioned_write_pruning",
+    "b24_temperature_mixture",
+    "b15_feature_hashing",
+    "b14_pq_codes",
+    "b14_pq_adc_topk",
+    "b14_ivfpq_topk",
+    "b01_ignore_corrupt_files",
+    "b06_footer_stats_agg",
+    "b02_dynamic_partition_pruning",
+    "b11_null_semantics",
+    "b22_dataset_fingerprint",
+    # --- 3 entries new in r8 ---
+    "b06_heavy_hitters_tokens",
+    "b06_count_min_sketch",
+    "b14_ivf_recall_clustered",
+    # --- 27 oldest re-confirms: driver rows from r4, oracle-bearing ---
+    "b15_lang_summary",
+    "b15_sequence_packing",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "b22_quality_checks",
+    "b06_histogram",
+    "b06_percentiles",
+    "b02_join_salted",
+    "b06_unpivot",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "b23_merge_upsert",
+    "b23_apply_changelog",
+    "b22_mixture_resample",
+    "b08_outlier_zscore",
+    "b06_exact_distinct",
+    "b14_embedding_neardup_lsh",
+    "b15_chunk_documents",
+    "b22_train_val_split",
+    "b22_global_shuffle",
+    "b15_repetition_score",
 ]
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 
 # Import-time guard: every oracle may only reference driver-registered views
 # or its own CTEs (base.check_oracle_tables) — a typo'd table name fails HERE,
@@ -148,8 +153,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R7_WINDOW]
-_order = _R7_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R8_WINDOW]
+_order = _R8_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)
