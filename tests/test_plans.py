@@ -534,3 +534,39 @@ def test_dynamic_partition_pruning_subquery(spark):
     df = QUERIES["b02_dynamic_partition_pruning"].fn(spark, SF)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in phys, phys[:2000]
+
+
+def test_heavy_hitters_partial_agg_and_broadcast_total(spark):
+    """Exact heavy hitters: the token groupBy must partial-aggregate before
+    its exchange (two HashAggregate levels), and the corpus-total
+    denominator must arrive by broadcast — never a second shuffle or a
+    driver collect."""
+    df = QUERIES["b06_heavy_hitters_tokens"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:1500]
+    )
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_count_min_sketch_bounded_shuffle(spark):
+    """CMS build: the cell groupBy partial-aggregates map-side, so the
+    exchange carries at most depth*width=256 cells per task — and the
+    estimate join must broadcast the 256-row sketch, not shuffle the
+    candidates against it."""
+    df = QUERIES["b06_count_min_sketch"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_ivf_recall_clustered_single_pass(spark):
+    """Clustered-corpus recall eval: same contract as the isotropic report —
+    ONE broadcast of the tiny query set against the corpus, both rankings
+    on one qid shuffle."""
+    df = QUERIES["b14_ivf_recall_clustered"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:2000]
+    assert shuffle_count(df) <= 2, shuffle_count(df)
