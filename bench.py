@@ -105,7 +105,10 @@ HEADLINE_V3 = [
 
 
 # HEADLINE_V4: the round-8 additions, FROZEN the same way (reported as
-# `headline_v4_wall`, excluded from `value`).
+# `headline_v4_wall`, excluded from `value`). b02_bloom_filter_join is left
+# out for the same reason as the V3 write-timing entries: it executes its
+# own parquet write (the scoped-conf readback pattern), which a steady-state
+# per-query wall would mis-measure.
 HEADLINE_V4 = [
     "b06_heavy_hitters_tokens",  # B6 exact frequent items, partial-agg shuffle
     "b06_count_min_sketch",  # B6 value-checked CMS, 256-cell bounded shuffle

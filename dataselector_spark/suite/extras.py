@@ -4872,3 +4872,71 @@ def b14_ivf_recall_clustered(spark, sf_dir):
         n_hit.alias("n_hit"),
         (n_hit / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+@query(
+    "b02_bloom_filter_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    doc="B2 (r8): runtime bloom-filter semi-join reduction — the row-level "
+    "sibling of b02_dynamic_partition_pruning for join keys that are NOT "
+    "partition columns: Catalyst's InjectRuntimeFilter builds a bloom "
+    "filter from the selective dim side (urgent orders) and applies "
+    "might_contain on the fact side BEFORE the join shuffle, so at 100 TB "
+    "the exchange moves only probably-matching lineitem rows instead of "
+    "the whole fact table (false positives are re-checked by the join "
+    "itself, so results are exact). Thresholds are scoped to this one "
+    "query and restored (application-side floor lowered because the rule "
+    "targets 10 GB+ scans; broadcast disabled to force the shuffle join "
+    "the rule requires — at real scale both conditions hold naturally); "
+    "the entry EXECUTES under those confs (write + readback, the "
+    "b22_zorder_write_readback pattern) and self-asserts that "
+    "might_contain made it into the executed plan, so a silent injection "
+    "regression fails the run rather than quietly degrading to an "
+    "unfiltered shuffle. Value-checked row-level against the plain join.",
+)
+def b02_bloom_filter_join(spark, sf_dir):
+    import os
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), (
+            "runtime bloom filter was not injected:\n" + plan[:2000]
+        )
+        out = f"/tmp/dsspark_bloomjoin_{os.path.basename(sf_dir.rstrip('/'))}"
+        j.write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)
