@@ -570,3 +570,28 @@ def test_ivf_recall_clustered_single_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:2000]
     assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_bloom_filter_join_scoped_confs_restored(spark):
+    """b02_bloom_filter_join tunes five session confs (bloom thresholds +
+    broadcast disable) for its one execution; leaking them would silently
+    degrade every LATER query in the session (broadcast joins globally
+    off). Run the entry, then verify the session confs are back."""
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    before = {}
+    for k in keys:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    QUERIES["b02_bloom_filter_join"].fn(spark, SF).count()
+    for k in keys:
+        try:
+            after = spark.conf.get(k)
+        except Exception:
+            after = None
+        assert after == before[k], (k, before[k], after)
