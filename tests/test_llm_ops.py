@@ -1298,3 +1298,52 @@ def test_ivf_recall_clustered_is_high(spark, sf_dir):
     assert rows
     mean = sum(r["recall_at_10"] for r in rows) / len(rows)
     assert mean >= 0.9, mean
+
+
+def test_cms_property_one_sided_and_sharp(spark):
+    """Property (pure-Python over the SAME hash constants the Spark entry
+    compiles into its plan — the distributed execution is separately
+    value-checked by the DuckDB oracle): for ANY key multiset,
+    (1) every CMS estimate >= the true count (one-sided bound), and
+    (2) the estimate is EXACT for a key whenever at least one of the
+    depth rows has no colliding key in that key's bucket (sharpness —
+    the min over rows discards every row that took a collision)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataselector_spark.suite.extras import (
+        _CMS_A,
+        _CMS_B,
+        _CMS_DEPTH,
+        _CMS_P,
+        _CMS_W,
+    )
+
+    def bucket(key, i):
+        return ((key * _CMS_A[i] + _CMS_B[i]) % _CMS_P) % _CMS_W
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=5000), min_size=1, max_size=300
+        )
+    )
+    def check(keys):
+        truth = Counter(keys)
+        sketch = Counter()
+        for k, c in truth.items():
+            for i in range(_CMS_DEPTH):
+                sketch[(i, bucket(k, i))] += c
+        for k, c in truth.items():
+            est = min(sketch[(i, bucket(k, i))] for i in range(_CMS_DEPTH))
+            assert est >= c, (k, est, c)
+            collision_free = any(
+                all(bucket(o, i) != bucket(k, i) for o in truth if o != k)
+                for i in range(_CMS_DEPTH)
+            )
+            if collision_free:
+                assert est == c, (k, est, c)
+
+    check()
