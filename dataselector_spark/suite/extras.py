@@ -4578,7 +4578,12 @@ def b22_dataset_fingerprint(spark, sf_dir):
     "aggregates before the shuffle (the exchange carries one partial per "
     "distinct token per task, not one row per token occurrence), and the "
     "corpus-total denominator is a broadcast single-row crossJoin — no "
-    "second scan, no windowed global sum, no collect. Threshold is the "
+    "windowed global sum, no collect. Honest plan note: the total branch "
+    "re-scans the pruned text column (its shuffle is one partial per "
+    "task); Catalyst has no common-subplan reuse across the crossJoin, so "
+    "at 100 TB you persist the distinct-token relation and derive total = "
+    "sum(cnt) from it, or fold the total into the main pass with "
+    "Dataset.observe (b22_observe_metrics machinery). Threshold is the "
     "classic phi-fraction form (share >= 0.5% via integer cross-multiply, "
     "exact in both engines); at 100 TB the same plan holds because the "
     "shuffle volume is bounded by distinct-token count x tasks, and the "
