@@ -62,15 +62,16 @@ from . import extras  # noqa: F401,E402
 #     NULL-semantics battery, dataset fingerprint, UDAF, recall report,
 #     merge-schema, corrupt-file tolerance, MAD outlier, temperature
 #     mixture, feature hashing, compaction readback);
-#   * the 4 entries NEW in r8: exact heavy hitters, value-checked count-min
-#     sketch, clustered-corpus IVF recall, runtime bloom-filter join
-#     (never-checked entries outrank re-confirms);
-#   * 26 of the 36 oracle-bearing entries whose latest driver row is r4 —
+#   * the 5 entries NEW in r8: exact heavy hitters, value-checked count-min
+#     sketch, clustered-corpus IVF recall, runtime bloom-filter join,
+#     incremental aggregate maintenance (never-checked entries outrank
+#     re-confirms);
+#   * 25 of the 36 oracle-bearing entries whose latest driver row is r4 —
 #     post-regen (so not technically stale) but three rounds old (VERDICT
 #     r7 #4: spend the free slots on the OLDEST rows, oldest first, and
 #     never again on the rows-only-by-design approx entries).
-# r9 queue, for the record: the 10 remaining r4-row entries
-# (b15_repetition_score, b15_rarity_score, b01_json_permissive, b22_mixture_upsample,
+# r9 queue, for the record: the 11 remaining r4-row entries
+# (b22_global_shuffle, b15_repetition_score, b15_rarity_score, b01_json_permissive, b22_mixture_upsample,
 # b22_drift_chisq, b22_drift_ks, b22_winsorize, b16_resize_nn,
 # b26_transition_bigrams, b06_equidepth_histogram) plus anything new in r8+.
 
@@ -109,12 +110,13 @@ _R8_WINDOW = [
     "b02_dynamic_partition_pruning",
     "b11_null_semantics",
     "b22_dataset_fingerprint",
-    # --- 4 entries new in r8 ---
+    # --- 5 entries new in r8 ---
     "b06_heavy_hitters_tokens",
     "b06_count_min_sketch",
     "b14_ivf_recall_clustered",
     "b02_bloom_filter_join",
-    # --- 26 oldest re-confirms: driver rows from r4, oracle-bearing ---
+    "b23_incremental_agg",
+    # --- 25 oldest re-confirms: driver rows from r4, oracle-bearing ---
     "b15_lang_summary",
     "b15_sequence_packing",
     "q3_shipping_priority",
@@ -140,7 +142,6 @@ _R8_WINDOW = [
     "b14_embedding_neardup_lsh",
     "b15_chunk_documents",
     "b22_train_val_split",
-    "b22_global_shuffle",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 

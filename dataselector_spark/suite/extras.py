@@ -4945,3 +4945,66 @@ def b02_bloom_filter_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+@query(
+    "b23_incremental_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum,
+           min(value) AS val_min, max(value) AS val_max,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+               AS avg_val
+    FROM events GROUP BY event_type
+    """,
+    doc="B23 (r8): incremental AGGREGATE maintenance — the refresh pattern "
+    "for materialized rollups: per-key partial aggregates from the "
+    "existing table state and from a delta batch MERGE by algebraic "
+    "combination (counts add, decimal sums add, min takes least, max "
+    "takes greatest, avg derives from merged sum/count at the end) "
+    "instead of re-aggregating the union of raw rows. The invariant the "
+    "oracle pins is the strong one: merge(partials(base), "
+    "partials(delta)) ≡ full recompute over everything — which is exactly "
+    "why Spark's own partial aggregation is correct, here lifted to the "
+    "TABLE level. At 100 TB the base partials are an already-"
+    "materialized rollup (this entry recomputes them only because a "
+    "stateless query has no stored state): a daily refresh scans ONLY "
+    "the delta and touches |keys| rows of stored state, never the "
+    "history — the batch cousin of the streaming upsert sink, and the "
+    "reason every aggregate in this suite is chosen algebraic/mergeable "
+    "where the semantics allow (the non-mergeable exception, exact "
+    "median, is quarantined in b21 with percentile_approx documented as "
+    "its scale twin). Sums ride DECIMAL(12,2) per the suite float "
+    "policy, so the merged total is exact and order-independent.",
+)
+def b23_incremental_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("val_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        )
+
+    base = partials(e.filter(F.col("event_id") % 10 < 8))
+    delta = partials(e.filter(F.col("event_id") % 10 >= 8))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("val_sum").alias("sum_dec"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("val_sum"),
+        "val_min",
+        "val_max",
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_val"),
+    )

@@ -595,3 +595,14 @@ def test_bloom_filter_join_scoped_confs_restored(spark):
         except Exception:
             after = None
         assert after == before[k], (k, before[k], after)
+
+
+def test_incremental_agg_merge_shape(spark):
+    """Incremental rollup maintenance must be aggregate-merge all the way
+    down — two partial-agg levels, a union, and NO join (a join-based
+    merge would shuffle the state table by key twice)."""
+    df = QUERIES["b23_incremental_agg"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("HashAggregate") >= 4, plan[:1500]  # 2 levels x 2 branches
+    assert "Union" in plan, plan[:1500]
