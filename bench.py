@@ -114,6 +114,7 @@ HEADLINE_V4 = [
     "b06_count_min_sketch",  # B6 value-checked CMS, 256-cell bounded shuffle
     "b14_ivf_recall_clustered",  # B14 recall@10 on the clustered corpus
     "b23_incremental_agg",  # B23 mergeable partial-agg refresh
+    "b16_ahash_neardup",  # B16 perceptual-hash image dedup, banded
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

@@ -854,3 +854,98 @@ def decode_y4m(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, VIDEO_SCHEMA)
+
+
+def synthesize_bitmaps_paired(docs: DataFrame) -> DataFrame:
+    """Deterministic rasters with BUILT-IN near-duplicates: docs 2k and 2k+1
+    share one base raster (dims and pixels derived from base = doc_id - the
+    parity bit), and the odd doc adds a checkerboard +1 perturbation — the
+    re-encoded/re-screenshotted variant of the same image a web crawl
+    yields. The base pixel rides ``% 255`` (range 0..254) so the +1 never
+    wraps: a pair's rasters differ by at most 1 per pixel. Per-base gradient steps
+    (7 + base%5, 13 + base%11) plus an r*c cross term (3 + base%7) give each
+    base a distinct curved texture — a PURELY linear generator downsamples
+    to near-identical half-plane 8x8 bit patterns under the mean threshold,
+    and a perceptual hash correctly (but unhelpfully) calls the whole corpus
+    one near-dup cluster (observed: 941 pairs instead of ~250 at sf0.01
+    before the cross term). Closed-form, so perceptual-hash
+    oracles replay every pixel (the synthesize_bitmaps contract)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - (doc_id % 2)
+                w = base % 64 + 16
+                h = base % 48 + 12
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                rstep = 7 + base % 5
+                cstep = 13 + base % 11
+                xstep = 3 + base % 7
+                img = (base * 31 + r * rstep + c * cstep + r * c * xstep) % 255 + (
+                    doc_id % 2
+                ) * ((r + c) % 2)
+                payloads.append(img.astype(np.uint8).tobytes())
+                metas.append(
+                    {
+                        "media_type": "image/raw8",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": w * h,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, BITMAP_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+    ]
+)
+
+
+def ahash64(media: DataFrame) -> DataFrame:
+    """64-bit average perceptual hash (aHash) of raw uint8 rasters — the
+    classic image-dedup fingerprint: nearest-neighbor downsample to 8x8
+    (resize_bitmap_nn's exact index mapping), then bit j = 1 iff
+    pixel_j * 64 >= sum(pixels) — the mean comparison as an integer
+    cross-multiply, so every bit is exact integer arithmetic an oracle can
+    replay (no float mean, no rounding mode). Returned as two longs
+    (bits 0-31 -> ahash_lo, 32-63 -> ahash_hi) so neither engine touches
+    the sign bit of a 64-bit value. Arrow-batched mapInPandas, map-only;
+    near-duplicate images differ in O(few) bits, unrelated images in ~32."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            los, his = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                w, h = int(m["width"]), int(m["height"])
+                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(8) * w) // 8
+                small = img[ri][:, ci].astype(np.int64).ravel()  # row-major
+                s = int(small.sum())
+                bits = (small * 64 >= s).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash_lo": los, "ahash_hi": his}
+            )
+
+    return media.mapInPandas(batches, AHASH_SCHEMA)

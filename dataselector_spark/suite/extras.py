@@ -5008,3 +5008,129 @@ def b23_incremental_agg(spark, sf_dir):
         "val_max",
         (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_val"),
     )
+
+
+@query(
+    "b16_ahash_neardup",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, doc_id - (doc_id % 2) AS base,
+               (doc_id - (doc_id % 2)) % 64 + 16 AS w,
+               (doc_id - (doc_id % 2)) % 48 + 12 AS h
+        FROM documents
+    ),
+    pxl AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), j ->
+                   (base * 31 + (((j // 8) * h) // 8) * (7 + base % 5)
+                    + (((j % 8) * w) // 8) * (13 + base % 11)
+                    + (((j // 8) * h) // 8) * (((j % 8) * w) // 8)
+                      * (3 + base % 7)) % 255
+                   + (doc_id % 2)
+                     * (((((j // 8) * h) // 8) + (((j % 8) * w) // 8)) % 2)
+               ) AS ps
+        FROM geo
+    ),
+    sums AS (
+        SELECT doc_id, ps,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), ps),
+                           (a, b) -> a + b) AS s
+        FROM pxl
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 32), j ->
+                       CASE WHEN ps[j + 1] * 64 >= s
+                            THEN (CAST(1 AS BIGINT) << j)
+                            ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a + b) AS lo,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 32), j ->
+                       CASE WHEN ps[j + 33] * 64 >= s
+                            THEN (CAST(1 AS BIGINT) << j)
+                            ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a + b) AS hi
+        FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+    FROM hs a JOIN hs b ON b.doc_id > a.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+    """,
+    doc="B16+B13 (r8): IMAGE near-duplicate detection via 64-bit average "
+    "perceptual hash — the multimodal counterpart of the text dedup "
+    "families (LAION-style crawl dedup): rasters downsample to 8x8 by the "
+    "exact resize_bitmap_nn index mapping, each bit is the integer "
+    "cross-multiply mean test pixel*64 >= sum (no float mean), and "
+    "near-dup pairs are found by 8-bands-of-8-bits LSH (pigeonhole: any "
+    "pair within hamming 7 shares an exact band, so banding at threshold "
+    "6 EQUALS the all-pairs scan the oracle runs — the band join is a "
+    "pure optimization, never a recall loss, unlike the minhash/simhash "
+    "entries where banding is probabilistic). The corpus carries built-in "
+    "near-dups (synthesize_bitmaps_paired: docs 2k/2k+1 share a base "
+    "raster, the odd one +1-checkerboard-perturbed, wrap-free via %255) "
+    "so the entry demonstrates recall on a positive corpus; every pixel, "
+    "hash bit and hamming distance is closed-form replayed by the oracle. "
+    "Hash build is Arrow-batched map-only; the band join shuffles 16-byte "
+    "(id, band) rows, never rasters; at 100 TB the verify step reads only "
+    "banded candidates — never all-pairs.",
+)
+def b16_ahash_neardup(spark, sf_dir):
+    from ..multimodal import ahash64, synthesize_bitmaps_paired
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = ahash64(synthesize_bitmaps_paired(d))
+    bands = hs.select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("ahash_lo" if i < 4 else "ahash_hi"),
+                                8 * (i % 4),
+                            ).bitwiseAND(F.lit(255))
+                        ).alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.col("b.band").alias("band"),
+        F.col("b.val").alias("val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = (
+        F.bit_count(
+            F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
+        )
+        + F.bit_count(
+            F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
+        )
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )

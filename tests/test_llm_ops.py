@@ -1347,3 +1347,46 @@ def test_cms_property_one_sided_and_sharp(spark):
                 assert est == c, (k, est, c)
 
     check()
+
+
+def test_ahash_neardup_finds_exactly_the_planted_pairs(spark, sf_dir):
+    """The paired-raster corpus plants near-dups at (2k, 2k+1); at the
+    driver SF the banded aHash search must return every planted pair.
+    Banding is EXACT here (8 bands of 8 bits, threshold 6 < 8 by
+    pigeonhole), so any miss would be an arithmetic bug, not LSH
+    probability."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b16_ahash_neardup"].fn(spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    expected = {(2 * k, 2 * k + 1) for k in range(n_docs // 2)}
+    assert expected <= pairs, sorted(expected - pairs)[:5]
+    # planted pairs differ by <=1 per pixel -> small hamming
+    planted = [r for r in rows if (r["id_a"], r["id_b"]) in expected]
+    assert max(r["hamming"] for r in planted) <= 6
+
+
+def test_ahash_banding_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole exactness of the band join: the banded result must equal
+    a direct all-pairs hamming scan over the same hashes (8 bands, any
+    pair within hamming 7 shares an exact band; threshold is 6)."""
+    from dataselector_spark.multimodal import ahash64, synthesize_bitmaps_paired
+    from dataselector_spark.suite import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = ahash64(synthesize_bitmaps_paired(d)).collect()
+    brute = set()
+    for i, a in enumerate(hs):
+        for b in hs[i + 1 :]:
+            ham = bin(a["ahash_lo"] ^ b["ahash_lo"]).count("1") + bin(
+                a["ahash_hi"] ^ b["ahash_hi"]
+            ).count("1")
+            if ham <= 6:
+                x, y = sorted((a["doc_id"], b["doc_id"]))
+                brute.add((x, y, ham))
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in QUERIES["b16_ahash_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert banded == brute
