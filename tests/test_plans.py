@@ -606,3 +606,13 @@ def test_incremental_agg_merge_shape(spark):
     assert "Join" not in plan, plan[:1500]
     assert plan.count("HashAggregate") >= 4, plan[:1500]  # 2 levels x 2 branches
     assert "Union" in plan, plan[:1500]
+
+
+def test_ahash_neardup_banded_not_all_pairs(spark):
+    """The image near-dup search must join on (band, value) equality — a
+    real equi-join — never a nested-loop/cartesian all-pairs scan (the
+    banding is exact at this threshold, so there is no excuse for one)."""
+    df = QUERIES["b16_ahash_neardup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
