@@ -115,6 +115,7 @@ HEADLINE_V4 = [
     "b14_ivf_recall_clustered",  # B14 recall@10 on the clustered corpus
     "b23_incremental_agg",  # B23 mergeable partial-agg refresh
     "b16_ahash_neardup",  # B16 perceptual-hash image dedup, banded
+    "b16_phash256_neardup",  # B16 wide-hash image dedup (16-bit bands)
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

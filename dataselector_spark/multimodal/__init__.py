@@ -949,3 +949,43 @@ def ahash64(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AHASH_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"h{k}", T.LongType()) for k in range(8)]
+)
+
+
+def phash256(media: DataFrame) -> DataFrame:
+    """256-bit perceptual hash: 16x16 nearest-neighbor downsample, then the
+    same integer mean test as ahash64 (bit j = pixel_j * 256 >= sum). The
+    WIDER fingerprint exists for scale, not accuracy: exact-recall LSH
+    banding on a 64-bit hash is stuck with <=9-bit bands (pigeonhole), whose
+    256-value buckets only cut all-pairs work by a constant ~32x
+    (tools/ahash_ladder.py measured brute codegen winning through 80k
+    images). 256 bits give 16 bands of 16 bits — 65536-value buckets, so
+    banded candidates scale as n^2/65536 and the equi-join actually prunes
+    once corpora outgrow the brute scan. Returned as 8 longs of 32 bits
+    (h0..h7, row-major bit order), sign-bit free in both engines."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            cols: dict[str, list] = {f"h{k}": [] for k in range(8)}
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                w, h = int(m["width"]), int(m["height"])
+                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+                ri = (np.arange(16) * h) // 16
+                ci = (np.arange(16) * w) // 16
+                small = img[ri][:, ci].astype(np.int64).ravel()
+                s = int(small.sum())
+                bits = (small * 256 >= s).astype(np.int64)
+                for k in range(8):
+                    chunk = bits[32 * k : 32 * k + 32]
+                    cols[f"h{k}"].append(int((chunk << np.arange(32)).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)

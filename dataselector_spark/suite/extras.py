@@ -5134,3 +5134,119 @@ def b16_ahash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .distinct()
     )
+
+
+def _phash256_oracle() -> str:
+    px = (
+        "(base * 31 + (((j // 16) * h) // 16) * (7 + base % 5)"
+        " + (((j % 16) * w) // 16) * (13 + base % 11)"
+        " + (((j // 16) * h) // 16) * (((j % 16) * w) // 16)"
+        " * (3 + base % 7)) % 255"
+        " + (doc_id % 2)"
+        " * (((((j // 16) * h) // 16) + (((j % 16) * w) // 16)) % 2)"
+    )
+    h_cols = ",\n               ".join(
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(0, 32), j ->"
+        f" CASE WHEN ps[j + {32 * k + 1}] * 256 >= s"
+        " THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),"
+        f" (a, b) -> a + b) AS h{k}"
+        for k in range(8)
+    )
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.h{k}, b.h{k})) AS INTEGER)" for k in range(8)
+    )
+    return f"""
+    WITH geo AS (
+        SELECT doc_id, doc_id - (doc_id % 2) AS base,
+               (doc_id - (doc_id % 2)) % 64 + 16 AS w,
+               (doc_id - (doc_id % 2)) % 48 + 12 AS h
+        FROM documents
+    ),
+    pxl AS (
+        SELECT doc_id, list_transform(range(0, 256), j -> {px}) AS ps
+        FROM geo
+    ),
+    sums AS (
+        SELECT doc_id, ps,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), ps),
+                           (a, b) -> a + b) AS s
+        FROM pxl
+    ),
+    hs AS (
+        SELECT doc_id,
+               {h_cols}
+        FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM hs a JOIN hs b ON b.doc_id > a.doc_id
+    WHERE {ham} <= 12
+    """
+
+
+@query(
+    "b16_phash256_neardup",
+    oracle=_phash256_oracle(),
+    doc="B16+B13 (r8): the WIDE-fingerprint image dedup that closes "
+    "tools/ahash_ladder.py's honest caveat the way the clustered-recall "
+    "entry closed the r7 recall caveat — with a working demonstration "
+    "instead of an explanation. ahash_ladder measured that exact-recall "
+    "banding on a 64-bit hash cannot prune (<=9-bit bands by pigeonhole, "
+    "constant ~32x candidate cut, brute codegen wins through 80k "
+    "images); the fix is a LONGER hash, not a different plan: phash256 "
+    "(16x16 downsample, same integer mean test) gives 16 bands of 16 "
+    "bits — 65536-value buckets, banded candidates n^2/65536 — while "
+    "pigeonhole still GUARANTEES recall (hamming <= 15 shares an exact "
+    "band; threshold here is 12), so the banded plan remains provably "
+    "equal to the oracle's all-pairs scan. tools/phash rungs in "
+    "ahash_ladder measure the wide banded join beating brute where the "
+    "64-bit one lost. Same paired corpus, every pixel/bit/distance "
+    "closed-form replayed; hash build is Arrow-batched map-only and the "
+    "join moves 20-byte band rows, never rasters.",
+)
+def b16_phash256_neardup(spark, sf_dir):
+    from ..multimodal import phash256, synthesize_bitmaps_paired
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = phash256(synthesize_bitmaps_paired(d))
+    hcols = [f"h{k}" for k in range(8)]
+    bands = hs.select(
+        "doc_id",
+        *hcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(f"h{i // 2}"), 16 * (i % 2))
+                        .bitwiseAND(F.lit(65535))
+                        .alias("val"),
+                    )
+                    for i in range(16)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", *hcols, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = None
+    for k in range(8):
+        term = F.bit_count(F.col(f"a.h{k}").bitwiseXOR(F.col(f"b.h{k}")))
+        ham = term if ham is None else ham + term
+    ham = ham.cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+        .distinct()
+    )

@@ -1390,3 +1390,27 @@ def test_ahash_banding_equals_all_pairs(spark, sf_dir):
         for r in QUERIES["b16_ahash_neardup"].fn(spark, sf_dir).collect()
     }
     assert banded == brute
+
+
+def test_phash256_banding_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole exactness at the wide width too: 16 bands, threshold 12
+    <= 15 budget — banded result must equal the brute all-pairs scan."""
+    from dataselector_spark.multimodal import phash256, synthesize_bitmaps_paired
+    from dataselector_spark.suite import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = phash256(synthesize_bitmaps_paired(d)).collect()
+    brute = set()
+    for i, a in enumerate(hs):
+        for b in hs[i + 1 :]:
+            ham = sum(
+                bin(a[f"h{k}"] ^ b[f"h{k}"]).count("1") for k in range(8)
+            )
+            if ham <= 12:
+                x, y = sorted((a["doc_id"], b["doc_id"]))
+                brute.add((x, y, ham))
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in QUERIES["b16_phash256_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert banded == brute

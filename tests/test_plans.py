@@ -616,3 +616,12 @@ def test_ahash_neardup_banded_not_all_pairs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_phash256_neardup_banded_not_all_pairs(spark):
+    """Wide-hash image near-dup: equi-join on (band, value), never a
+    nested-loop all-pairs scan."""
+    df = QUERIES["b16_phash256_neardup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
