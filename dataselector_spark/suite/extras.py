@@ -5250,3 +5250,86 @@ def b16_phash256_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 12)
         .distinct()
     )
+
+
+@query(
+    "b02_aqe_skew_join",
+    oracle="""
+    SELECT CASE WHEN l_orderkey % 4 != 0 THEN 0
+                ELSE l_orderkey % 50 END AS k,
+           l_orderkey, l_linenumber, l_quantity, d.w
+    FROM lineitem
+    JOIN (SELECT r AS k, r * 10 AS w FROM range(0, 50) t(r)) d
+      ON (CASE WHEN l_orderkey % 4 != 0 THEN 0
+               ELSE l_orderkey % 50 END) = d.k
+    """,
+    doc="B2 (r8): AQE runtime skew-join splitting — the AUTOMATIC "
+    "counterpart of the manual salted join (b02_join_salted): ~75% of the "
+    "fact lands on one join key, and instead of pre-salting, Spark's "
+    "OptimizeSkewedJoin detects the oversized shuffle partition at "
+    "runtime from map-output statistics and splits it into "
+    "mapper-range sub-partitions, replicating the matching dim rows "
+    "(plan shows SortMergeJoin(skew=true) over 'AQEShuffleRead skewed', "
+    "self-asserted after execution like the bloom entry — a silent "
+    "regression fails loudly). Two conditions a user must know, learned "
+    "from this entry's own construction and documented here: the rule "
+    "splits by MAPPER ranges, so the skewed side needs >1 upstream map "
+    "task (a single-row-group local file has one mapper and cannot be "
+    "split — the repartition(16) stands in for the thousands of mappers "
+    "any real table has), and a downstream same-key aggregate suppresses "
+    "the split (AQE refuses to break a reusable partitioning), so the "
+    "entry returns join rows, not a same-key rollup. Skew thresholds are "
+    "scoped to this one execution and restored; at 100 TB the defaults "
+    "(256 MB) fire on real skew unaided. Value-checked row-level.",
+)
+def b02_aqe_skew_join(spark, sf_dir):
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").repartition(16)
+        key = (
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 50)
+            .alias("k")
+        )
+        fact = li.select(key, "l_orderkey", "l_linenumber", "l_quantity")
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = fact.join(dim, "k").select(
+            "k", "l_orderkey", "l_linenumber", "l_quantity", "w"
+        )
+        # The AQE rewrite exists only in an EXECUTED plan, and each action
+        # (.write, .count) gets its own QueryExecution — so the assert must
+        # ride an action bound to j's own: a collect under the scoped confs
+        # (found the hard way: asserting after .write reads the unexecuted
+        # isFinalPlan=false plan and always fails).
+        n = len(j.collect())
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not fire:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # Returned lazily: the driver re-executes under its own confs, which
+    # changes only the physical split, never the rows.
+    return j
