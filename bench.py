@@ -116,6 +116,7 @@ HEADLINE_V4 = [
     "b23_incremental_agg",  # B23 mergeable partial-agg refresh
     "b16_ahash_neardup",  # B16 perceptual-hash image dedup, banded
     "b16_phash256_neardup",  # B16 wide-hash image dedup (16-bit bands)
+    "b16_image_dedup_survivors",  # B16 image pairs -> CC -> survivors
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

@@ -65,14 +65,14 @@ from . import extras  # noqa: F401,E402
 #   * the 5 entries NEW in r8: exact heavy hitters, value-checked count-min
 #     sketch, clustered-corpus IVF recall, runtime bloom-filter join,
 #     incremental aggregate maintenance, aHash + pHash-256 image near-dup,
-#     AQE runtime skew-join splitting (never-checked entries outrank
-#     re-confirms);
-#   * 22 of the 36 oracle-bearing entries whose latest driver row is r4 —
+#     AQE runtime skew-join splitting, image-dedup survivors
+#     (never-checked entries outrank re-confirms);
+#   * 21 of the 36 oracle-bearing entries whose latest driver row is r4 —
 #     post-regen (so not technically stale) but three rounds old (VERDICT
 #     r7 #4: spend the free slots on the OLDEST rows, oldest first, and
 #     never again on the rows-only-by-design approx entries).
-# r9 queue, for the record: the 14 remaining r4-row entries
-# (b14_embedding_neardup_lsh, b15_chunk_documents, b22_train_val_split, b22_global_shuffle, b15_repetition_score, b15_rarity_score, b01_json_permissive, b22_mixture_upsample,
+# r9 queue, for the record: the 15 remaining r4-row entries
+# (b06_exact_distinct, b14_embedding_neardup_lsh, b15_chunk_documents, b22_train_val_split, b22_global_shuffle, b15_repetition_score, b15_rarity_score, b01_json_permissive, b22_mixture_upsample,
 # b22_drift_chisq, b22_drift_ks, b22_winsorize, b16_resize_nn,
 # b26_transition_bigrams, b06_equidepth_histogram) plus anything new in r8+.
 
@@ -111,7 +111,7 @@ _R8_WINDOW = [
     "b02_dynamic_partition_pruning",
     "b11_null_semantics",
     "b22_dataset_fingerprint",
-    # --- 8 entries new in r8 ---
+    # --- 9 entries new in r8 ---
     "b06_heavy_hitters_tokens",
     "b06_count_min_sketch",
     "b14_ivf_recall_clustered",
@@ -120,7 +120,8 @@ _R8_WINDOW = [
     "b16_ahash_neardup",
     "b16_phash256_neardup",
     "b02_aqe_skew_join",
-    # --- 22 oldest re-confirms: driver rows from r4, oracle-bearing ---
+    "b16_image_dedup_survivors",
+    # --- 21 oldest re-confirms: driver rows from r4, oracle-bearing ---
     "b15_lang_summary",
     "b15_sequence_packing",
     "q3_shipping_priority",
@@ -142,7 +143,6 @@ _R8_WINDOW = [
     "b23_apply_changelog",
     "b22_mixture_resample",
     "b08_outlier_zscore",
-    "b06_exact_distinct",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 

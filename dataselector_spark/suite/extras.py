@@ -5185,27 +5185,10 @@ def _phash256_oracle() -> str:
     """
 
 
-@query(
-    "b16_phash256_neardup",
-    oracle=_phash256_oracle(),
-    doc="B16+B13 (r8): the WIDE-fingerprint image dedup that closes "
-    "tools/ahash_ladder.py's honest caveat the way the clustered-recall "
-    "entry closed the r7 recall caveat — with a working demonstration "
-    "instead of an explanation. ahash_ladder measured that exact-recall "
-    "banding on a 64-bit hash cannot prune (<=9-bit bands by pigeonhole, "
-    "constant ~32x candidate cut, brute codegen wins through 80k "
-    "images); the fix is a LONGER hash, not a different plan: phash256 "
-    "(16x16 downsample, same integer mean test) gives 16 bands of 16 "
-    "bits — 65536-value buckets, banded candidates n^2/65536 — while "
-    "pigeonhole still GUARANTEES recall (hamming <= 15 shares an exact "
-    "band; threshold here is 12), so the banded plan remains provably "
-    "equal to the oracle's all-pairs scan. tools/phash rungs in "
-    "ahash_ladder measure the wide banded join beating brute where the "
-    "64-bit one lost. Same paired corpus, every pixel/bit/distance "
-    "closed-form replayed; hash build is Arrow-batched map-only and the "
-    "join moves 20-byte band rows, never rasters.",
-)
-def b16_phash256_neardup(spark, sf_dir):
+def _phash_band_pairs(spark, sf_dir):
+    """(id_a, id_b, hamming) pairs within hamming 12 by 16x16-bit-band LSH —
+    shared by b16_phash256_neardup (the pair report) and
+    b16_image_dedup_survivors (the corpus end product)."""
     from ..multimodal import phash256, synthesize_bitmaps_paired
 
     d = load_table(spark, sf_dir, "documents")
@@ -5227,7 +5210,9 @@ def b16_phash256_neardup(spark, sf_dir):
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", *hcols, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    ).select(
+        "doc_id", *hcols, F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     ham = None
@@ -5250,6 +5235,30 @@ def b16_phash256_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 12)
         .distinct()
     )
+
+
+@query(
+    "b16_phash256_neardup",
+    oracle=_phash256_oracle(),
+    doc="B16+B13 (r8): the WIDE-fingerprint image dedup that closes "
+    "tools/ahash_ladder.py's honest caveat the way the clustered-recall "
+    "entry closed the r7 recall caveat — with a working demonstration "
+    "instead of an explanation. ahash_ladder measured that exact-recall "
+    "banding on a 64-bit hash cannot prune (<=9-bit bands by pigeonhole, "
+    "constant ~32x candidate cut, brute codegen wins through 80k "
+    "images); the fix is a LONGER hash, not a different plan: phash256 "
+    "(16x16 downsample, same integer mean test) gives 16 bands of 16 "
+    "bits — 65536-value buckets, banded candidates n^2/65536 — while "
+    "pigeonhole still GUARANTEES recall (hamming <= 15 shares an exact "
+    "band; threshold here is 12), so the banded plan remains provably "
+    "equal to the oracle's all-pairs scan. tools/phash rungs in "
+    "ahash_ladder measure the wide banded join beating brute where the "
+    "64-bit one lost. Same paired corpus, every pixel/bit/distance "
+    "closed-form replayed; hash build is Arrow-batched map-only and the "
+    "join moves 20-byte band rows, never rasters.",
+)
+def b16_phash256_neardup(spark, sf_dir):
+    return _phash_band_pairs(spark, sf_dir)
 
 
 @query(
@@ -5333,3 +5342,53 @@ def b02_aqe_skew_join(spark, sf_dir):
     # Returned lazily: the driver re-executes under its own confs, which
     # changes only the physical split, never the rows.
     return j
+
+
+def _image_survivors_oracle() -> str:
+    # Reuse the phash pair SQL as a subquery; close it transitively with the
+    # recursive-CTE pattern shared with b14_embedding_dedup_survivors.
+    pairs_sql = _phash256_oracle()
+    return f"""
+    WITH RECURSIVE ppairs AS ({pairs_sql}),
+    pedges AS (SELECT id_a AS a, id_b AS b FROM ppairs
+               UNION ALL SELECT id_b, id_a FROM ppairs),
+    preach AS (
+        SELECT a AS id, a AS r FROM pedges
+        UNION
+        SELECT preach.id, e.b FROM preach JOIN pedges e ON preach.r = e.a
+    ),
+    pcomp AS (SELECT id, min(r) AS comp FROM preach GROUP BY id)
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM pcomp WHERE id != comp)
+    """
+
+
+@query(
+    "b16_image_dedup_survivors",
+    oracle=_image_survivors_oracle(),
+    doc="B16+B13 (r8): the IMAGE dedup END PRODUCT — perceptual-hash "
+    "banded pairs -> connected components -> one survivor (min doc_id) "
+    "per near-dup image cluster plus every unpaired image: the same "
+    "completion b13_dedup_survivors gives the text path and "
+    "b14_embedding_dedup_survivors gives the vector path, because "
+    "pairwise evidence alone never dedups a corpus (A~B~C must collapse "
+    "together — re-encodes of re-encodes chain). Pairs come from the "
+    "b16_phash256_neardup machinery verbatim (shared _phash_band_pairs: "
+    "16x16-bit-band LSH, pigeonhole-exact at hamming 12), components "
+    "from distributed min-label propagation, survivors by shuffled "
+    "anti-join. Oracle replays every pixel/bit/distance and closes the "
+    "pairs with a recursive CTE. At 100 TB: hash build map-only over "
+    "cell-partitioned rasters, band join moves fingerprints only, CC "
+    "iterations bounded by cluster diameter (exact-dup pre-collapse "
+    "handles the clique blowup, same as the text path).",
+)
+def b16_image_dedup_survivors(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _phash_band_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
