@@ -117,6 +117,8 @@ HEADLINE_V4 = [
     "b16_ahash_neardup",  # B16 perceptual-hash image dedup, banded
     "b16_phash256_neardup",  # B16 wide-hash image dedup (16-bit bands)
     "b16_image_dedup_survivors",  # B16 image pairs -> CC -> survivors
+    "b13_repeated_span_coverage",  # B13 cross-doc duplicated-span fraction
+    "b13_prefix_filter_pairs",  # B13 lossless prefix-filtered Jaccard join
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

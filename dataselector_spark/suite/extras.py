@@ -5392,3 +5392,198 @@ def b16_image_dedup_survivors(spark, sf_dir):
         F.col("id").alias("doc_id")
     )
     return d.select("doc_id", "lang").join(losers, "doc_id", "left_anti")
+
+
+_SPAN_N = 5  # word n-gram granularity of the duplicated-span detector
+_SPAN_FRAC = 0.10  # flag documents with >= 10% of tokens inside repeated spans
+
+
+@query(
+    "b13_repeated_span_coverage",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS pos FROM tok),
+    pos AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+4], ' ') AS sh
+            FROM idx),
+    rep AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM pos) GROUP BY sh
+            HAVING count(*) >= 2),
+    hit AS (SELECT p.doc_id, p.pos, unnest([0, 1, 2, 3, 4]) AS off
+            FROM pos p JOIN rep USING (sh)),
+    cov AS (SELECT DISTINCT doc_id, pos + off AS tok_idx FROM hit),
+    per AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           coalesce(per.n_dup_tokens, 0) AS n_dup_tokens,
+           CAST(coalesce(per.n_dup_tokens, 0) AS DOUBLE)
+             / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_token_frac,
+           CAST(coalesce(per.n_dup_tokens, 0) AS DOUBLE)
+             / CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= 0.10 AS flagged
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="B13/B15 (r8): cross-document DUPLICATED-SPAN coverage — the "
+    "exact-substring dedup signal of Lee et al. 2022 ('Deduplicating "
+    "Training Data Makes Language Models Better') at word-5-gram "
+    "granularity: a position is duplicated when its 5-gram occurs in >= 2 "
+    "distinct documents, and the per-document metric is the fraction of "
+    "TOKENS covered by the union of duplicated spans (interval union via "
+    "position-set distinct, so overlapping hits never double-count — the "
+    "detail naive count-of-hit-shingles gets wrong). Complements the "
+    "whole-document dedup family (b12/b13): it catches boilerplate "
+    "headers, license blocks and templated paragraphs pasted into "
+    "otherwise-unique documents, which document-level Jaccard/MinHash "
+    "never flag. Plan: positional shingles are ONE posexplode scan; the "
+    "repeated-shingle relation is a (doc,sh)-distinct then sh-groupBy "
+    "(both map-side combined); flagging is an equi-join on the shingle "
+    "key — shuffles move 5-gram strings and int positions, never "
+    "documents, and nothing is all-pairs. At 100 TB the sh-join is the "
+    "classic hot-key risk (a boilerplate 5-gram occurring everywhere); "
+    "the same df_cap guard as operators/dedup.py applies — a shingle in "
+    "more than K docs is ALREADY known-duplicated, so its join fan-out "
+    "can be capped without changing the boolean. All bigint/bigint "
+    "arithmetic; the only double is one correctly-rounded division, so "
+    "the DuckDB oracle is bit-exact.",
+)
+def b13_repeated_span_coverage(spark, sf_dir):
+    n = _SPAN_N
+    d = load_table(spark, sf_dir, "documents")
+    pos_sh = d.select(
+        "doc_id", F.posexplode(word_ngrams("text", n)).alias("pos", "sh")
+    )
+    rep = (
+        pos_sh.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    cov = (
+        pos_sh.join(rep, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("tok_idx"),
+        )
+        .distinct()
+    )
+    per = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    n_dup = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint")
+    frac = n_dup.cast("double") / n_tokens.cast("double")
+    return d.join(per, "doc_id", "left").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_dup.alias("n_dup_tokens"),
+        frac.alias("dup_token_frac"),
+        (frac >= _SPAN_FRAC).alias("flagged"),
+    )
+
+
+_PF_T = 0.5  # exact-Jaccard threshold for the prefix-filtered similarity join
+
+
+@query(
+    "b13_prefix_filter_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS pos FROM tok),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(tk[pos:pos+2], ' ') AS sh
+           FROM idx),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           sa.sz AS sz_a, sb.sz AS sz_b, inter,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+    doc="B13 (r8): PREFIX-FILTERED exact set-similarity join (Chaudhuri et "
+    "al. SSJoin / Bayardo et al. All-Pairs / Xiao et al. PPJoin) — the "
+    "third candidate-generation strategy in the dedup family, alongside "
+    "the full inverted-index join (b13_ngram_jaccard) and probabilistic "
+    "LSH banding (b13_minhash_lsh), and unlike LSH it is EXACT: with "
+    "shingles canonically ordered rarest-document-frequency-first, two "
+    "word-3-gram sets with Jaccard >= t MUST share a token inside their "
+    "(|S| - ceil(t*|S|) + 1)-prefixes, so joining only the prefixes loses "
+    "no pair (the oracle computes unfiltered all-pairs Jaccard, making "
+    "the differential test a proof of losslessness, not just agreement). "
+    "Plan: one df-groupBy builds the frequency order; (df, sh) structs "
+    "sort per-document via sort_array — NO single-partition global window "
+    "for ranks; the candidate join explodes only prefix tokens (at t=0.5 "
+    "half the index volume of the full inverted index, at t=0.9 a tenth); "
+    "exact verification is array_intersect on the two per-document "
+    "shingle arrays, O(candidates), never all-pairs. At 100 TB the "
+    "rarest-first order is what makes this work: prefix tokens are by "
+    "construction the LOW-frequency shingles, so the candidate join's "
+    "key distribution is anti-skewed — the opposite of the hot-key "
+    "problem a naive inverted index has. All counts bigint; jaccard is "
+    "one exact bigint/bigint double division, bit-exact vs DuckDB.",
+)
+def b13_prefix_filter_pairs(spark, sf_dir):
+    t = _PF_T
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("sh"),
+    )
+    df_rank = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    keyed = sh.join(df_rank, "sh").select("id", "df", "sh")
+    per_doc = (
+        keyed.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
+        .select(
+            "id",
+            F.col("arr.sh").alias("toks"),
+            F.size("arr").cast("bigint").alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).cast("int")
+    pref = per_doc.select(
+        "id", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("sh")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pa = per_doc.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    pb = per_doc.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    jac = inter.cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - inter
+    ).cast("double")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            inter.alias("inter"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )

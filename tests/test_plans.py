@@ -625,3 +625,29 @@ def test_phash256_neardup_banded_not_all_pairs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_repeated_span_coverage_equi_joins_only(spark):
+    """Duplicated-span detection joins positional shingles to the
+    repeated-shingle relation on the shingle KEY — an equi-join, never an
+    all-pairs scan — and the repeated-shingle side is built by map-side
+    combined aggregation (partial_count visible), not a distinct-then-
+    collect round trip."""
+    df = QUERIES["b13_repeated_span_coverage"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "partial_count" in plan, plan[:1500]
+
+
+def test_prefix_filter_pairs_no_global_window(spark):
+    """The prefix-filter join must get its canonical shingle order from
+    (df, sh) struct sort_array — NOT a single-partition global window
+    (`Window [row_number()...]` over an empty partition spec collapses the
+    token dictionary onto one task at 100 TB) — and the candidate join is
+    an equi-join on the prefix token."""
+    df = QUERIES["b13_prefix_filter_pairs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
