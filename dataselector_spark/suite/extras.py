@@ -5480,9 +5480,6 @@ def b13_repeated_span_coverage(spark, sf_dir):
     )
 
 
-_PF_T = 0.5  # exact-Jaccard threshold for the prefix-filtered similarity join
-
-
 @query(
     "b13_prefix_filter_pairs",
     oracle="""
@@ -5503,7 +5500,7 @@ _PF_T = 0.5  # exact-Jaccard threshold for the prefix-filtered similarity join
     FROM inter
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    WHERE 10 * inter >= 7 * (sa.sz + sb.sz - inter)
     """,
     doc="B13 (r8): PREFIX-FILTERED exact set-similarity join (Chaudhuri et "
     "al. SSJoin / Bayardo et al. All-Pairs / Xiao et al. PPJoin) — the "
@@ -5515,11 +5512,19 @@ _PF_T = 0.5  # exact-Jaccard threshold for the prefix-filtered similarity join
     "(|S| - ceil(t*|S|) + 1)-prefixes, so joining only the prefixes loses "
     "no pair (the oracle computes unfiltered all-pairs Jaccard, making "
     "the differential test a proof of losslessness, not just agreement). "
-    "Plan: one df-groupBy builds the frequency order; (df, sh) structs "
-    "sort per-document via sort_array — NO single-partition global window "
-    "for ranks; the candidate join explodes only prefix tokens (at t=0.5 "
-    "half the index volume of the full inverted index, at t=0.9 a tenth); "
-    "exact verification is array_intersect on the two per-document "
+    "Threshold arithmetic is EXACT integers throughout — prefix length "
+    "via ceil(7*sz/10) = (7*sz+9) div 10 and the size/threshold tests as "
+    "10*x >= 7*y — because float ceil(0.7*20) = ceil(14.000000000000002) "
+    "= 15 silently shortens the prefix by one and the losslessness proof "
+    "dies. Candidates also pass the exact SIZE filter (J >= t forces "
+    "min(sz)/max(sz) >= t) inside the join condition — measured at "
+    "sf0.1: 260k full-index postings -> 81k prefix postings, 202k "
+    "candidate pairs -> 104k after the size filter, verified down to the "
+    "256 true pairs. Plan: one df-groupBy builds the "
+    "frequency order; (df, sh) structs sort per-document via sort_array "
+    "— NO single-partition global window for ranks; the candidate join "
+    "explodes only the ~0.3|S|+1 prefix tokens; exact "
+    "verification is array_intersect on the two per-document "
     "shingle arrays, O(candidates), never all-pairs. At 100 TB the "
     "rarest-first order is what makes this work: prefix tokens are by "
     "construction the LOW-frequency shingles, so the candidate join's "
@@ -5528,7 +5533,7 @@ _PF_T = 0.5  # exact-Jaccard threshold for the prefix-filtered similarity join
     "one exact bigint/bigint double division, bit-exact vs DuckDB.",
 )
 def b13_prefix_filter_pairs(spark, sf_dir):
-    t = _PF_T
+    num, den = 7, 10  # t = 7/10, kept as exact integers (see doc)
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         F.col("doc_id").alias("id"),
@@ -5545,17 +5550,21 @@ def b13_prefix_filter_pairs(spark, sf_dir):
             F.size("arr").cast("bigint").alias("sz"),
         )
     )
-    prefix_len = (
-        F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).cast("int")
+    ceil_t_sz = (F.col("sz") * num + (den - 1)).cast("bigint") / den
+    prefix_len = (F.col("sz") - F.floor(ceil_t_sz) + 1).cast("int")
     pref = per_doc.select(
-        "id", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("sh")
+        "id",
+        "sz",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("sh"),
     )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * den >= F.col("b.sz") * num)
+            & (F.col("b.sz") * den >= F.col("a.sz") * num),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -5585,5 +5594,8 @@ def b13_prefix_filter_pairs(spark, sf_dir):
             inter.alias("inter"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= t)
+        .filter(
+            F.col("inter") * den
+            >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * num
+        )
     )
