@@ -119,6 +119,7 @@ HEADLINE_V4 = [
     "b16_image_dedup_survivors",  # B16 image pairs -> CC -> survivors
     "b13_repeated_span_coverage",  # B13 cross-doc duplicated-span fraction
     "b13_prefix_filter_pairs",  # B13 lossless prefix-filtered Jaccard join
+    "b21_map_in_arrow",  # B21 zero-copy Arrow batch profile + JVM agg
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

@@ -5599,3 +5599,69 @@ def b13_prefix_filter_pairs(spark, sf_dir):
             >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * num
         )
     )
+
+
+@query(
+    "b21_map_in_arrow",
+    oracle="""
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           CAST(sum(length(regexp_replace(text, '[^a-z]', '', 'g')))
+                AS BIGINT) AS letters,
+           CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                AS BIGINT) AS digits,
+           CAST(sum(length(regexp_replace(text, '[^ ]', '', 'g')))
+                AS BIGINT) AS spaces
+    FROM documents GROUP BY lang
+    """,
+    doc="B21 (r8): mapInArrow — the LAST Python-eval API surface (scalar "
+    "pandas UDF, grouped applyInPandas, GROUPED_AGG UDAF, UDTF and "
+    "mapInPandas are all covered elsewhere): zero-copy RecordBatch "
+    "in/out, no pandas materialization at all — the per-row work is "
+    "pyarrow.compute kernels (utf8_length, count_substring_regex), i.e. "
+    "vectorized C++ over Arrow buffers with Python only orchestrating "
+    "batches. The byte-class profile it computes (letters/digits/spaces "
+    "per doc) is the kind of cheap corpus QC pass that earns the Arrow "
+    "path: regex-count over every byte of a 100 TB corpus, where pandas "
+    "conversion overhead would double the Python-stage cost. The JVM side "
+    "then map-side-combines the per-doc counts into per-language totals, "
+    "so the shuffle after the Python stage moves |langs| rows, not "
+    "|docs|. All outputs exact int64 — the oracle (RE2 regexp_replace "
+    "strip + length, BIGINT casts against DuckDB's HUGEINT sum widening) "
+    "hash-checks the Arrow boundary bit for bit. Closure is fully "
+    "self-contained (imports inside), so Spark's Python workers never "
+    "import this package.",
+)
+def b21_map_in_arrow(spark, sf_dir):
+    def profile(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("lang"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, "[a-z]"), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "lang", "chars", "letters", "digits", "spaces"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    per_doc = d.mapInArrow(
+        profile,
+        "doc_id long, lang string, chars long, letters long, "
+        "digits long, spaces long",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("chars").alias("chars"),
+        F.sum("letters").alias("letters"),
+        F.sum("digits").alias("digits"),
+        F.sum("spaces").alias("spaces"),
+    )

@@ -651,3 +651,14 @@ def test_prefix_filter_pairs_no_global_window(spark):
     assert "Window" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_map_in_arrow_partial_agg_after_python(spark):
+    """The Arrow-native profile stage must appear as a MapInArrow (or
+    Spark 4's ArrowEvalPython equivalent: PythonMapInArrow) node followed
+    by map-side combined aggregation — the shuffle after the Python stage
+    moves |langs| partial rows, never per-document rows."""
+    df = QUERIES["b21_map_in_arrow"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan[:1500]
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:1500]
