@@ -11,12 +11,19 @@ grows — the prefix index is ~0.3|S|+1 postings per doc at t=0.7, and its
 postings are by construction the LOW-df shingles, so its join keys are
 anti-skewed while the full index's hottest keys grow with the corpus.
 
-Each replication offsets doc_id per copy and perturbs the text head with the
-copy number (3 new tokens), so replicas are near-dup but not identical and
-block structure grows realistically. Reports postings, candidate pairs,
-result pairs, and median-of-3 warm walls for both strategies.
+Each replication offsets doc_id per copy and prepends ONE (doc, copy)-unique
+head token, so replicas are near-dup but not identical (the unique token
+shifts two head shingles, J stays ~0.95) and per-shingle df grows
+linearly with the replication — the realistic growth mode, not an injected
+df=N hot key. Reports postings, candidate pairs, result pairs, and
+median-of-3 warm walls for both strategies.
 
 Usage: python tools/prefix_ladder.py [max_replication]
+(r8 result at sf0.1, pair sets asserted equal at every rung:
+ rep=1  5k docs: cand 1.13M vs 104k (10.8x fewer), wall 6.15 vs 2.21 s (2.78x)
+ rep=2 10k docs: cand 4.53M vs 408k (11.1x),       wall 7.74 vs 3.80 s (2.04x)
+ rep=4 20k docs: cand 18.1M vs 1.64M (11.0x),      wall 27.3 vs 5.75 s (4.75x)
+— recorded in docs/SCALE.md)
 """
 
 import os
@@ -43,9 +50,9 @@ def replicated(spark, n):
         d = d.crossJoin(F.broadcast(copies)).select(
             (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
             F.concat(
-                F.lit("copy "),
-                F.col("copy").cast("string"),
-                F.lit(" marker "),
+                F.lit("u"),
+                (F.col("doc_id") * 100 + F.col("copy")).cast("string"),
+                F.lit(" "),
                 F.col("text"),
             ).alias("text"),
         )
@@ -146,7 +153,7 @@ def main():
     spark = get_spark("prefix-ladder", cpus=32, shuffle_partitions=32)
     rep = 1
     while rep <= max_rep:
-        d = replicated(spark, rep).localCheckpoint()
+        d = replicated(spark, rep).repartition(32).localCheckpoint()
         full_cand, full_res = full_index_pairs(d)
         pref_cand, pref_res = prefix_pairs(d)
         n_full_cand, n_pref_cand = full_cand.count(), pref_cand.count()
