@@ -5665,3 +5665,132 @@ def b21_map_in_arrow(spark, sf_dir):
         F.sum("digits").alias("digits"),
         F.sum("spaces").alias("spaces"),
     )
+
+
+@query(
+    "b26_triangle_count",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT u, count(*) AS degree FROM (
+            SELECT ua AS u FROM e UNION ALL SELECT ub FROM e
+        ) GROUP BY u
+    ),
+    tri AS (
+        SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+        FROM e e1
+        JOIN e e2 ON e2.ua = e1.ub
+        JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    ),
+    peru AS (
+        SELECT u, count(*) AS n FROM (
+            SELECT a AS u FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY u
+    )
+    SELECT deg.u AS user_id, deg.degree, coalesce(peru.n, 0) AS tri_count
+    FROM deg LEFT JOIN peru ON peru.u = deg.u
+    """,
+    doc="B26 (r8): EXACT distributed triangle counting over the user "
+    "co-occurrence graph (users sharing an (event_type, 10-minute) cell "
+    "are adjacent) — the classic cohesion/community primitive, "
+    "implemented with DEGREE-ORDERED edge orientation (Suri & "
+    "Vassilvitskii, 'Counting Triangles and the Curse of the Last "
+    "Reducer'): every edge is oriented from its (degree, id)-smaller to "
+    "its larger endpoint, wedges are generated only at each vertex's "
+    "ORIENTED out-neighbors, and a triangle is a wedge whose closing "
+    "oriented edge exists. Out-degrees under this orientation are "
+    "bounded by O(sqrt(|E|)) regardless of raw degree skew, so the "
+    "wedge join — the step that explodes at a celebrity/hub vertex in "
+    "the naive a<b<c three-way self-join — stays balanced at 100 TB "
+    "(the oracle IS that naive three-way join, which is fine at oracle "
+    "scale and proves the orientation produces the identical triangle "
+    "set). Per-user participation counts come from exploding each "
+    "triangle's three vertices — orientation-invariant, so they "
+    "hash-match the id-ordered oracle exactly. Buckets compare as "
+    "epoch-second integers on both engines (UTC, never formatted), and "
+    "every output is bigint.",
+)
+def b26_triangle_count(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
+        "user_id",
+    ).distinct()
+    e = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("u").alias("ub"), F.col("degree").alias("degb"))
+    ek = e.join(da, "ua").join(db, "ub")
+    # orient from (degree, id)-smaller endpoint to larger
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = ek.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+            | (
+                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("y"),
+        F.col("o2.dst").alias("z"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    peru = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        deg.join(peru, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "degree",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("tri_count"),
+        )
+    )

@@ -662,3 +662,16 @@ def test_map_in_arrow_partial_agg_after_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan, plan[:1500]
     assert "partial_count" in plan or "partial" in plan.lower(), plan[:1500]
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Degree-ordered triangle counting: the wedge join is an equi-join on
+    the shared source vertex (ordering predicates ride along as join
+    filters) and the closing-edge probe an equi-join on (y, z) — never a
+    cartesian/nested-loop product, which is what the naive three-way
+    enumeration degenerates to under AQE when a hub vertex skews a side
+    small enough to broadcast."""
+    df = QUERIES["b26_triangle_count"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
