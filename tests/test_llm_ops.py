@@ -1414,3 +1414,126 @@ def test_phash256_banding_equals_all_pairs(spark, sf_dir):
         for r in QUERIES["b16_phash256_neardup"].fn(spark, sf_dir).collect()
     }
     assert banded == brute
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark, tmp_path):
+    """Randomized losslessness differential for b13_prefix_filter_pairs:
+    tiny-vocabulary corpora (forcing heavy shingle sharing) with planted
+    near-dup clones, compared pair-for-pair against a pure-Python
+    all-pairs Jaccard >= 7/10 brute force. The small-|S| regime this
+    exercises (prefix length sz - ceil(0.7*sz) + 1 down to 1) is exactly
+    where an off-by-one in the ceil arithmetic loses pairs."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b13_prefix_filter_pairs"].fn
+    for seed in range(8):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+            for _ in range(rng.randint(6, 14))
+        ]
+        for _ in range(3):  # planted near-identical clones
+            toks = docs[rng.randrange(len(docs))].split()
+            if len(toks) > 4:
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append(" ".join(toks))
+        sf = str(tmp_path / f"pfcorpus{seed}")
+        import os
+
+        os.makedirs(sf, exist_ok=True)
+        pd.DataFrame(
+            {
+                "doc_id": range(len(docs)),
+                "text": docs,
+                "lang": ["en"] * len(docs),
+                "source": ["t"] * len(docs),
+                "n_chars": [len(t) for t in docs],
+            }
+        ).to_parquet(os.path.join(sf, "documents.parquet"))
+        got = {(r.id_a, r.id_b) for r in fn(spark, sf).collect()}
+        sets = [
+            {
+                " ".join(tk[i : i + 3])
+                for i in range(len(tk) - 2)
+            }
+            for tk in (t.split() for t in docs)
+        ]
+        want = set()
+        for a, b in itertools.combinations(range(len(docs)), 2):
+            if sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if 10 * inter >= 7 * len(sets[a] | sets[b]):
+                    want.add((a, b))
+        assert got == want, (seed, got.symmetric_difference(want))
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark, tmp_path):
+    """Randomized differential for b26_triangle_count: random event logs
+    with a deliberately skewed user distribution (one hub user active in
+    most cells), per-user triangle counts compared against a pure-Python
+    brute force over all C(n,3) vertex triples — the degree-ordered
+    orientation must not miss or double-count triangles at hubs."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b26_triangle_count"].fn
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        rows = []
+        base = 1_700_000_000
+        for i in range(rng.randint(40, 120)):
+            # hub user 0 in ~half the events; others uniform
+            uid = 0 if rng.random() < 0.5 else rng.randint(1, 12)
+            rows.append(
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp(
+                        (base + rng.randint(0, 5) * 600 + rng.randint(0, 599))
+                        * 1_000_000_000
+                    ),
+                    "user_id": uid,
+                    "event_type": rng.choice(["a", "b"]),
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+        sf = str(tmp_path / f"trigraph{seed}")
+        import os
+
+        os.makedirs(sf, exist_ok=True)
+        pd.DataFrame(rows).to_parquet(os.path.join(sf, "events.parquet"))
+        got = {
+            (r.user_id, r.degree, r.tri_count)
+            for r in fn(spark, sf).collect()
+        }
+        cells = {}
+        for r in rows:
+            key = (r["event_type"], int(r["ts"].value // 1_000_000_000) // 600)
+            cells.setdefault(key, set()).add(r["user_id"])
+        edges = set()
+        for users in cells.values():
+            edges |= {
+                (a, b) for a, b in itertools.combinations(sorted(users), 2)
+            }
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri_count = {u: 0 for u in adj}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                tri_count[x] += 1
+                tri_count[y] += 1
+                tri_count[z] += 1
+        want = {(u, len(adj[u]), tri_count[u]) for u in adj}
+        assert got == want, (seed, got.symmetric_difference(want))
