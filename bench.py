@@ -121,6 +121,7 @@ HEADLINE_V4 = [
     "b13_prefix_filter_pairs",  # B13 lossless prefix-filtered Jaccard join
     "b21_map_in_arrow",  # B21 zero-copy Arrow batch profile + JVM agg
     "b26_triangle_count",  # B26 degree-oriented exact triangle counting
+    "b15_pmi_collocations",  # B15 log-free PMI collocation top-20
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

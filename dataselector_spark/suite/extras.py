@@ -5794,3 +5794,74 @@ def b26_triangle_count(spark, sf_dir):
             F.coalesce("n", F.lit(0)).cast("bigint").alias("tri_count"),
         )
     )
+
+
+@query(
+    "b15_pmi_collocations",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok)),
+    cb AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM bi)
+    SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y, tot.n,
+           CAST(c_xy * tot.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+             AS lift
+    FROM cb
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN tot
+    WHERE c_xy >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+    doc="B15 (r8): COLLOCATION discovery — adjacent token pairs ranked by "
+    "PMI, the standard corpus-linguistics primitive for finding "
+    "multi-word expressions worth protecting from tokenizer splits. PMI "
+    "= log(n*c_xy/(c_x*c_y)) is monotone in the LIFT ratio, so the "
+    "ranking never computes a log: lift = (c_xy*n)/(c_x*c_y) as one "
+    "correctly-rounded division of exact bigint products, identical on "
+    "both engines (the repo's no-transcendentals-in-oracles rule; a "
+    "cross-engine ln() would break the bit-exact hash). The c_xy >= 5 "
+    "support floor is the textbook guard against rare-pair PMI "
+    "explosion. Plan: two map-side-combined counts (bigrams, unigrams), "
+    "two shuffle joins on the word key, the scalar n broadcast, and a "
+    "TakeOrdered top-20 — no global sort. At 100 TB the c_x*c_y product "
+    "overflows int64 around 3e9-count words, so the division switches "
+    "to DECIMAL(38) or double there; at suite scale the exact-int "
+    "products are what make the oracle bit-exact. The honest result on "
+    "THIS corpus: the generator draws tokens near-uniformly, so top "
+    "lift is ~1.5 (no true collocations exist) — the machinery is the "
+    "deliverable, demonstrated on real distributions by the tfidf/"
+    "rarity entries.",
+)
+def b15_pmi_collocations(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bi = d.select(
+        F.explode(word_ngrams("text", 2)).alias("bg")
+    ).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bi.agg(F.count(F.lit(1)).alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    lift = (F.col("c_xy") * F.col("n")).cast("double") / (
+        F.col("c_x") * F.col("c_y")
+    ).cast("double")
+    return (
+        cb.filter(F.col("c_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "n", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -675,3 +675,12 @@ def test_triangle_count_equi_joins_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_pmi_collocations_take_ordered(spark):
+    """The PMI top-20 must be a TakeOrdered heap, never a global sort, and
+    the scalar bigram total joins in as a broadcast."""
+    df = QUERIES["b15_pmi_collocations"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
