@@ -1537,3 +1537,44 @@ def test_triangle_count_matches_bruteforce_on_random_graphs(spark, tmp_path):
                 tri_count[z] += 1
         want = {(u, len(adj[u]), tri_count[u]) for u in adj}
         assert got == want, (seed, got.symmetric_difference(want))
+
+
+def test_late_r8_entries_handle_empty_tables(spark, tmp_path):
+    """Every late-r8 entry must return its declared empty result (not
+    crash) on zero-row inputs — the degenerate partition every 100 TB run
+    contains somewhere."""
+    import os
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    sf = str(tmp_path / "empty_sf")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="string"),
+            "lang": pd.Series([], dtype="string"),
+            "source": pd.Series([], dtype="string"),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="string"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="string"),
+        }
+    ).to_parquet(os.path.join(sf, "events.parquet"))
+    for name in (
+        "b13_repeated_span_coverage",
+        "b13_prefix_filter_pairs",
+        "b21_map_in_arrow",
+        "b26_triangle_count",
+        "b15_pmi_collocations",
+    ):
+        assert QUERIES[name].fn(spark, sf).count() == 0, name
