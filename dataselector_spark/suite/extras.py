@@ -5549,6 +5549,16 @@ def b13_prefix_filter_pairs(spark, sf_dir):
             F.col("arr.sh").alias("toks"),
             F.size("arr").cast("bigint").alias("sz"),
         )
+        # per_doc is consumed 4x (both prefix join sides + both verify
+        # array sides) but deliberately NOT localCheckpoint()ed: the four
+        # consumers are IDENTICAL subplans, so runtime ReusedExchange
+        # computes the aggregation once and shares it — measured 3.7 s
+        # warm at sf0.1 vs 4.9-6.7 s with an eager checkpoint, which pays
+        # materialization AND blinds AQE's stats-based join planning.
+        # Contrast b26_triangle_count, where the consumers differ and
+        # ReusedExchange can't fire — there the checkpoint wins 69->6
+        # shuffles. Reuse-vs-materialize is a per-plan measurement, not
+        # a rule.
     )
     ceil_t_sz = (F.col("sz") * num + (den - 1)).cast("bigint") / den
     prefix_len = (F.col("sz") - F.floor(ceil_t_sz) + 1).cast("int")
@@ -5742,6 +5752,12 @@ def b26_triangle_count(spark, sf_dir):
             F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
         )
         .distinct()
+        # e is consumed 3x (degrees, both orientation joins) and `oriented`
+        # below 3x more; without materialization every reuse re-runs the
+        # co-occurrence self-join lineage — measured 69 shuffles / 386 plan
+        # nodes before, ~10 shuffles after. Same lineage-truncation pattern
+        # as connected_components (operators/dedup.py).
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("ua").alias("u"))
@@ -5760,7 +5776,7 @@ def b26_triangle_count(spark, sf_dir):
         F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
         F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
         F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
-    )
+    ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
