@@ -5435,11 +5435,12 @@ _SPAN_FRAC = 0.10  # flag documents with >= 10% of tokens inside repeated spans
     "repeated-shingle relation is a (doc,sh)-distinct then sh-groupBy "
     "(both map-side combined); flagging is an equi-join on the shingle "
     "key — shuffles move 5-gram strings and int positions, never "
-    "documents, and nothing is all-pairs. At 100 TB the sh-join is the "
-    "classic hot-key risk (a boilerplate 5-gram occurring everywhere); "
-    "the same df_cap guard as operators/dedup.py applies — a shingle in "
-    "more than K docs is ALREADY known-duplicated, so its join fan-out "
-    "can be capped without changing the boolean. All bigint/bigint "
+    "documents, and nothing is all-pairs. Unlike the pair-generating "
+    "dedup joins, this join CANNOT blow up: `rep` is a set (one row per "
+    "repeated shingle), so output <= |positions| regardless of how hot a "
+    "boilerplate 5-gram is — the 100 TB concern is only reducer SKEW on "
+    "the hot shingle key, which AQE skew-split handles (demonstrated by "
+    "b02_aqe_skew_join). All bigint/bigint "
     "arithmetic; the only double is one correctly-rounded division, so "
     "the DuckDB oracle is bit-exact.",
 )
