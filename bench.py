@@ -122,6 +122,7 @@ HEADLINE_V4 = [
     "b21_map_in_arrow",  # B21 zero-copy Arrow batch profile + JVM agg
     "b26_triangle_count",  # B26 degree-oriented exact triangle counting
     "b15_pmi_collocations",  # B15 log-free PMI collocation top-20
+    "b13_repeated_span_dedup",  # B13 duplicated-span corpus rewrite
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

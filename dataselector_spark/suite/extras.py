@@ -5882,3 +5882,119 @@ def b15_pmi_collocations(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "b13_repeated_span_dedup",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    toks AS (SELECT doc_id, unnest(tk) AS tok,
+                    generate_subscripts(tk, 1) AS tpos FROM tok),
+    idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS pos FROM tok),
+    pos AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+4], ' ') AS sh
+            FROM idx),
+    own AS (SELECT sh, min(doc_id) AS owner
+            FROM (SELECT DISTINCT doc_id, sh FROM pos)
+            GROUP BY sh HAVING count(*) >= 2),
+    hit AS (SELECT p.doc_id, p.pos + g.off AS tok_idx,
+                   p.doc_id = own.owner AS owned
+            FROM pos p JOIN own USING (sh), unnest([0,1,2,3,4]) AS g(off)),
+    cov AS (SELECT doc_id, tok_idx, bool_or(owned) AS any_owned
+            FROM hit GROUP BY 1, 2),
+    kept AS (
+        SELECT t.doc_id, t.tpos, t.tok
+        FROM toks t LEFT JOIN cov
+          ON cov.doc_id = t.doc_id AND cov.tok_idx = t.tpos
+        WHERE cov.doc_id IS NULL OR cov.any_owned
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="B13/B15 (r8): the duplicated-span END PRODUCT — the corpus "
+    "REWRITE of Lee et al. 2022's exact-substring dedup, completing "
+    "b13_repeated_span_coverage the way b13_dedup_survivors completes "
+    "the pair detectors: every token position covered only by "
+    "FOREIGN-owned repeated 5-grams is dropped, where a shingle's owner "
+    "is its minimum doc_id — so exactly one canonical occurrence of "
+    "each boilerplate span survives corpus-wide and every other copy is "
+    "cut out of the text itself. Ownership is a deterministic min "
+    "aggregate (no tie-breaking ambiguity), the keep rule is per-token "
+    "bool_or over covering shingles, and the cleaned text is rebuilt "
+    "with an order-explicit aggregation (array_sort of (pos, tok) "
+    "structs / string_agg ORDER BY) — never relying on row order, so "
+    "the output string is bit-identical across engines and "
+    "partitionings. Plan shape = the coverage entry plus one bool_or "
+    "aggregation and one positional re-assembly groupBy; shuffles carry "
+    "tokens and int positions, the rebuilt documents materialize only "
+    "in the final per-doc aggregation. At 100 TB this is the standard "
+    "one-pass-per-stage dedup rewrite: no stage ever holds more than "
+    "one document's tokens in one place except the final reassembly, "
+    "which is bounded by document length.",
+)
+def b13_repeated_span_dedup(spark, sf_dir):
+    n = _SPAN_N
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("tpos", "tok")
+    )
+    pos_sh = d.select(
+        "doc_id", F.posexplode(word_ngrams("text", n)).alias("pos", "sh")
+    )
+    own = (
+        pos_sh.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("owner"))
+        .filter(F.col("nd") >= 2)
+        .select("sh", "owner")
+    )
+    hit = (
+        pos_sh.join(own, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("tok_idx"),
+            (F.col("doc_id") == F.col("owner")).alias("owned"),
+        )
+    )
+    cov = (
+        hit.groupBy("doc_id", "tok_idx")
+        .agg(F.max("owned").alias("any_owned"))
+        .select(
+            F.col("doc_id").alias("cdoc"), "tok_idx", "any_owned"
+        )
+    )
+    kept = (
+        toks.join(
+            cov,
+            (F.col("doc_id") == F.col("cdoc"))
+            & (F.col("tpos") == F.col("tok_idx")),
+            "left",
+        )
+        .filter(F.col("cdoc").isNull() | F.col("any_owned"))
+        .select("doc_id", "tpos", "tok")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    return d.join(agg, "doc_id", "left").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -684,3 +684,16 @@ def test_pmi_collocations_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_repeated_span_dedup_order_explicit_reassembly(spark):
+    """The rewrite must rebuild clean_text through the (pos, tok) struct
+    collect_list (whose array_sort makes row order irrelevant — the
+    physical plan prints the aggregate as collect_list under an
+    ObjectHashAggregate), and all joins stay equi-joins."""
+    df = QUERIES["b13_repeated_span_dedup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan, plan[:1500]
+    assert "ObjectHashAggregate" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
