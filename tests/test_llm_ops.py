@@ -1578,3 +1578,76 @@ def test_late_r8_entries_handle_empty_tables(spark, tmp_path):
         "b15_pmi_collocations",
     ):
         assert QUERIES[name].fn(spark, sf).count() == 0, name
+
+
+def test_span_rewrite_cuts_planted_boilerplate(spark, tmp_path):
+    """Hand-built corpus: three docs share a verbatim 8-token license
+    header; the rewrite must keep the header ONLY in the min-doc_id owner
+    and cut it from the other two, leaving unique bodies untouched."""
+    import os
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    header = "licensed under the apache license version two zero"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink brown black",
+    ]
+    docs = [f"{header} {b}" for b in bodies]
+    sf = str(tmp_path / "boiler")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": docs,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in docs],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["b13_repeated_span_dedup"].fn(spark, sf).collect()
+    }
+    assert rows[0].clean_text == docs[0]  # owner keeps the header
+    assert rows[1].clean_text == bodies[1]  # others lose exactly the header
+    assert rows[2].clean_text == bodies[2]
+    assert rows[0].n_kept == 18 and rows[1].n_kept == 10
+
+
+def test_pmi_finds_planted_collocation(spark, tmp_path):
+    """Hand-built corpus: 'hong kong' always co-occurs while filler tokens
+    pair randomly — the planted collocation must rank first with lift
+    near n/c ( >> any filler pair's lift)."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    rng = random.Random(7)
+    filler = [f"f{i}" for i in range(10)]
+    docs = []
+    for _ in range(40):
+        toks = [rng.choice(filler) for _ in range(20)]
+        at = rng.randrange(len(toks) - 1)
+        toks[at : at + 2] = ["hong", "kong"]
+        docs.append(" ".join(toks))
+    sf = str(tmp_path / "colloc")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    top = QUERIES["b15_pmi_collocations"].fn(spark, sf).collect()
+    assert (top[0].w1, top[0].w2) == ("hong", "kong"), top[:3]
+    assert top[0].lift > 5 * top[1].lift  # planted signal dominates filler
