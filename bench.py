@@ -123,6 +123,7 @@ HEADLINE_V4 = [
     "b26_triangle_count",  # B26 degree-oriented exact triangle counting
     "b15_pmi_collocations",  # B15 log-free PMI collocation top-20
     "b13_repeated_span_dedup",  # B13 duplicated-span corpus rewrite
+    "b06_nested_lineitems",  # B6 nested array<struct> higher-order compute
 ]
 
 # r7's measured probe value — the normalization anchor (VERDICT r7 #3).

@@ -71,17 +71,17 @@ from . import extras  # noqa: F401,E402
 #     post-regen (so not technically stale) but three rounds old (VERDICT
 #     r7 #4: spend the free slots on the OLDEST rows, oldest first, and
 #     never again on the rows-only-by-design approx entries).
-# r9 queue, for the record: the 21 remaining r4-row entries
+# r9 queue, for the record: the 22 remaining r4-row entries
 # (b06_exact_distinct, b14_embedding_neardup_lsh, b15_chunk_documents, b22_train_val_split, b22_global_shuffle, b15_repetition_score, b15_rarity_score, b01_json_permissive, b22_mixture_upsample,
 # b22_drift_chisq, b22_drift_ks, b22_winsorize, b16_resize_nn,
 # b26_transition_bigrams, b06_equidepth_histogram, plus b22_mixture_resample,
 # b08_outlier_zscore, b23_apply_changelog, b23_merge_upsert,
-# q14_promo_revenue and q10_returned_items — displaced from this window by
-# the six late-r8 additions b13_repeated_span_coverage /
-# b13_prefix_filter_pairs / b21_map_in_arrow / b26_triangle_count /
-# b15_pmi_collocations / b13_repeated_span_dedup, which the tripwire ranks
-# higher because they have never had a driver row) plus anything new in
-# r8+.
+# q14_promo_revenue, q10_returned_items and q7_volume_shipping — displaced
+# from this window by the seven late-r8 additions
+# b13_repeated_span_coverage / b13_prefix_filter_pairs / b21_map_in_arrow /
+# b26_triangle_count / b15_pmi_collocations / b13_repeated_span_dedup /
+# b06_nested_lineitems, which the tripwire ranks higher because they have
+# never had a driver row) plus anything new in r8+.
 
 # Entries whose implementation changed materially in round N after their
 # last driver row: the rotation tripwire treats a driver row older than the
@@ -128,8 +128,8 @@ _R8_WINDOW = [
     "b16_phash256_neardup",
     "b02_aqe_skew_join",
     "b16_image_dedup_survivors",
-    # --- 15 oldest re-confirms: driver rows from r4, oracle-bearing
-    # (was 21; six slots went to the late-r8 additions below) ---
+    # --- 14 oldest re-confirms: driver rows from r4, oracle-bearing
+    # (was 21; seven slots went to the late-r8 additions below) ---
     "b15_lang_summary",
     "b15_sequence_packing",
     "q3_shipping_priority",
@@ -144,8 +144,7 @@ _R8_WINDOW = [
     "b02_join_salted",
     "b06_unpivot",
     "q4_order_priority",
-    "q7_volume_shipping",
-    # --- 6 late-r8 additions (never checked; outrank the 6 oldest
+    # --- 7 late-r8 additions (never checked; outrank the 7 oldest
     # re-confirms they displaced, per the tripwire's priority rule) ---
     "b13_repeated_span_coverage",
     "b13_prefix_filter_pairs",
@@ -153,6 +152,7 @@ _R8_WINDOW = [
     "b26_triangle_count",
     "b15_pmi_collocations",
     "b13_repeated_span_dedup",
+    "b06_nested_lineitems",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 

@@ -5998,3 +5998,69 @@ def b13_repeated_span_dedup(spark, sf_dir):
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+@query(
+    "b06_nested_lineitems",
+    oracle="""
+    SELECT l_orderkey,
+           count(*) AS n_items,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS qty_e2,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS price_e2
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 4
+    """,
+    doc="B6/B11 (r8): NESTED-DATA processing — lineitems denormalized into "
+    "a per-order array<struct> (the document/feature-store layout that "
+    "co-locates an order's items in one row, eliminating the join for "
+    "per-order access patterns), then computed on WITHOUT exploding: "
+    "size() for cardinality, higher-order filter() for the returned-item "
+    "count, and aggregate() folds over DECIMAL(12,2) fields for exact "
+    "sums — all whole-stage-codegen JVM expressions over the nested "
+    "representation. collect_list order is nondeterministic across "
+    "partitionings, which is exactly why every derived value is an "
+    "order-independent fold (count/sum over exact decimals) — the oracle "
+    "is the FLAT GROUP BY, so the hash match proves the nested "
+    "representation loses nothing. At 100 TB the nested form is a "
+    "storage-layout decision: one shuffle builds it, after which every "
+    "per-order computation is map-only — the flat form pays the "
+    "order-key shuffle on every query.",
+)
+def b06_nested_lineitems(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        dec2("l_quantity").alias("qty"),
+        dec2("l_extendedprice").alias("price"),
+        "l_returnflag",
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("qty", "price", "l_returnflag")).alias("items")
+    )
+    # the fold's accumulator type must stay fixed: decimal addition widens
+    # (22,2)+(12,2) -> (23,2), so cast back each step (values are bounded
+    # far below the precision ceiling, the cast can never truncate)
+    zero = F.lit(0).cast("decimal(22,2)")
+    qty_sum = F.aggregate(
+        "items", zero, lambda acc, x: (acc + x["qty"]).cast("decimal(22,2)")
+    )
+    price_sum = F.aggregate(
+        "items", zero, lambda acc, x: (acc + x["price"]).cast("decimal(22,2)")
+    )
+    n_returned = F.size(
+        F.filter("items", lambda x: x["l_returnflag"] == "R")
+    ).cast("bigint")
+    return (
+        nested.select(
+            "l_orderkey",
+            F.size("items").cast("bigint").alias("n_items"),
+            n_returned.alias("n_returned"),
+            (qty_sum * 100).cast("bigint").alias("qty_e2"),
+            (price_sum * 100).cast("bigint").alias("price_e2"),
+        )
+        .filter(F.col("n_items") >= 4)
+    )

@@ -697,3 +697,15 @@ def test_repeated_span_dedup_order_explicit_reassembly(spark):
     assert "ObjectHashAggregate" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_nested_lineitems_single_shuffle_no_explode(spark):
+    """The nested-data entry pays exactly ONE shuffle (building the
+    per-order array) and computes everything else as higher-order
+    expressions over the nested column — no re-explode, no second
+    aggregation."""
+    df = QUERIES["b06_nested_lineitems"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:1500]
+    assert "Generate" not in plan, plan[:1500]  # no explode anywhere
+    assert "aggregate(" in plan, plan[:1500]  # higher-order fold present
