@@ -932,8 +932,13 @@ def ahash64(media: DataFrame) -> DataFrame:
 
         for pdf in it:
             los, his = [], []
-            for p, m in zip(pdf["payload"], pdf["meta"]):
+            for d, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 w, h = int(m["width"]), int(m["height"])
+                if len(p) != w * h:
+                    raise ValueError(
+                        f"ahash64: doc_id={d} raster payload is {len(p)} "
+                        f"bytes, expected width*height={w}*{h}={w * h}"
+                    )
                 img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
                 ri = (np.arange(8) * h) // 8
                 ci = (np.arange(8) * w) // 8
@@ -975,8 +980,13 @@ def phash256(media: DataFrame) -> DataFrame:
 
         for pdf in it:
             cols: dict[str, list] = {f"h{k}": [] for k in range(8)}
-            for p, m in zip(pdf["payload"], pdf["meta"]):
+            for d, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 w, h = int(m["width"]), int(m["height"])
+                if len(p) != w * h:
+                    raise ValueError(
+                        f"phash256: doc_id={d} raster payload is {len(p)} "
+                        f"bytes, expected width*height={w}*{h}={w * h}"
+                    )
                 img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
                 ri = (np.arange(16) * h) // 16
                 ci = (np.arange(16) * w) // 16

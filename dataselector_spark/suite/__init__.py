@@ -62,7 +62,7 @@ from . import extras  # noqa: F401,E402
 #     NULL-semantics battery, dataset fingerprint, UDAF, recall report,
 #     merge-schema, corrupt-file tolerance, MAD outlier, temperature
 #     mixture, feature hashing, compaction readback);
-#   * the 5 entries NEW in r8: exact heavy hitters, value-checked count-min
+#   * the 9 entries NEW in r8: exact heavy hitters, value-checked count-min
 #     sketch, clustered-corpus IVF recall, runtime bloom-filter join,
 #     incremental aggregate maintenance, aHash + pHash-256 image near-dup,
 #     AQE runtime skew-join splitting, image-dedup survivors

@@ -4936,7 +4936,13 @@ def b02_bloom_filter_join(spark, sf_dir):
         assert "might_contain" in plan.lower(), (
             "runtime bloom filter was not injected:\n" + plan[:2000]
         )
-        out = f"/tmp/dsspark_bloomjoin_{os.path.basename(sf_dir.rstrip('/'))}"
+        # Per-session unique path (ADVICE r8): a fixed /tmp name let two
+        # concurrent sessions (pytest + driver differential) clobber each
+        # other's output mid-readback.
+        out = (
+            f"/tmp/dsspark_bloomjoin_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_{spark.sparkContext.applicationId}"
+        )
         j.write.mode("overwrite").parquet(out)
     finally:
         for k, v in saved.items():
@@ -5324,10 +5330,13 @@ def b02_aqe_skew_join(spark, sf_dir):
         )
         # The AQE rewrite exists only in an EXECUTED plan, and each action
         # (.write, .count) gets its own QueryExecution — so the assert must
-        # ride an action bound to j's own: a collect under the scoped confs
-        # (found the hard way: asserting after .write reads the unexecuted
-        # isFinalPlan=false plan and always fails).
-        n = len(j.collect())
+        # ride an action bound to j's own (found the hard way: asserting
+        # after .write reads the unexecuted isFinalPlan=false plan and
+        # always fails).  queryExecution.toRdd is j's OWN execution —
+        # counting it JVM-side materializes nothing on the driver and
+        # ships nothing to Python, unlike the full-result collect this
+        # replaced (ADVICE r8: driver OOM risk at larger SFs).
+        n = j._jdf.queryExecution().toRdd().count()
         assert n > 0
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, (
