@@ -94,67 +94,95 @@ REWRITTEN_IN_ROUND = {
     "b16_pgm_roundtrip": 6,
     "b15_decontaminate": 6,
     "b04_interval_join_bucketed": 6,
+    # r9 (ADVICE r8 + VERDICT r8 #2): execution-forcing / scratch-path /
+    # helper-refactor changes after the r8 driver rows
+    "b02_aqe_skew_join": 9,
+    "b02_bloom_filter_join": 9,
+    "b15_pmi_collocations": 9,
 }
 
-_R8_WINDOW = [
-    # --- 20 entries new in r7, never driver-checked (VERDICT r7 #1) ---
-    "b16_wav_roundtrip",
-    "b21_pandas_udaf_grouped_agg",
-    "b14_ann_recall_report",
-    "b16_y4m_roundtrip",
-    "b23_scd2_incremental",
-    "b22_compaction_readback",
-    "b23_scd2_lookup",
-    "b08_outlier_mad",
-    "b01_parquet_merge_schema",
-    "b01_partitioned_write_pruning",
-    "b24_temperature_mixture",
-    "b15_feature_hashing",
-    "b14_pq_codes",
-    "b14_pq_adc_topk",
-    "b14_ivfpq_topk",
-    "b01_ignore_corrupt_files",
-    "b06_footer_stats_agg",
-    "b02_dynamic_partition_pruning",
-    "b11_null_semantics",
-    "b22_dataset_fingerprint",
-    # --- 9 entries new in r8 ---
-    "b06_heavy_hitters_tokens",
-    "b06_count_min_sketch",
-    "b14_ivf_recall_clustered",
-    "b02_bloom_filter_join",
-    "b23_incremental_agg",
-    "b16_ahash_neardup",
-    "b16_phash256_neardup",
+# The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
+#   * 2 entries NEW in r9, never driver-checked (outrank everything):
+#     the planted-signal demonstration twins (b15_pmi_planted,
+#     b06_heavy_hitters_planted — VERDICT r8 #5);
+#   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
+#     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
+#     JVM-side toRdd().count(), VERDICT r8 #2), b02_bloom_filter_join
+#     (per-session scratch path), b15_pmi_collocations (refactored
+#     through the shared _pmi_top20 helper);
+#   * all 22 oracle-bearing entries whose latest driver row is r4 (the
+#     oldest tail — VERDICT r8 #1; the 3 rows-only r4 entries are
+#     deliberately excluded per the r7 #4 rule: a rows-only driver row
+#     re-confirms nothing their green exact twins do not);
+#   * the 23 oldest r5-latest oracle-bearing entries in registration
+#     order. The 22 remaining r5-latest entries queue for r10:
+#     b25_m4_downsample, b25_time_weighted_avg, b26_funnel,
+#     b26_retention_cohorts, b25_trend_per_series, b05_asof_tolerance,
+#     b08_ratio_to_report, b13_minhash_portable,
+#     b22_stratified_sample_hash, b13_simhash_portable,
+#     b13_dedup_pipeline_verified, b13_incremental_dedup,
+#     b01_orc_roundtrip_lineitem, b13_dedup_survivors_quality,
+#     b14_embedding_dedup_survivors, b15_pii_scrub, b01_xml_roundtrip,
+#     b16_binary_ingest, b13_containment_pairs, b15_vocab_coverage,
+#     b22_table_profile, b23_snapshot_diff — after which the oldest
+#     remaining rows are r6.
+_R9_WINDOW = [
+    # --- 2 new in r9, never checked ---
+    "b15_pmi_planted",
+    "b06_heavy_hitters_planted",
+    # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
-    "b16_image_dedup_survivors",
-    # --- 14 oldest re-confirms: driver rows from r4, oracle-bearing
-    # (was 21; seven slots went to the late-r8 additions below) ---
-    "b15_lang_summary",
-    "b15_sequence_packing",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "b22_quality_checks",
-    "b06_histogram",
-    "b06_percentiles",
-    "b02_join_salted",
-    "b06_unpivot",
-    "q4_order_priority",
-    # --- 7 late-r8 additions (never checked; outrank the 7 oldest
-    # re-confirms they displaced, per the tripwire's priority rule) ---
-    "b13_repeated_span_coverage",
-    "b13_prefix_filter_pairs",
-    "b21_map_in_arrow",
-    "b26_triangle_count",
+    "b02_bloom_filter_join",
     "b15_pmi_collocations",
-    "b13_repeated_span_dedup",
-    "b06_nested_lineitems",
+    # --- 22 oldest re-confirms: every oracle-bearing r4-latest entry ---
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "b23_merge_upsert",
+    "b23_apply_changelog",
+    "b22_mixture_resample",
+    "b08_outlier_zscore",
+    "b06_exact_distinct",
+    "b14_embedding_neardup_lsh",
+    "b15_chunk_documents",
+    "b22_train_val_split",
+    "b22_global_shuffle",
+    "b15_repetition_score",
+    "b15_rarity_score",
+    "b01_json_permissive",
+    "b22_mixture_upsample",
+    "b22_drift_chisq",
+    "b22_drift_ks",
+    "b22_winsorize",
+    "b16_resize_nn",
+    "b26_transition_bigrams",
+    "b06_equidepth_histogram",
+    # --- 23 oldest r5-latest re-confirms (registration order) ---
+    "b12_dedup_exact",
+    "b17_stream_tumbling",
+    "b17_stream_sliding",
+    "b18_stream_session",
+    "b19_stream_watermark",
+    "b20_stream_dedup",
+    "b20_stream_toggle",
+    "b20_stream_stream_join",
+    "b17_stream_static_enrich",
+    "b06_pivot",
+    "b08_sessionize",
+    "a04_derived_timestamp",
+    "a05_range_filter",
+    "a07_extents",
+    "a15_composite_key",
+    "a13_selection_toggle",
+    "a16_semi_join_apply",
+    "a17_anti_join_retract",
+    "a18_inverted_index",
+    "a22_having",
+    "flagship_minute_flag_counts",
+    "a06_box_select_pixel",
+    "b25_gap_fill_interpolate",
 ]
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 
 # Import-time guard: every oracle may only reference driver-registered views
 # or its own CTEs (base.check_oracle_tables) — a typo'd table name fails HERE,
@@ -165,8 +193,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R8_WINDOW]
-_order = _R8_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R9_WINDOW]
+_order = _R9_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -5863,7 +5863,14 @@ def b26_triangle_count(spark, sf_dir):
     "rarity entries.",
 )
 def b15_pmi_collocations(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    return _pmi_top20(load_table(spark, sf_dir, "documents"))
+
+
+def _pmi_top20(d):
+    """Shared PMI pipeline over a df with a `text` column: bigram counts,
+    unigram counts, broadcast total, exact-int lift, TakeOrdered top-20.
+    Used by b15_pmi_collocations (raw corpus) and b15_pmi_planted (same
+    machinery over the collocation-planted corpus)."""
     bi = d.select(
         F.explode(word_ngrams("text", 2)).alias("bg")
     ).select(
@@ -6072,4 +6079,145 @@ def b06_nested_lineitems(spark, sf_dir):
             (price_sum * 100).cast("bigint").alias("price_e2"),
         )
         .filter(F.col("n_items") >= 4)
+    )
+
+
+# --- planted-signal demonstrations (r9, VERDICT r8 "Next round" #5) ---------
+#
+# The r8 PMI and heavy-hitters entries are machinery-correct but ran on the
+# generator's near-uniform corpus, so their honest docstrings had to say
+# "top lift ~1.5, no true collocations exist" / "the phi-fraction set is
+# bland".  These twins close that the way r8 closed the IVF-recall caveat
+# (b14_ivf_recall_clustered): derive a corpus IN-QUERY with a known planted
+# signal — deterministic, replayed identically by the DuckDB oracle — and
+# show the same pipeline recovers exactly the planted structure at the top
+# of its ranking.  tests/test_planted_signals.py pins the recovery
+# explicitly (top-3 = the three planted pairs in rarity order; hitter set =
+# exactly the two planted hot keys with their closed-form shares).
+
+_PMI_PLANT_CASE_SQL = """
+        CASE WHEN doc_id % 50 = 0 THEN text || ' zq_gold zq_rush'
+             WHEN doc_id % 20 = 1 THEN text || ' zq_silver zq_lining'
+             WHEN doc_id % 10 = 2 THEN text || ' zq_bronze zq_medal'
+             ELSE text END
+"""
+
+
+@query(
+    "b15_pmi_planted",
+    oracle=f"""
+    WITH pd AS (
+        SELECT doc_id, {_PMI_PLANT_CASE_SQL} AS text FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM pd),
+    bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok)),
+    cb AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM bi)
+    SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y, tot.n,
+           CAST(c_xy * tot.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+             AS lift,
+           starts_with(w1, 'zq_') AS planted
+    FROM cb
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN tot
+    WHERE c_xy >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+    doc="B15 (r9): PMI collocation discovery WITH a planted signal — the "
+    "demonstration twin of b15_pmi_collocations (which honestly reports "
+    "lift ~1.5 on the near-uniform generator corpus). Three marker "
+    "bigrams are appended in-query at three rarities (doc_id%50 -> "
+    "zq_gold zq_rush, %20=1 -> zq_silver zq_lining, %10=2 -> zq_bronze "
+    "zq_medal; the three residue classes are pairwise disjoint and the "
+    "zq_ prefix is absent from the corpus vocabulary — verified 0 "
+    "occurrences). Each marker token occurs ONLY inside its pair, so "
+    "c_xy = c_x = c_y and lift collapses to n/c_x — maximal and "
+    "inversely proportional to plant rate, which pins the recovered "
+    "order: gold (10 docs) > silver (25) > bronze (50), every true "
+    "collocation above the ~1.5 background. Same pipeline as the parent "
+    "(shared _pmi_top20: two map-side-combined counts, two word-key "
+    "joins, broadcast scalar n, TakeOrdered — no global sort); the CASE "
+    "plant is a map-only projection both engines replay exactly, so the "
+    "hash match proves signal recovery, not just machinery parity. "
+    "tests/test_planted_signals.py additionally pins top-3 membership "
+    "and order.",
+)
+def b15_pmi_planted(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    planted_text = (
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" zq_gold zq_rush")),
+        )
+        .when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(F.col("text"), F.lit(" zq_silver zq_lining")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.col("text"), F.lit(" zq_bronze zq_medal")),
+        )
+        .otherwise(F.col("text"))
+    )
+    planted = d.select("doc_id", planted_text.alias("text"))
+    return _pmi_top20(planted).withColumn(
+        "planted", F.col("w1").startswith("zq_")
+    )
+
+
+@query(
+    "b06_heavy_hitters_planted",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN event_id % 8 < 3 THEN 'hot_a'
+                    WHEN event_id % 8 = 3 THEN 'hot_b'
+                    ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        FROM events
+    ),
+    c AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY k),
+    t AS (SELECT count(*) AS total FROM keyed)
+    SELECT k, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    WHERE cnt * 20 >= total
+    """,
+    doc="B6 (r9): exact heavy hitters WITH planted hot keys — the "
+    "demonstration twin of b06_heavy_hitters_tokens (whose phi-fraction "
+    "set on the uniform token corpus is bland). The key column is "
+    "derived in-query: event_id%8<3 -> 'hot_a' (exactly 3/8 = 37.5% of "
+    "rows, event_id is dense-sequential), %8=3 -> 'hot_b' (12.5%), the "
+    "remaining half spread across per-user cold keys (max share 50%/|users| "
+    "= 3.3% at sf0.001, 0.33% at sf0.01 — both below threshold). With "
+    "phi = 5% (cnt*20 >= total, exact integer cross-multiply) the "
+    "recovered set is therefore EXACTLY the two planted keys with "
+    "closed-form shares — what a skew probe must do before a salted "
+    "join (b02_join_salted pairs with this). Plan shape identical to "
+    "the parent: map-side-combined groupBy, broadcast single-row total, "
+    "output bounded by 1/phi = 20 rows. tests/test_planted_signals.py "
+    "pins set equality and the exact 0.375/0.125 shares.",
+)
+def b06_heavy_hitters_planted(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    k = (
+        F.when(F.col("event_id") % 8 < 3, F.lit("hot_a"))
+        .when(F.col("event_id") % 8 == 3, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    )
+    keyed = e.select(k.alias("k"))
+    counts = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    total = keyed.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 20 >= F.col("total"))
+        .select(
+            "k",
+            "cnt",
+            (
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ).alias("share"),
+        )
     )

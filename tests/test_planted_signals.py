@@ -1,0 +1,74 @@
+"""Planted-signal recovery pins (r9, VERDICT r8 #5): the PMI and
+heavy-hitters demonstration twins must recover EXACTLY the structure their
+queries plant — not merely hash-match an oracle that replays the same
+plant.  These assertions are the part an oracle differential cannot
+express: top-k membership/order for PMI, set equality + closed-form
+shares for the hitters."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pmi_planted_recovers_rarity_order(spark):
+    """The three planted pairs must occupy ranks 1-3 in rarity order
+    (gold: 10 docs > silver: 25 > bronze: 50 — lift = n/c_x is inversely
+    proportional to plant rate), all flagged planted, and every planted
+    lift must clear the ~1.5 background of the raw corpus by an order of
+    magnitude."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b15_pmi_planted"].fn(spark, SF).collect()
+    top3 = [(r.w1, r.w2) for r in rows[:3]]
+    assert top3 == [
+        ("zq_gold", "zq_rush"),
+        ("zq_silver", "zq_lining"),
+        ("zq_bronze", "zq_medal"),
+    ]
+    assert all(r.planted for r in rows[:3])
+    assert all(not r.planted for r in rows[3:])
+    background = [r.lift for r in rows if not r.planted]
+    assert rows[2].lift > 10 * max(background, default=1.5)
+    # planted pairs occur only as the pair: c_xy = c_x = c_y
+    for r in rows[:3]:
+        assert r.c_xy == r.c_x == r.c_y
+
+
+def test_pmi_planted_rates_match_plant(spark):
+    """Plant rates are closed-form over 500 docs: doc_id%50==0 -> 10,
+    %20==1 -> 25, %10==2 -> 50."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b15_pmi_planted"].fn(spark, SF).collect()
+    got = {(r.w1, r.w2): r.c_xy for r in rows[:3]}
+    assert got == {
+        ("zq_gold", "zq_rush"): 10,
+        ("zq_silver", "zq_lining"): 25,
+        ("zq_bronze", "zq_medal"): 50,
+    }
+
+
+def test_heavy_hitters_planted_exact_set_and_shares(spark):
+    """phi=5% must return exactly the two planted keys with their
+    closed-form shares (event_id is dense 0..n-1, so mod-8 residues are
+    exact eighths: hot_a = 3/8, hot_b = 1/8)."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b06_heavy_hitters_planted"].fn(spark, SF).collect()
+    got = {r.k: (r.cnt, r.share) for r in rows}
+    assert set(got) == {"hot_a", "hot_b"}
+    assert got["hot_a"] == (375, 0.375)
+    assert got["hot_b"] == (125, 0.125)
+
+
+def test_pmi_parent_unchanged_by_refactor(spark):
+    """b15_pmi_collocations now routes through the shared _pmi_top20
+    helper — its contract (schema + support floor + top-20) must be
+    unchanged."""
+    from dataselector_spark.suite import QUERIES
+
+    df = QUERIES["b15_pmi_collocations"].fn(spark, SF)
+    assert df.columns == ["w1", "w2", "c_xy", "c_x", "c_y", "n", "lift"]
+    rows = df.collect()
+    assert len(rows) <= 20
+    assert all(r.c_xy >= 5 for r in rows)
