@@ -165,6 +165,7 @@ HEADLINE_V5 = [
     "b06_heavy_hitters_planted",  # B6 heavy hitters with planted hot keys
     "b11_variant_extract",  # B11 VARIANT parse/extract roundtrip, JVM-side
     "b01_python_datasource",  # B1 Python Data Source API connector scan
+    "b20_state_store_read",  # B20 checkpointed stream + statestore read
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

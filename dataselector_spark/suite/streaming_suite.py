@@ -232,3 +232,64 @@ def b17_stream_static_enrich(spark, sf_dir):
     return run_stream_to_table(
         stream_static_enrich(stream_events(spark, sf_dir), dim)
     )
+
+
+@query(
+    "b20_state_store_read",
+    oracle="""
+    SELECT DISTINCT event_type AS k, CAST(user_id % 4 AS BIGINT) AS user_bucket
+    FROM events
+    """,
+    doc="B20 (r9): the STATE STORE as a queryable table — Spark 4's "
+    "statestore batch data source pointed at a streaming checkpoint. The "
+    "entry runs a real dropDuplicates stream (file source -> availableNow "
+    "-> noop sink, checkpointed), then reads the checkpoint's keyed state "
+    "back as a batch DataFrame and returns the flattened dedup keys. The "
+    "oracle is the batch DISTINCT over the same derived key, so the hash "
+    "match proves the persisted state is EXACTLY the distinct-key set — "
+    "state correctness checked from the outside, no sink inspection. "
+    "This is the ops capability streaming jobs lack by default: inspect / "
+    "audit / debug live state WITHOUT stopping the query (the source "
+    "reads committed snapshot files; on a cluster each state partition is "
+    "read in parallel, so a 100 TB RocksDB state scans like any other "
+    "table, and joinSideValues/snapshotStartBatchId options scope it to "
+    "one operator or point in time). The unbounded-state dropDuplicates "
+    "here is deliberate — the state IS the payload; the bounded-state "
+    "production twin is b20_stream_dedup's dropDuplicatesWithinWatermark. "
+    "Checkpoint path is per-session (applicationId) per the scratch-write "
+    "rule; within a session the availableNow re-run is a no-op commit and "
+    "the state read is identical.",
+)
+def b20_state_store_read(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 4).cast("bigint").alias("user_bucket")
+    )
+    ckpt = (
+        f"/tmp/dsspark_statestore_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # state-store count per operator is pinned at first start (see
+        # run_stream_to_table); size it explicitly for the bounded replay
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            ev.dropDuplicates(["event_type", "user_bucket"])
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("k"),
+        F.col("key.user_bucket").alias("user_bucket"),
+    )

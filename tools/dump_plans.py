@@ -24,9 +24,17 @@ SF = "/root/testdata/sf0.01"
 
 
 def main() -> None:
-    from bench import HEADLINE, HEADLINE_V2, HEADLINE_V3, HEADLINE_V4
+    from bench import (
+        HEADLINE,
+        HEADLINE_V2,
+        HEADLINE_V3,
+        HEADLINE_V4,
+        HEADLINE_V5,
+    )
 
-    HEADLINE = HEADLINE + HEADLINE_V2 + HEADLINE_V3 + HEADLINE_V4
+    HEADLINE = (
+        HEADLINE + HEADLINE_V2 + HEADLINE_V3 + HEADLINE_V4 + HEADLINE_V5
+    )
 
     spark = get_spark("plan-dump", cpus=8, shuffle_partitions=8)
     out = [
