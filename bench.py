@@ -166,6 +166,7 @@ HEADLINE_V5 = [
     "b11_variant_extract",  # B11 VARIANT parse/extract roundtrip, JVM-side
     "b01_python_datasource",  # B1 Python Data Source API connector scan
     "b20_state_store_read",  # B20 checkpointed stream + statestore read
+    "b01_python_stream_source",  # B1/B17 Python streaming connector
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -293,3 +293,99 @@ def b20_state_store_read(spark, sf_dir):
         F.col("key.event_type").alias("k"),
         F.col("key.user_bucket").alias("user_bucket"),
     )
+
+
+@query(
+    "b01_python_stream_source",
+    oracle="""
+    WITH src AS (
+        SELECT gid, (gid * 2654435761) % 1000003 AS val,
+               's' || CAST(gid % 7 AS VARCHAR) AS tag
+        FROM range(0, 5000) t(gid)
+    )
+    SELECT tag, count(*) AS n, CAST(sum(val) AS BIGINT) AS val_sum
+    FROM src GROUP BY tag
+    """,
+    doc="B1 x B17 (r9): custom STREAMING connector through the Python Data "
+    "Source API — SimpleDataSourceStreamReader, the streaming half of "
+    "b01_python_datasource's batch connector. The reader owns the offset "
+    "contract: initialOffset() -> {pos: 0}, each read(start) returns one "
+    "1250-row micro-batch plus the next offset until the fixed 5000-row "
+    "ledger is drained (then an empty batch at a fixed point, which is "
+    "how a source says 'caught up'), and readBetweenOffsets(start, end) "
+    "replays any committed range EXACTLY — the method Spark calls on "
+    "recovery, so determinism there is what makes the source "
+    "exactly-once-able. The entry runs the real stream (4 micro-batches "
+    "-> complete-mode memory sink) and returns the final aggregate; the "
+    "DuckDB oracle recomputes from range() arithmetic, so the hash match "
+    "proves no batch was lost, duplicated, or mis-sliced across the "
+    "offset boundaries. Rows are the same Knuth-hash functions of gid as "
+    "the batch twin. At 100 TB/day this is the template for queues or "
+    "ledgers Spark lacks a connector for: offsets map to the backend's "
+    "cursor, the simple reader prefetches on the driver (right for "
+    "low-volume control streams; the partition-parallel DataSourceStream"
+    "Reader variant is the high-volume path), and checkpointed offsets "
+    "+ deterministic replay give end-to-end exactly-once into an "
+    "idempotent sink (b23_streaming_upsert_sink's contract).",
+)
+def b01_python_stream_source(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    total, batch, mult, mod = 5000, 1250, 2654435761, 1000003
+
+    class LedgerStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= total:
+                return iter([]), {"pos": pos}
+            end = min(pos + batch, total)
+            rows = [
+                (g, (g * mult) % mod, f"s{g % 7}") for g in range(pos, end)
+            ]
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (g, (g * mult) % mod, f"s{g % 7}")
+                for g in range(start["pos"], end["pos"])
+            )
+
+    class LedgerSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dsspark_synth_stream"
+
+        def schema(self):
+            return "gid bigint, val bigint, tag string"
+
+        def simpleStreamReader(self, schema):
+            return LedgerStreamReader()
+
+    spark.dataSource.register(LedgerSource)
+    sdf = spark.readStream.format("dsspark_synth_stream").load()
+    name = f"pyds_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("val_sum"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
