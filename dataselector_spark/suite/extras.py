@@ -6371,3 +6371,77 @@ def b01_python_datasource(spark, sf_dir):
         F.min("gid").alias("gid_min"),
         F.max("gid").alias("gid_max"),
     )
+
+
+@query(
+    "b21_polymorphic_udtf",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    expanded AS (
+        SELECT doc_id, lang, n_tokens,
+               unnest(range(0, (n_tokens + 63) // 64)) AS i
+        FROM d
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(64, n_tokens - i * 64) AS BIGINT) AS chunk_tokens
+    FROM expanded
+    """,
+    doc="B21 (r9): POLYMORPHIC Python UDTF with a TABLE() argument — the "
+    "Spark 4 UDTF facet b21_python_udtf's fixed-schema generator does "
+    "not cover: the static analyze() hook receives the actual input "
+    "relation's type at PLAN time and computes the output schema from it "
+    "(passthrough of whatever columns the caller selected + two appended "
+    "chunk columns), so one function serves any projection without "
+    "hardcoding a row shape — Spark's answer to a table-valued macro. "
+    "The body is a 64-token chunk-span expander (each doc row yields one "
+    "row per chunk with its exact token count — the planning half of "
+    "b15_chunk_documents, as a relational operator); the DuckDB oracle "
+    "replays it with generate_series, so the hash match value-checks "
+    "every span boundary including the short tail chunk. Invoked through "
+    "SQL `FROM f(TABLE(v))` — the input relation stays distributed "
+    "(no PARTITION BY clause means Spark is free to keep the existing "
+    "partitioning; eval is per-row, so no cross-row state constrains "
+    "it), and the UDTF runs Arrow-batched in the Python workers. At "
+    "100 TB the same function chunks any projection of any corpus "
+    "table unchanged — schema agility is the point; the cost model is "
+    "the usual Python-boundary one (per-batch Arrow transfer), so "
+    "pure-SQL twins stay preferable where the logic fits SQL.",
+)
+def b21_polymorphic_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+
+    class ChunkSpans:
+        @staticmethod
+        def analyze(t):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType()
+            for f in t.dataType.fields:
+                schema = schema.add(f.name, f.dataType)
+            schema = schema.add("chunk_idx", LongType()).add(
+                "chunk_tokens", LongType()
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row):
+            total, width = int(row.n_tokens), 64
+            for i in range((total + width - 1) // width):
+                yield (*row, i, min(width, total - i * width))
+
+    spark.udtf.register("dsspark_chunk_spans", udtf(ChunkSpans))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, lang, n_tokens, chunk_idx, chunk_tokens "
+        "FROM dsspark_chunk_spans(TABLE(udtf_docs))"
+    )

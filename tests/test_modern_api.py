@@ -112,3 +112,27 @@ def test_python_stream_source_runs_multiple_microbatches(spark):
         F.min("gid"), F.max("gid")
     ).first()
     assert (got_min, got_max) == (0, 4999)
+
+
+def test_polymorphic_udtf_schema_follows_input(spark):
+    """analyze() must derive the output schema from the ACTUAL table
+    argument: a different projection through the same registered function
+    yields a different passthrough schema."""
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.suite import QUERIES
+
+    wide = QUERIES["b21_polymorphic_udtf"].fn(spark, SF)
+    assert wide.columns == [
+        "doc_id", "lang", "n_tokens", "chunk_idx", "chunk_tokens",
+    ]
+    # same function, narrower projection -> narrower passthrough
+    from pyspark.sql import functions as F
+
+    load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).createOrReplaceTempView("udtf_docs_narrow")
+    narrow = spark.sql(
+        "SELECT * FROM dsspark_chunk_spans(TABLE(udtf_docs_narrow))"
+    )
+    assert narrow.columns == ["doc_id", "n_tokens", "chunk_idx", "chunk_tokens"]
+    assert narrow.count() == wide.count()
