@@ -168,6 +168,7 @@ HEADLINE_V5 = [
     "b20_state_store_read",  # B20 checkpointed stream + statestore read
     "b01_python_stream_source",  # B1/B17 Python streaming connector
     "b21_polymorphic_udtf",  # B21 analyze()-schema UDTF over TABLE()
+    "b21_udtf_partitioned",  # B21 stateful UDTF, PARTITION BY + ORDER BY
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

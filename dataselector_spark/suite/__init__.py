@@ -102,12 +102,13 @@ REWRITTEN_IN_ROUND = {
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
-#   * 7 entries NEW in r9, never driver-checked (outrank everything):
+#   * 8 entries NEW in r9, never driver-checked (outrank everything):
 #     the planted-signal demonstration twins (b15_pmi_planted,
 #     b06_heavy_hitters_planted — VERDICT r8 #5), the Spark 4
 #     modern-API set (b11_variant_extract, b01_python_datasource,
-#     b01_python_stream_source, b21_polymorphic_udtf), and the
-#     state-store batch read (b20_state_store_read);
+#     b01_python_stream_source, b21_polymorphic_udtf,
+#     b21_udtf_partitioned), and the state-store batch read
+#     (b20_state_store_read);
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
 #     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
 #     JVM-side toRdd().count(), VERDICT r8 #2), b02_bloom_filter_join
@@ -117,9 +118,10 @@ REWRITTEN_IN_ROUND = {
 #     oldest tail — VERDICT r8 #1; the 3 rows-only r4 entries are
 #     deliberately excluded per the r7 #4 rule: a rows-only driver row
 #     re-confirms nothing their green exact twins do not);
-#   * the 18 oldest r5-latest oracle-bearing entries in registration
-#     order. The 27 remaining r5-latest entries queue for r10:
-#     a18_inverted_index, a22_having, flagship_minute_flag_counts,
+#   * the 17 oldest r5-latest oracle-bearing entries in registration
+#     order. The 28 remaining r5-latest entries queue for r10:
+#     a17_anti_join_retract, a18_inverted_index, a22_having,
+#     flagship_minute_flag_counts,
 #     a06_box_select_pixel, b25_gap_fill_interpolate,
 #     b25_m4_downsample, b25_time_weighted_avg, b26_funnel,
 #     b26_retention_cohorts, b25_trend_per_series, b05_asof_tolerance,
@@ -132,13 +134,14 @@ REWRITTEN_IN_ROUND = {
 #     b22_table_profile, b23_snapshot_diff — after which the oldest
 #     remaining rows are r6.
 _R9_WINDOW = [
-    # --- 7 new in r9, never checked ---
+    # --- 8 new in r9, never checked ---
     "b15_pmi_planted",
     "b06_heavy_hitters_planted",
     "b11_variant_extract",
     "b01_python_datasource",
     "b01_python_stream_source",
     "b21_polymorphic_udtf",
+    "b21_udtf_partitioned",
     "b20_state_store_read",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
@@ -167,7 +170,7 @@ _R9_WINDOW = [
     "b16_resize_nn",
     "b26_transition_bigrams",
     "b06_equidepth_histogram",
-    # --- 18 oldest r5-latest re-confirms (registration order) ---
+    # --- 17 oldest r5-latest re-confirms (registration order) ---
     "b12_dedup_exact",
     "b17_stream_tumbling",
     "b17_stream_sliding",
@@ -185,7 +188,6 @@ _R9_WINDOW = [
     "a15_composite_key",
     "a13_selection_toggle",
     "a16_semi_join_apply",
-    "a17_anti_join_retract",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 

@@ -6445,3 +6445,87 @@ def b21_polymorphic_udtf(spark, sf_dir):
         "SELECT doc_id, lang, n_tokens, chunk_idx, chunk_tokens "
         "FROM dsspark_chunk_spans(TABLE(udtf_docs))"
     )
+
+
+@query(
+    "b21_udtf_partitioned",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN value > lag(value) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    r AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM o
+    ),
+    runlen AS (
+        SELECT user_id, run_id, count(*) AS len FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runlen GROUP BY user_id
+    """,
+    doc="B21 (r9): Python UDTF over a PARTITIONED + ORDERED table argument "
+    "— the stateful facet b21_polymorphic_udtf's per-row expansion does "
+    "not cover: `FROM f(TABLE(events) PARTITION BY user_id ORDER BY ts, "
+    "event_id)` guarantees each UDTF instance sees exactly one user's "
+    "rows in event order, eval() threads running state across rows "
+    "(current/best strictly-increasing value streak), and terminate() "
+    "emits once per partition at end-of-group — Spark's generalization "
+    "of a custom ordered aggregate, without a window-function encoding. "
+    "The oracle IS that encoding (gaps-and-islands: break flags -> "
+    "running run_id -> max run length), so the hash match proves the "
+    "imperative per-partition scan and the relational form agree row "
+    "for row — same duality the suite pins for sessionize. ORDER BY "
+    "carries a unique tiebreak (event_id), making the scan order and "
+    "therefore the streak deterministic under any physical partitioning."
+    " At 100 TB: PARTITION BY becomes one hash shuffle + per-partition "
+    "sort (exactly a window's cost); state is O(1) per instance; the "
+    "win over a window shows when per-group logic stops being "
+    "expressible as frames (multi-variable state machines, early "
+    "exits), the loss is the Python boundary — both twins exist here "
+    "so the tradeoff is measurable.",
+)
+def b21_udtf_partitioned(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, longest_streak bigint")
+    class Streak:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.cur = 0
+            self.best = 0
+            self.prev = None
+
+        def eval(self, row):
+            self.user = row.user_id
+            self.n += 1
+            if (
+                self.prev is not None
+                and row.value is not None
+                and row.value > self.prev
+            ):
+                self.cur += 1
+            else:
+                self.cur = 1
+            self.best = max(self.best, self.cur)
+            self.prev = row.value
+
+        def terminate(self):
+            if self.user is not None:
+                yield (self.user, self.n, self.best)
+
+    spark.udtf.register("dsspark_streak", Streak)
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).createOrReplaceTempView("udtf_events")
+    return spark.sql(
+        "SELECT * FROM dsspark_streak(TABLE(udtf_events) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
