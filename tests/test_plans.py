@@ -709,3 +709,24 @@ def test_nested_lineitems_single_shuffle_no_explode(spark):
     assert plan.count("Exchange") <= 1, plan[:1500]
     assert "Generate" not in plan, plan[:1500]  # no explode anywhere
     assert "aggregate(" in plan, plan[:1500]  # higher-order fold present
+
+
+def test_planted_twins_share_parent_plan_shape(spark):
+    """The r9 planted-signal twins must keep their parents' plan
+    discipline: the PMI plant is a map-only CASE projection feeding the
+    same TakeOrdered pipeline (no extra shuffle, no cartesian), and the
+    planted heavy hitters keeps the partial-agg + broadcast-total shape."""
+    pmi = QUERIES["b15_pmi_planted"].fn(spark, SF)
+    plan = pmi._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    parent = QUERIES["b15_pmi_collocations"].fn(spark, SF)
+    assert shuffle_count(pmi) == shuffle_count(parent)
+
+    hh = QUERIES["b06_heavy_hitters_planted"].fn(spark, SF)
+    hplan = hh._jdf.queryExecution().executedPlan().toString()
+    assert hplan.count("HashAggregate") >= 2, hplan[:1500]
+    assert (
+        "BroadcastNestedLoopJoin" in hplan or "BroadcastExchange" in hplan
+    ), hplan[:1500]
+    assert shuffle_count(hh) <= 2, shuffle_count(hh)
