@@ -169,6 +169,9 @@ HEADLINE_V5 = [
     "b01_python_stream_source",  # B1/B17 Python streaming connector
     "b21_polymorphic_udtf",  # B21 analyze()-schema UDTF over TABLE()
     "b21_udtf_partitioned",  # B21 stateful UDTF, PARTITION BY + ORDER BY
+    "b26_recursive_hierarchy",  # B26 Spark 4 recursive CTE hierarchy walk
+    "b11_collated_group",  # B11 UTF8_LCASE collated GROUP BY
+    "b26_pagerank_fixedpoint",  # B26 iterative PageRank, fixed-point bigint
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -118,8 +118,12 @@ REWRITTEN_IN_ROUND = {
 #     oldest tail — VERDICT r8 #1; the 3 rows-only r4 entries are
 #     deliberately excluded per the r7 #4 rule: a rows-only driver row
 #     re-confirms nothing their green exact twins do not);
-#   * the 17 oldest r5-latest oracle-bearing entries in registration
-#     order. The 28 remaining r5-latest entries queue for r10:
+#   * the 14 oldest r5-latest oracle-bearing entries in registration
+#     order (17 until the three late-r9 additions displaced
+#     a15_composite_key / a13_selection_toggle / a16_semi_join_apply —
+#     never-checked outranks re-confirm). The 31 remaining r5-latest
+#     entries queue for r10: a15_composite_key, a13_selection_toggle,
+#     a16_semi_join_apply,
 #     a17_anti_join_retract, a18_inverted_index, a22_having,
 #     flagship_minute_flag_counts,
 #     a06_box_select_pixel, b25_gap_fill_interpolate,
@@ -134,7 +138,7 @@ REWRITTEN_IN_ROUND = {
 #     b22_table_profile, b23_snapshot_diff — after which the oldest
 #     remaining rows are r6.
 _R9_WINDOW = [
-    # --- 8 new in r9, never checked ---
+    # --- 11 new in r9, never checked ---
     "b15_pmi_planted",
     "b06_heavy_hitters_planted",
     "b11_variant_extract",
@@ -143,6 +147,12 @@ _R9_WINDOW = [
     "b21_polymorphic_udtf",
     "b21_udtf_partitioned",
     "b20_state_store_read",
+    # late-r9 additions (recursive CTE, collation, iterative PageRank) —
+    # never-checked, so they displace the last 3 r5-latest re-confirms
+    # (a15_composite_key, a13_selection_toggle, a16_semi_join_apply -> r10)
+    "b26_recursive_hierarchy",
+    "b11_collated_group",
+    "b26_pagerank_fixedpoint",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
@@ -185,9 +195,6 @@ _R9_WINDOW = [
     "a04_derived_timestamp",
     "a05_range_filter",
     "a07_extents",
-    "a15_composite_key",
-    "a13_selection_toggle",
-    "a16_semi_join_apply",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 

@@ -6529,3 +6529,229 @@ def b21_udtf_partitioned(spark, sf_dir):
         "SELECT * FROM dsspark_streak(TABLE(udtf_events) "
         "PARTITION BY user_id ORDER BY (ts, event_id))"
     )
+
+
+@query(
+    "b26_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, ch.root, ch.depth + 1
+        FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.custkey
+        WHERE c.c_custkey >= 10
+    )
+    SELECT depth, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS key_sum,
+           count(DISTINCT root) AS n_roots
+    FROM chain GROUP BY depth
+    """,
+    doc="B26 (r9): Spark 4 RECURSIVE CTE (SPARK-24497, new SQL surface in "
+    "4.0) walking a reporting hierarchy — each customer's manager is "
+    "c_custkey DIV 10, roots are custkeys < 10, so the chain depth is "
+    "the key's digit count and the closure is exact and cycle-free by "
+    "construction. Until 4.0 this took a driver-side loop (the suite's "
+    "connected-components operators do exactly that); WITH RECURSIVE "
+    "moves the iteration INTO Catalyst: each step is a join of the "
+    "previous frontier against the base table, unioned until the "
+    "frontier empties, with spark.sql.cteRecursionLevelLimit (default "
+    "100) as the runaway guard — depth here is log10(max key), ~7 at "
+    "100 TB, and each frontier join is an equi-join that AQE sizes per "
+    "step. The DuckDB oracle runs the IDENTICAL recursive SQL (// vs "
+    "DIV is the only dialect delta), so the hash match proves the two "
+    "engines' fixpoint semantics agree level by level (per-depth counts "
+    "+ key sums + root counts fingerprint every level of the closure). "
+    "Integer-only output.",
+)
+def b26_recursive_hierarchy(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rc_customer"
+    )
+    return spark.sql("""
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth
+            FROM rc_customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, ch.root, ch.depth + 1
+            FROM rc_customer c JOIN chain ch ON c.c_custkey DIV 10 = ch.custkey
+            WHERE c.c_custkey >= 10
+        )
+        SELECT depth, count(*) AS n, sum(custkey) AS key_sum,
+               count(DISTINCT root) AS n_roots
+        FROM chain GROUP BY depth
+    """)
+
+
+@query(
+    "b11_collated_group",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                    WHEN event_id % 3 = 1 THEN lower(event_type)
+                    ELSE event_type END AS k_raw,
+               event_id
+        FROM events
+    )
+    SELECT min(k_raw) AS k_min, count(*) AS n,
+           count(DISTINCT k_raw) AS n_forms,
+           CAST(sum(event_id % 1000) AS BIGINT) AS ord_sum
+    FROM src
+    GROUP BY lower(k_raw)
+    """,
+    doc="B11 (r9): case-insensitive GROUP BY through Spark 4's string "
+    "COLLATION support (UTF8_LCASE) — the type-system answer to 'group "
+    "ignoring case' that until 4.0 meant scattering lower() around "
+    "every key expression. The query perturbs event_type's case "
+    "in-query (upper/lower/as-is keyed on event_id mod 3 — ASCII-only "
+    "values, so both engines' case folds agree byte for byte), then "
+    "groups on `k_raw COLLATE UTF8_LCASE`; the oracle groups the same "
+    "rows by lower(k_raw). Matching group counts, member counts, "
+    "distinct-form counts, and value sums prove collated grouping is "
+    "exactly lower()-normalization here. Aggregates deliberately read "
+    "the NON-collated projection (min under binary order, distinct on "
+    "raw bytes) because a collated min may return ANY case variant of "
+    "the group's minimum — a real nondeterminism trap this entry "
+    "documents by construction. At 100 TB the win is systemic, not "
+    "per-query: the collation lives in the column TYPE, so every "
+    "group/join/distinct against the key is consistently "
+    "case-insensitive with the collation key computed once at shuffle "
+    "time, instead of N hand-written lower() wrappers (each a chance "
+    "to miss one) materializing a second copy of the key bytes.",
+)
+def b11_collated_group(spark, sf_dir):
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("cl_events")
+    return spark.sql("""
+        WITH src AS (
+            SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                        WHEN event_id % 3 = 1 THEN lower(event_type)
+                        ELSE event_type END AS k_raw,
+                   event_id
+            FROM cl_events
+        )
+        SELECT min(k_raw) AS k_min, count(*) AS n,
+               count(DISTINCT k_raw) AS n_forms,
+               sum(event_id % 1000) AS ord_sum
+        FROM src
+        GROUP BY k_raw COLLATE UTF8_LCASE
+    """)
+
+
+# PageRank fixed-point scale: ranks are integers in units of 1e-6 "mass"
+# so every contribution is integer-divided identically on both engines
+# (Spark DIV == DuckDB // for non-negative operands) and sums are exact
+# bigint arithmetic — order-independent, hence cross-engine hashable.
+_PR_SCALE = 1_000_000
+_PR_ITERS = 3
+
+
+@query(
+    "b26_pagerank_fixedpoint",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket, user_id
+        FROM events
+    ),
+    und AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+    ),
+    e AS (SELECT ua, ub FROM und UNION ALL SELECT ub, ua FROM und),
+    deg AS (SELECT ua AS u, count(*) AS deg FROM e GROUP BY ua),
+    r0 AS (SELECT u, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+    r1 AS (
+        SELECT e.ub AS u,
+               150000 + CAST(sum((r0.rank * 85) // (100 * d.deg)) AS BIGINT)
+                   AS rank
+        FROM e JOIN r0 ON e.ua = r0.u JOIN deg d ON e.ua = d.u GROUP BY e.ub
+    ),
+    r2 AS (
+        SELECT e.ub AS u,
+               150000 + CAST(sum((r1.rank * 85) // (100 * d.deg)) AS BIGINT)
+                   AS rank
+        FROM e JOIN r1 ON e.ua = r1.u JOIN deg d ON e.ua = d.u GROUP BY e.ub
+    ),
+    r3 AS (
+        SELECT e.ub AS u,
+               150000 + CAST(sum((r2.rank * 85) // (100 * d.deg)) AS BIGINT)
+                   AS rank
+        FROM e JOIN r2 ON e.ua = r2.u JOIN deg d ON e.ua = d.u GROUP BY e.ub
+    )
+    SELECT r3.u AS user_id, deg.deg AS degree, r3.rank
+    FROM r3 JOIN deg ON r3.u = deg.u
+    """,
+    doc="B26 (r9): PageRank (3 damped iterations, d=0.85) over the user "
+    "co-occurrence graph b26_triangle_count defines — the canonical "
+    "ITERATIVE graph algorithm the suite lacked between one-shot "
+    "closures (connected components) and local counting (triangles). "
+    "Determinism is the hard part cross-engine: double rank sums are "
+    "order-dependent, and the harness compares floats bit-exact. So "
+    "ranks live in FIXED-POINT bigints (1e-6 mass units): each "
+    "contribution is (rank*85) DIV (100*deg) — integer division that "
+    "Spark's DIV and DuckDB's // evaluate identically for non-negative "
+    "operands (NOT a double divide + cast: Spark casts doubles by "
+    "truncation, DuckDB by rounding — 937 of 4074 first-iteration "
+    "contributions differ between those, measured) — and the per-node "
+    "sum is exact bigint arithmetic, associative under any shuffle "
+    "order. The Spark side iterates a join+groupBy per step with "
+    "localCheckpoint() between iterations: the 100 TB-critical lineage "
+    "truncation without which iteration k replans and re-executes "
+    "steps 1..k-1 (the classic iterative-algorithm trap; same pattern "
+    "PowerIterationClustering and GraphFrames use, and the same "
+    "measured call as b26_triangle_count). The oracle unrolls the "
+    "identical three iterations as chained CTEs. Symmetrized edges "
+    "mean no dangling nodes; every output column is bigint.",
+)
+def b26_pagerank_fixedpoint(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
+        "user_id",
+    ).distinct()
+    und = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .distinct()
+    )
+    # materialize the symmetrized edge list once: it feeds deg + one join
+    # per iteration (4 consumers), and the co-occurrence self-join above
+    # is the expensive subplan no ReusedExchange spans across iterations
+    edges = (
+        und.select("ua", "ub")
+        .union(und.select(F.col("ub").alias("ua"), F.col("ua").alias("ub")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("ua").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("ua").alias("u"), F.lit(_PR_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.ua == ranks.u)
+            .join(deg.withColumnRenamed("ua", "du"), F.col("du") == F.col("u"))
+            .select(
+                F.col("ub").alias("u2"),
+                F.expr("(rank * 85) DIV (100 * deg)").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("u2")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("u2").alias("u"),
+                (F.lit(150_000).cast("bigint") + F.col("s")).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(deg, ranks.u == deg.ua).select(
+        F.col("u").alias("user_id"), F.col("deg").alias("degree"), "rank"
+    )

@@ -730,3 +730,39 @@ def test_planted_twins_share_parent_plan_shape(spark):
         "BroadcastNestedLoopJoin" in hplan or "BroadcastExchange" in hplan
     ), hplan[:1500]
     assert shuffle_count(hh) <= 2, shuffle_count(hh)
+
+
+def test_recursive_hierarchy_unionloop(spark):
+    """Spark 4 recursive CTE must plan as a UnionLoop (Catalyst's iterative
+    fixpoint operator) whose recursive step is an EQUI-join of the frontier
+    against the base table — never a cartesian re-scan per level."""
+    df = QUERIES["b26_recursive_hierarchy"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_collated_group_keys_on_collation(spark):
+    """The collated GROUP BY must key the aggregate on the collate()
+    expression itself (visible as collate(k_raw, UTF8_LCASE) in the plan)
+    — proving case-insensitivity comes from the collation type, not a
+    lower() rewrite. Collated keys currently force SortAggregate (no
+    hash support for collated grouping) — pinned so a future Spark that
+    lifts this shows up as a plan change, not silent drift."""
+    df = QUERIES["b11_collated_group"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UTF8_LCASE" in plan, plan[:1500]
+    assert "lower(k_raw" not in plan, plan[:1500]
+    assert "SortAggregate" in plan, plan[:1500]
+
+
+def test_pagerank_lineage_truncated_equi_joins(spark):
+    """Iterative PageRank must (a) join only on equi-keys and (b) return a
+    plan whose iteration inputs are checkpointed RDD scans — the lineage
+    truncation without which iteration k re-executes iterations 1..k-1."""
+    df = QUERIES["b26_pagerank_fixedpoint"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
