@@ -172,6 +172,7 @@ HEADLINE_V5 = [
     "b26_recursive_hierarchy",  # B26 Spark 4 recursive CTE hierarchy walk
     "b11_collated_group",  # B11 UTF8_LCASE collated GROUP BY
     "b26_pagerank_fixedpoint",  # B26 iterative PageRank, fixed-point bigint
+    "b24_scripting_lang_coverage",  # B24 SQL scripting WHILE-loop coverage
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -6755,3 +6755,65 @@ def b26_pagerank_fixedpoint(spark, sf_dir):
     return ranks.join(deg, ranks.u == deg.ua).select(
         F.col("u").alias("user_id"), F.col("deg").alias("degree"), "rank"
     )
+
+
+@query(
+    "b24_scripting_lang_coverage",
+    oracle="""
+    WITH lc AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM lc),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY chars DESC, lang) AS rk,
+               sum(chars) OVER (ORDER BY chars DESC, lang
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM lc
+    )
+    SELECT CAST(rk AS BIGINT) AS k_cover, CAST(cum AS BIGINT) AS covered,
+           total
+    FROM ranked, tot WHERE cum * 5 >= total * 4
+    ORDER BY rk LIMIT 1
+    """,
+    doc="B24/B11 (r9): Spark 4 SQL SCRIPTING (SQL/PSM: BEGIN/DECLARE/SET/"
+    "WHILE) answering a corpus-curation question procedurally — the "
+    "smallest k such that the top-k languages by character volume cover "
+    ">= 80% of the corpus. The WHILE loop grows k, re-evaluating a "
+    "scalar-subquery SET against the per-language aggregate each pass "
+    "(LIMIT k binds the INT script variable — BIGINT loop vars are "
+    "rejected by checkLimitLikeClause, a pinned dialect fact), and the "
+    "final SELECT is the script's result relation. The DuckDB oracle is "
+    "the DECLARATIVE form: running-sum window + first rank crossing the "
+    "threshold — so the hash match proves procedural accumulation and "
+    "window cumsum agree, the same imperative-vs-relational duality the "
+    "suite pins for the partitioned UDTF. Scale discipline: the loop "
+    "body queries a localCheckpoint()ed |langs|-row aggregate, NOT a "
+    "temp view over the corpus — a view would re-scan and re-aggregate "
+    "100 TB once per iteration (the procedural-SQL trap); materialized, "
+    "the corpus is scanned exactly once and each iteration is "
+    "millisecond work on |langs| rows driven from the script "
+    "interpreter. All outputs bigint.",
+)
+def b24_scripting_lang_coverage(spark, sf_dir):
+    lc = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("chars"))
+        .localCheckpoint()
+    )
+    lc.createOrReplaceTempView("scov_lc")
+    return spark.sql("""
+    BEGIN
+      DECLARE k INT DEFAULT 0;
+      DECLARE cov BIGINT DEFAULT 0;
+      DECLARE total BIGINT DEFAULT 0;
+      SET total = (SELECT sum(chars) FROM scov_lc);
+      WHILE cov * 5 < total * 4 DO
+        SET k = k + 1;
+        SET cov = (SELECT sum(chars) FROM (
+            SELECT chars FROM scov_lc ORDER BY chars DESC, lang LIMIT k));
+      END WHILE;
+      SELECT CAST(k AS BIGINT) AS k_cover, cov AS covered, total;
+    END
+    """)

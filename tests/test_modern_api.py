@@ -136,3 +136,47 @@ def test_polymorphic_udtf_schema_follows_input(spark):
     )
     assert narrow.columns == ["doc_id", "n_tokens", "chunk_idx", "chunk_tokens"]
     assert narrow.count() == wide.count()
+
+
+def test_sql_scripting_loop_matches_declarative_form(spark):
+    """The WHILE-loop coverage search must agree with the window-cumsum
+    form computed in the same engine (the DuckDB oracle re-proves this
+    cross-engine), and the loop must have actually iterated (k >= 1)."""
+    from dataselector_spark.suite import QUERIES
+
+    row = QUERIES["b24_scripting_lang_coverage"].fn(spark, SF).collect()
+    assert len(row) == 1
+    k, covered, total = row[0]
+    assert k >= 1 and covered * 5 >= total * 4
+    decl = spark.sql("""
+        WITH lc AS (SELECT lang, sum(n_chars) AS chars
+                    FROM parquet.`{}/documents.parquet` GROUP BY lang),
+        ranked AS (
+            SELECT sum(chars) OVER (ORDER BY chars DESC, lang
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   row_number() OVER (ORDER BY chars DESC, lang) AS rk,
+                   sum(sum(chars)) OVER () AS dummy
+            FROM lc GROUP BY lang, chars
+        )
+        SELECT rk, cum FROM ranked ORDER BY rk
+    """.format(SF)).collect()
+    total_decl = decl[-1][1]
+    k_decl = min(r[0] for r in decl if r[1] * 5 >= total_decl * 4)
+    assert k == k_decl and total == total_decl
+
+
+def test_sql_scripting_bigint_limit_var_rejected(spark):
+    """Dialect pin: LIMIT bound to a BIGINT script variable is rejected
+    (checkLimitLikeClause requires INT) — the reason the entry declares
+    its loop variable INT. If a future Spark lifts this, the pin fails
+    and the docstring should be updated."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException, match="INVALID_LIMIT_LIKE"):
+        spark.sql("""
+        BEGIN
+          DECLARE k BIGINT DEFAULT 1;
+          SELECT * FROM (SELECT 1 AS x) LIMIT k;
+        END
+        """).collect()
