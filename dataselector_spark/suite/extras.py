@@ -6695,14 +6695,23 @@ _PR_ITERS = 3
     "truncation, DuckDB by rounding — 937 of 4074 first-iteration "
     "contributions differ between those, measured) — and the per-node "
     "sum is exact bigint arithmetic, associative under any shuffle "
-    "order. The Spark side iterates a join+groupBy per step with "
-    "localCheckpoint() between iterations: the 100 TB-critical lineage "
-    "truncation without which iteration k replans and re-executes "
-    "steps 1..k-1 (the classic iterative-algorithm trap; same pattern "
-    "PowerIterationClustering and GraphFrames use, and the same "
-    "measured call as b26_triangle_count). The oracle unrolls the "
-    "identical three iterations as chained CTEs. Symmetrized edges "
-    "mean no dangling nodes; every output column is bigint.",
+    "order. The Spark side iterates a join+groupBy per step over a "
+    "localCheckpoint()ed edge list, but deliberately does NOT "
+    "checkpoint ranks between iterations — measured both ways "
+    "(tools/pagerank_ladder.py): with ONE terminal action the lazy "
+    "chain executes each iteration exactly once anyway (shuffle "
+    "boundaries materialize map outputs), and per-iteration "
+    "checkpoints only add cost (2.2 vs 1.3 s at 12 iters); the "
+    "checkpoint earns its keep when each iteration runs its own "
+    "ACTION (a convergence probe), where lazy re-executes the full "
+    "prefix per probe — quadratic, measured 7.4 vs 3.0 s at 8 iters, "
+    "crossover at ~3. That probe-per-iteration shape is how real "
+    "PageRank runs at 100 TB, so the rule (checkpoint iff an action "
+    "per iteration) is the load-bearing finding, same "
+    "measurement-over-dogma call as b26_triangle_count vs "
+    "prefix-filter. The oracle unrolls the identical three iterations "
+    "as chained CTEs. Symmetrized edges mean no dangling nodes; every "
+    "output column is bigint.",
 )
 def b26_pagerank_fixedpoint(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -6743,6 +6752,8 @@ def b26_pagerank_fixedpoint(spark, sf_dir):
                 F.expr("(rank * 85) DIV (100 * deg)").alias("c"),
             )
         )
+        # no per-iteration localCheckpoint: single terminal action, so the
+        # lazy chain executes each step once (see docstring / ladder)
         ranks = (
             contrib.groupBy("u2")
             .agg(F.sum("c").alias("s"))
@@ -6750,7 +6761,6 @@ def b26_pagerank_fixedpoint(spark, sf_dir):
                 F.col("u2").alias("u"),
                 (F.lit(150_000).cast("bigint") + F.col("s")).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks.join(deg, ranks.u == deg.ua).select(
         F.col("u").alias("user_id"), F.col("deg").alias("degree"), "rank"

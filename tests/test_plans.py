@@ -758,9 +758,12 @@ def test_collated_group_keys_on_collation(spark):
 
 
 def test_pagerank_lineage_truncated_equi_joins(spark):
-    """Iterative PageRank must (a) join only on equi-keys and (b) return a
-    plan whose iteration inputs are checkpointed RDD scans — the lineage
-    truncation without which iteration k re-executes iterations 1..k-1."""
+    """Iterative PageRank must (a) join only on equi-keys and (b) read its
+    edge list from the one deliberate localCheckpoint (the co-occurrence
+    self-join materialized once, consumed by deg + every iteration) while
+    the rank chain itself stays LAZY — the measured call for a
+    single-terminal-action plan (tools/pagerank_ladder.py: per-iteration
+    checkpoints only pay off when each iteration runs its own action)."""
     df = QUERIES["b26_pagerank_fixedpoint"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan, plan[:1500]
