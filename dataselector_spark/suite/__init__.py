@@ -102,15 +102,16 @@ REWRITTEN_IN_ROUND = {
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
-#   * 12 entries NEW in r9, never driver-checked (outrank everything):
+#   * 13 entries NEW in r9, never driver-checked (outrank everything):
 #     the planted-signal demonstration twins (b15_pmi_planted,
 #     b06_heavy_hitters_planted — VERDICT r8 #5), the Spark 4
 #     modern-API set (b11_variant_extract, b01_python_datasource,
 #     b01_python_stream_source, b21_polymorphic_udtf,
 #     b21_udtf_partitioned), the state-store batch read
-#     (b20_state_store_read), and the four late-r9 SQL-surface
+#     (b20_state_store_read), and the five late-r9 SQL-surface
 #     additions (b26_recursive_hierarchy, b11_collated_group,
-#     b26_pagerank_fixedpoint, b24_scripting_lang_coverage);
+#     b26_pagerank_fixedpoint, b24_scripting_lang_coverage,
+#     b11_parameterized_sql);
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
 #     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
 #     JVM-side toRdd().count(), VERDICT r8 #2), b02_bloom_filter_join
@@ -120,12 +121,13 @@ REWRITTEN_IN_ROUND = {
 #     oldest tail — VERDICT r8 #1; the 3 rows-only r4 entries are
 #     deliberately excluded per the r7 #4 rule: a rows-only driver row
 #     re-confirms nothing their green exact twins do not);
-#   * the 13 oldest r5-latest oracle-bearing entries in registration
-#     order (17 until the four late-r9 additions displaced
+#   * the 12 oldest r5-latest oracle-bearing entries in registration
+#     order (17 until the five late-r9 additions displaced
 #     a15_composite_key / a13_selection_toggle / a16_semi_join_apply /
-#     a07_extents — never-checked outranks re-confirm). The 32 remaining
-#     r5-latest entries queue for r10: a15_composite_key,
-#     a13_selection_toggle, a16_semi_join_apply, a07_extents,
+#     a07_extents / a05_range_filter — never-checked outranks
+#     re-confirm). The 33 remaining r5-latest entries queue for r10:
+#     a15_composite_key, a13_selection_toggle, a16_semi_join_apply,
+#     a07_extents, a05_range_filter,
 #     a17_anti_join_retract, a18_inverted_index, a22_having,
 #     flagship_minute_flag_counts,
 #     a06_box_select_pixel, b25_gap_fill_interpolate,
@@ -140,7 +142,7 @@ REWRITTEN_IN_ROUND = {
 #     b22_table_profile, b23_snapshot_diff — after which the oldest
 #     remaining rows are r6.
 _R9_WINDOW = [
-    # --- 12 new in r9, never checked ---
+    # --- 13 new in r9, never checked ---
     "b15_pmi_planted",
     "b06_heavy_hitters_planted",
     "b11_variant_extract",
@@ -150,13 +152,15 @@ _R9_WINDOW = [
     "b21_udtf_partitioned",
     "b20_state_store_read",
     # late-r9 additions (recursive CTE, collation, iterative PageRank,
-    # SQL scripting) — never-checked, so they displace the last 4
-    # r5-latest re-confirms (a15_composite_key, a13_selection_toggle,
-    # a16_semi_join_apply, a07_extents -> r10)
+    # SQL scripting, parameterized SQL) — never-checked, so they displace
+    # the last 5 r5-latest re-confirms (a15_composite_key,
+    # a13_selection_toggle, a16_semi_join_apply, a07_extents,
+    # a05_range_filter -> r10)
     "b26_recursive_hierarchy",
     "b11_collated_group",
     "b26_pagerank_fixedpoint",
     "b24_scripting_lang_coverage",
+    "b11_parameterized_sql",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
@@ -197,7 +201,6 @@ _R9_WINDOW = [
     "b06_pivot",
     "b08_sessionize",
     "a04_derived_timestamp",
-    "a05_range_filter",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 

@@ -6827,3 +6827,51 @@ def b24_scripting_lang_coverage(spark, sf_dir):
       SELECT CAST(k AS BIGINT) AS k_cover, cov AS covered, total;
     END
     """)
+
+
+@query(
+    "b11_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderpriority
+    """,
+    doc="B11 (r9): PARAMETERIZED spark.sql — typed named parameter markers "
+    "(:minPrice double, :minDate date, :statuses array<string> consumed "
+    "via array_contains) bound through the args= dict, plus GROUP BY ALL "
+    "(Spark 4 sugar inferring the grouping keys from the select list). "
+    "Parameter binding happens at PARSE time as typed literals — the "
+    "injection-safe templating path for user-supplied filter values "
+    "(string interpolation into SQL is the alternative, and the bug "
+    "class this API exists to kill); after binding, Catalyst "
+    "constant-folds them like any literal, so the date predicate still "
+    "reaches the parquet scan as a pushed filter. The oracle inlines "
+    "the same literals, so the hash match proves binding is exactly "
+    "literal substitution. Deliberately NOT in the bench headline sets: "
+    "the bound plan is a plain filtered aggregate, a shape q1/q6 "
+    "already time — there is no parameter-specific runtime to measure.",
+)
+def b11_parameterized_sql(spark, sf_dir):
+    import datetime
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("prm_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, count(*) AS n,
+               sum(CASE WHEN o_totalprice > :minPrice THEN 1 ELSE 0 END)
+                   AS n_big
+        FROM prm_orders
+        WHERE o_orderdate >= :minDate
+          AND array_contains(:statuses, o_orderstatus)
+        GROUP BY ALL
+        """,
+        args={
+            "minPrice": 150000.0,
+            "minDate": datetime.date(1995, 1, 1),
+            "statuses": ["O", "F"],
+        },
+    )

@@ -769,3 +769,13 @@ def test_pagerank_lineage_truncated_equi_joins(spark):
     assert "Scan ExistingRDD" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_parameterized_sql_binds_as_pushed_literals(spark):
+    """Named parameters must bind at parse time as typed literals —
+    provable because the bound date predicate reaches the parquet scan
+    as a pushed filter, exactly as an inlined literal would."""
+    df = QUERIES["b11_parameterized_sql"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan[-1500:]
+    assert "array_contains([O,F]" in plan, plan[-1500:]
