@@ -102,16 +102,16 @@ REWRITTEN_IN_ROUND = {
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
-#   * 13 entries NEW in r9, never driver-checked (outrank everything):
+#   * 14 entries NEW in r9, never driver-checked (outrank everything):
 #     the planted-signal demonstration twins (b15_pmi_planted,
 #     b06_heavy_hitters_planted — VERDICT r8 #5), the Spark 4
 #     modern-API set (b11_variant_extract, b01_python_datasource,
 #     b01_python_stream_source, b21_polymorphic_udtf,
 #     b21_udtf_partitioned), the state-store batch read
-#     (b20_state_store_read), and the five late-r9 SQL-surface
-#     additions (b26_recursive_hierarchy, b11_collated_group,
+#     (b20_state_store_read), and the six late-r9 additions
+#     (b26_recursive_hierarchy, b11_collated_group,
 #     b26_pagerank_fixedpoint, b24_scripting_lang_coverage,
-#     b11_parameterized_sql);
+#     b11_parameterized_sql, b06_approx_top_k_exact);
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
 #     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
 #     JVM-side toRdd().count(), VERDICT r8 #2), b02_bloom_filter_join
@@ -121,13 +121,14 @@ REWRITTEN_IN_ROUND = {
 #     oldest tail — VERDICT r8 #1; the 3 rows-only r4 entries are
 #     deliberately excluded per the r7 #4 rule: a rows-only driver row
 #     re-confirms nothing their green exact twins do not);
-#   * the 12 oldest r5-latest oracle-bearing entries in registration
-#     order (17 until the five late-r9 additions displaced
+#   * the 11 oldest r5-latest oracle-bearing entries in registration
+#     order (17 until the six late-r9 additions displaced
 #     a15_composite_key / a13_selection_toggle / a16_semi_join_apply /
-#     a07_extents / a05_range_filter — never-checked outranks
-#     re-confirm). The 33 remaining r5-latest entries queue for r10:
-#     a15_composite_key, a13_selection_toggle, a16_semi_join_apply,
-#     a07_extents, a05_range_filter,
+#     a07_extents / a05_range_filter / a04_derived_timestamp —
+#     never-checked outranks re-confirm). The 34 remaining r5-latest
+#     entries queue for r10: a15_composite_key, a13_selection_toggle,
+#     a16_semi_join_apply, a07_extents, a05_range_filter,
+#     a04_derived_timestamp,
 #     a17_anti_join_retract, a18_inverted_index, a22_having,
 #     flagship_minute_flag_counts,
 #     a06_box_select_pixel, b25_gap_fill_interpolate,
@@ -142,7 +143,7 @@ REWRITTEN_IN_ROUND = {
 #     b22_table_profile, b23_snapshot_diff — after which the oldest
 #     remaining rows are r6.
 _R9_WINDOW = [
-    # --- 13 new in r9, never checked ---
+    # --- 14 new in r9, never checked ---
     "b15_pmi_planted",
     "b06_heavy_hitters_planted",
     "b11_variant_extract",
@@ -161,6 +162,7 @@ _R9_WINDOW = [
     "b26_pagerank_fixedpoint",
     "b24_scripting_lang_coverage",
     "b11_parameterized_sql",
+    "b06_approx_top_k_exact",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
@@ -200,7 +202,6 @@ _R9_WINDOW = [
     "b17_stream_static_enrich",
     "b06_pivot",
     "b08_sessionize",
-    "a04_derived_timestamp",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 

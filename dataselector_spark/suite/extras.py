@@ -6875,3 +6875,36 @@ def b11_parameterized_sql(spark, sf_dir):
             "statuses": ["O", "F"],
         },
     )
+
+
+@query(
+    "b06_approx_top_k_exact",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+    doc="B6 (r9): approx_top_k (Spark 4's DataSketches frequent-items "
+    "aggregate) run in its EXACT REGIME and value-checked — the suite's "
+    "second fully-hashable sketch after the count-min entry. The "
+    "frequent-items sketch is only approximate once the number of "
+    "distinct items exceeds its internal capacity (maxItemsTracked, "
+    "default 10000); with |event_type| = 5 << capacity every count it "
+    "reports is exact, so the oracle is the plain exact GROUP BY and "
+    "the hash match proves it — no rows-only escape hatch. k is set to "
+    "cover ALL distinct items, which also makes the entry tie-proof "
+    "(a k that truncates at a tied count would pick an "
+    "engine-dependent winner). At 100 TB the sketch's value over the "
+    "exact groupBy is memory shape, not speed at 5 keys: it aggregates "
+    "into a BOUNDED-size mergeable summary per partition (one small "
+    "object crosses the shuffle per task, any executor can hold it, "
+    "partial merges are associative), where the exact groupBy's state "
+    "grows with distinct-key count — the same bounded-vs-linear "
+    "argument as the count-min entry, here with the estimate error "
+    "provably zero in-regime.",
+)
+def b06_approx_top_k_exact(spark, sf_dir):
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("atk_events")
+    return spark.sql("""
+        SELECT t.item AS event_type, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 5)) AS t
+              FROM atk_events)
+    """)
