@@ -6824,7 +6824,11 @@ def b24_scripting_lang_coverage(spark, sf_dir):
         SET cov = (SELECT sum(chars) FROM (
             SELECT chars FROM scov_lc ORDER BY chars DESC, lang LIMIT k));
       END WHILE;
-      SELECT CAST(k AS BIGINT) AS k_cover, cov AS covered, total;
+      -- empty corpus: total is NULL (sum over zero rows), the WHILE
+      -- guard is NULL=false so k stays 0 — emit zero rows to match the
+      -- declarative oracle's empty result instead of a (0, 0, NULL) row
+      SELECT CAST(k AS BIGINT) AS k_cover, cov AS covered, total
+      WHERE total IS NOT NULL;
     END
     """)
 

@@ -1651,3 +1651,66 @@ def test_pmi_finds_planted_collocation(spark, tmp_path):
     top = QUERIES["b15_pmi_collocations"].fn(spark, sf).collect()
     assert (top[0].w1, top[0].w2) == ("hong", "kong"), top[:3]
     assert top[0].lift > 5 * top[1].lift  # planted signal dominates filler
+
+
+def test_late_r9_entries_handle_empty_tables(spark, tmp_path):
+    """Every late-r9 entry must return its declared empty result (not
+    crash) on zero-row inputs — recursion with an empty anchor, collated
+    grouping of nothing, PageRank on an edgeless graph, a WHILE loop
+    whose threshold subquery returns NULL, parameter binding over an
+    empty scan, and a frequent-items sketch of zero rows."""
+    import os
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    sf = str(tmp_path / "empty_sf9")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="string"),
+            "lang": pd.Series([], dtype="string"),
+            "source": pd.Series([], dtype="string"),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="string"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="string"),
+        }
+    ).to_parquet(os.path.join(sf, "events.parquet"))
+    pd.DataFrame(
+        {
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype="string"),
+            "c_nationkey": pd.Series([], dtype="int32"),
+            "c_acctbal": pd.Series([], dtype="float64"),
+            "c_mktsegment": pd.Series([], dtype="string"),
+        }
+    ).to_parquet(os.path.join(sf, "customer.parquet"))
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_orderstatus": pd.Series([], dtype="string"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series([], dtype="string"),
+        }
+    ).to_parquet(os.path.join(sf, "orders.parquet"))
+    for name in (
+        "b26_recursive_hierarchy",
+        "b11_collated_group",
+        "b26_pagerank_fixedpoint",
+        "b24_scripting_lang_coverage",
+        "b11_parameterized_sql",
+        "b06_approx_top_k_exact",
+    ):
+        assert QUERIES[name].fn(spark, sf).count() == 0, name
