@@ -173,6 +173,7 @@ HEADLINE_V5 = [
     "b11_collated_group",  # B11 UTF8_LCASE collated GROUP BY
     "b26_pagerank_fixedpoint",  # B26 iterative PageRank, fixed-point bigint
     "b24_scripting_lang_coverage",  # B24 SQL scripting WHILE-loop coverage
+    "b06_approx_top_k_exact",  # B6 frequent-items sketch, exact regime
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.
