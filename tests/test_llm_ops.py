@@ -1714,3 +1714,127 @@ def test_late_r9_entries_handle_empty_tables(spark, tmp_path):
         "b06_approx_top_k_exact",
     ):
         assert QUERIES[name].fn(spark, sf).count() == 0, name
+
+
+def test_pagerank_fixedpoint_random_graphs_match_reference(spark, tmp_path):
+    """Randomized differential for the fixed-point PageRank: the Spark
+    join+groupBy iteration must match a pure-Python reference running the
+    identical integer recurrence on the same co-occurrence graph —
+    including at a hub vertex, where contribution fan-in is largest."""
+    import itertools
+    import os
+    import random
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b26_pagerank_fixedpoint"].fn
+    for seed in range(4):
+        rng = random.Random(300 + seed)
+        rows = []
+        base = 1_700_000_000
+        for i in range(rng.randint(40, 120)):
+            uid = 0 if rng.random() < 0.4 else rng.randint(1, 12)
+            rows.append(
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp(
+                        (base + rng.randint(0, 5) * 600 + rng.randint(0, 599))
+                        * 1_000_000_000
+                    ),
+                    "user_id": uid,
+                    "event_type": rng.choice(["a", "b"]),
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+        sf = str(tmp_path / f"prgraph{seed}")
+        os.makedirs(sf, exist_ok=True)
+        pd.DataFrame(rows).to_parquet(os.path.join(sf, "events.parquet"))
+        got = {(r.user_id, r.degree, r.rank) for r in fn(spark, sf).collect()}
+        # pure-python reference: same graph build, same integer recurrence
+        cells = {}
+        for r in rows:
+            key = (r["event_type"], int(r["ts"].value // 1_000_000_000) // 600)
+            cells.setdefault(key, set()).add(r["user_id"])
+        und = set()
+        for users in cells.values():
+            und |= {
+                (a, b) for a, b in itertools.combinations(sorted(users), 2)
+            }
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        deg = {u: len(vs) for u, vs in adj.items()}
+        rank = {u: 1_000_000 for u in adj}
+        for _ in range(3):
+            nxt = {u: 150_000 for u in adj}
+            for u, vs in adj.items():
+                c = (rank[u] * 85) // (100 * deg[u])
+                for v in vs:
+                    nxt[v] += c
+            rank = nxt
+        want = {(u, deg[u], rank[u]) for u in adj}
+        assert got == want, (seed, got.symmetric_difference(want))
+
+
+def test_recursive_hierarchy_random_keys_match_reference(spark, tmp_path):
+    """Randomized differential for the recursive CTE: per-depth closure
+    stats over sparse random custkey sets (chains with MISSING middle
+    links — a node whose parent key is absent never reaches a root and
+    must drop out, exactly what the join semantics imply)."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b26_recursive_hierarchy"].fn
+    for seed in range(4):
+        rng = random.Random(500 + seed)
+        keys = sorted(
+            rng.sample(range(1, 5000), rng.randint(30, 200))
+        )
+        sf = str(tmp_path / f"rckeys{seed}")
+        os.makedirs(sf, exist_ok=True)
+        pd.DataFrame(
+            {
+                "c_custkey": pd.Series(keys, dtype="int64"),
+                "c_name": [f"c{k}" for k in keys],
+                "c_nationkey": pd.Series(
+                    [k % 25 for k in keys], dtype="int32"
+                ),
+                "c_acctbal": [float(k) for k in keys],
+                "c_mktsegment": ["SEG" for _ in keys],
+            }
+        ).to_parquet(os.path.join(sf, "customer.parquet"))
+        got = {
+            (r.depth, r.n, r.key_sum, r.n_roots)
+            for r in fn(spark, sf).collect()
+        }
+        kset = set(keys)
+        closure = {}  # key -> (root, depth), only for root-reaching chains
+        for k in (k for k in keys if k < 10):
+            closure[k] = (k, 0)
+        frontier = dict(closure)
+        while frontier:
+            nxt = {}
+            for k in kset:
+                if k >= 10 and k // 10 in frontier and k not in closure:
+                    root, d = frontier[k // 10]
+                    nxt[k] = (root, d + 1)
+            closure.update(nxt)
+            frontier = nxt
+        by_depth = {}
+        for k, (root, d) in closure.items():
+            agg = by_depth.setdefault(d, [0, 0, set()])
+            agg[0] += 1
+            agg[1] += k
+            agg[2].add(root)
+        want = {
+            (d, n, s, len(roots)) for d, (n, s, roots) in by_depth.items()
+        }
+        assert got == want, (seed, got.symmetric_difference(want))
