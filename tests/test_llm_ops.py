@@ -1838,3 +1838,23 @@ def test_recursive_hierarchy_random_keys_match_reference(spark, tmp_path):
             (d, n, s, len(roots)) for d, (n, s, roots) in by_depth.items()
         }
         assert got == want, (seed, got.symmetric_difference(want))
+
+
+def test_pagerank_fixedpoint_invariant_under_parallelism(spark, tmp_path):
+    """The docstring's load-bearing determinism claim, executed: the
+    fixed-point bigint recurrence must produce BIT-IDENTICAL ranks under
+    different shuffle widths (different partial-sum orders) — the property
+    a double-typed PageRank cannot offer."""
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b26_pagerank_fixedpoint"].fn
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = {tuple(r) for r in fn(spark, sf).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {tuple(r) for r in fn(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0

@@ -1,0 +1,59 @@
+"""Run the complete DuckDB oracle differential at any SF dir — the same
+check the driver runs at sf0.01, promoted from an ad-hoc script after
+r9's first full sf0.1 sweep (228/228, 602 s) proved the suite holds at
+10x the driver's scale.
+
+Prints one line per failure and a final TOTAL line; progress bars are
+suppressed-hostile (grep -a the output). Exit code 1 on any failure so
+it can gate scripts.
+
+Usage: python tools/full_differential.py [sf_dir] [cpus]
+       (defaults: /root/testdata/sf0.01, 8)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+from dataselector_spark.session import get_spark
+from dataselector_spark.suite import QUERIES
+from oracle_harness import compare
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("full-differential", cpus=cpus, shuffle_partitions=cpus)
+    n_pass = n_fail = 0
+    t0 = time.time()
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        try:
+            ok, detail = compare(spark, sf_dir, q.fn, q.oracle)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            ok, detail = False, f"EXC {ex}"[:300]
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print("FAIL", name, detail[:300], flush=True)
+    print(
+        f"TOTAL {n_pass} pass {n_fail} fail "
+        f"{round(time.time() - t0, 1)} s @ {sf_dir}",
+        flush=True,
+    )
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
