@@ -779,3 +779,20 @@ def test_parameterized_sql_binds_as_pushed_literals(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan[-1500:]
     assert "array_contains([O,F]" in plan, plan[-1500:]
+
+
+def test_all_tpch_analogues_no_unbounded_product(spark):
+    """Baseline join discipline swept across every TPC-H analogue: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only where the
+    broadcast side is a SINGLE-ROW scalar aggregate (q11's
+    fraction-of-total threshold, q22's average-balance threshold — the
+    same benign class as the suite's crossJoin(broadcast(<1-row-agg>))
+    sites). Any new q entry is covered automatically."""
+    single_row_bnlj_ok = {"q11_important_parts", "q22_dormant_customers"}
+    for name, q in QUERIES.items():
+        if not name.startswith("q"):
+            continue
+        plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in single_row_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name

@@ -7,8 +7,10 @@ Prints one line per failure and a final TOTAL line; progress bars are
 suppressed-hostile (grep -a the output). Exit code 1 on any failure so
 it can gate scripts.
 
-Usage: python tools/full_differential.py [sf_dir] [cpus]
-       (defaults: /root/testdata/sf0.01, 8)
+Usage: python tools/full_differential.py [sf_dir] [cpus] [--window N]
+       (defaults: /root/testdata/sf0.01, 8; --window N sweeps only the
+       FIRST N registered entries — the driver's exact view, for fast
+       pre-round checks of a rotated window)
 """
 
 import os
@@ -29,12 +31,22 @@ from oracle_harness import compare
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    argv = sys.argv[1:]
+    window = 0
+    if "--window" in argv:
+        i = argv.index("--window")
+        window = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    cpus = int(args[1]) if len(args) > 1 else 8
     spark = get_spark("full-differential", cpus=cpus, shuffle_partitions=cpus)
     n_pass = n_fail = 0
     t0 = time.time()
-    for name, q in QUERIES.items():
+    items = list(QUERIES.items())
+    if window:
+        items = items[:window]
+    for name, q in items:
         if q.oracle is None:
             continue
         try:
