@@ -180,3 +180,46 @@ def test_sql_scripting_bigint_limit_var_rejected(spark):
           SELECT * FROM (SELECT 1 AS x) LIMIT k;
         END
         """).collect()
+
+
+def _plotly_available():
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("plotly") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def test_plot_api_pinned_environment_limitation(spark):
+    """Spark 4.1's DataFrame plotting API (pyspark.sql.plot) is the
+    engine-side analogue of the reference's D3 rendering — the one
+    surface the suite otherwise declares driver-side-by-design. It
+    needs the plotly backend, absent here; pin that the accessor exists
+    and fails on the MISSING BACKEND (not on our data), so the
+    limitation is provably environmental. Self-activating sibling
+    below runs the real plot when plotly appears."""
+    import pytest as _pytest
+
+    df = spark.range(10).selectExpr("id", "id * id AS y")
+    assert hasattr(df, "plot")
+    if not _plotly_available():
+        with _pytest.raises(Exception) as ei:
+            df.plot.line(x="id", y="y")
+        assert "plotly" in str(ei.value).lower()
+
+
+def test_plot_api_end_to_end():
+    """Self-activating: with plotly installed, the line plot over a
+    Spark DataFrame must build a figure with our 10 points."""
+    import pytest as _pytest
+
+    if not _plotly_available():
+        _pytest.skip("plotly not installed (see pinned limitation above)")
+    from dataselector_spark.session import get_spark
+
+    spark = get_spark("plot-e2e", cpus=2, shuffle_partitions=2)
+    fig = spark.range(10).selectExpr("id", "id * id AS y").plot.line(
+        x="id", y="y"
+    )
+    assert fig is not None
