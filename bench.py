@@ -174,6 +174,9 @@ HEADLINE_V5 = [
     "b26_pagerank_fixedpoint",  # B26 iterative PageRank, fixed-point bigint
     "b24_scripting_lang_coverage",  # B24 SQL scripting WHILE-loop coverage
     "b06_approx_top_k_exact",  # B6 frequent-items sketch, exact regime
+    "b06_hll_registers",  # B6 value-checked HyperLogLog registers + estimate
+    "b26_bfs_levels",  # B26 multi-source frontier BFS hop distance
+    "b09_skyline",  # B9 2-D skyline via local-skyline-then-merge
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

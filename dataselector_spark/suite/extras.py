@@ -6912,3 +6912,290 @@ def b06_approx_top_k_exact(spark, sf_dir):
         FROM (SELECT explode(approx_top_k(event_type, 5)) AS t
               FROM atk_events)
     """)
+
+
+@query(
+    "b06_hll_registers",
+    oracle="""
+    WITH hb AS (
+        SELECT l_returnflag AS scope,
+               ((l_orderkey * 1103515245 + 12345) % 2147483647) % 64 AS bucket,
+               ((l_orderkey * 1103515245 + 12345) % 2147483647) // 64 AS rem
+        FROM lineitem
+    ),
+    rr AS (
+        SELECT scope, bucket,
+               CASE WHEN rem = 0 THEN 26
+                    ELSE 26 - length(bin(rem)) END AS rho
+        FROM hb
+    ),
+    regs AS (
+        SELECT scope, bucket, max(rho) AS rho FROM rr GROUP BY scope, bucket
+    ),
+    allregs AS (
+        SELECT scope, bucket, rho FROM regs
+        UNION ALL
+        SELECT '__ALL__' AS scope, bucket, max(rho) AS rho
+        FROM regs GROUP BY bucket
+    ),
+    est AS (
+        SELECT scope,
+               count(*) AS nonzero_regs,
+               sum(1.0e0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE))
+                   AS s_present
+        FROM allregs GROUP BY scope
+    ),
+    ex AS (
+        SELECT l_returnflag AS scope,
+               count(DISTINCT l_orderkey) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT '__ALL__', count(DISTINCT l_orderkey) FROM lineitem
+    )
+    SELECT e.scope,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(e.nonzero_regs AS BIGINT) AS nonzero_regs,
+           (0.709e0 * 4096.0e0)
+               / (e.s_present + (64 - e.nonzero_regs)) AS hll_est
+    FROM est e JOIN ex ON ex.scope = e.scope
+    """,
+    doc="B6 (r9): VALUE-CHECKED HyperLogLog — closes the caveat the "
+    "count-min entry's own docstring records ('unlike the rows-only "
+    "HLL/KLL entries'): this HLL is portable integer/dyadic arithmetic "
+    "end to end, so the oracle replays every register AND the final "
+    "double estimate bit for bit. Hash h = (key*1103515245 + 12345) mod "
+    "(2^31-1); bucket = h mod 64 (m = 64 registers), rho = leading-zero "
+    "count of the remaining 25-bit field + 1, computed cross-engine "
+    "without transcendentals as 26 - length(bin(rem)) (both engines' "
+    "bin() emits the minimal binary string; rem = 0 maps to 26). "
+    "Registers = max(rho) per (l_returnflag, bucket) — ONE groupBy whose "
+    "shuffle carries at most 64 cells per scope per task after map-side "
+    "partial max, the same bounded-state shape as the CMS entry; the "
+    "'__ALL__' scope is built by MERGING the per-flag registers "
+    "(cell-wise max over the 3 group sketches, NOT a re-scan) — the "
+    "mergeability that makes HLL the 100 TB count-distinct: any "
+    "scope union is answered from kilobyte register sets. The estimate "
+    "alpha_64*m^2 / sum(2^-rho_j) is bit-exact across engines because "
+    "every term 2^-rho is an exact power of two (1/(1<<rho), never "
+    "pow()), all partial sums stay inside 32 significand bits (terms "
+    ">= 2^-26, sum < 2^6, so ANY accumulation order is exact — "
+    "float-sum order-dependence, the usual cross-engine killer, is "
+    "structurally absent), empty registers contribute exactly 1.0, and "
+    "0.709e0*4096 is a pure exponent shift. |orderkeys| per flag "
+    "(~1100 at sf0.001) keeps every scope in the raw-estimate regime "
+    "(n > 2.5m = 160), so no small-range correction branch is needed; "
+    "accuracy vs exact_distinct is pinned in pytest. Key*A stays under "
+    "2^63 through sf100; beyond that the hash needs a two-step mod "
+    "(documented, not needed here).",
+)
+def b06_hll_registers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    hb = li.select(
+        F.col("l_returnflag").alias("scope"),
+        ((F.col("l_orderkey") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)).alias("h"),
+    ).select(
+        "scope",
+        (F.col("h") % 64).alias("bucket"),
+        F.expr("h DIV 64").alias("rem"),
+    )
+    rr = hb.select(
+        "scope",
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(26))
+        .otherwise(F.lit(26) - F.length(F.bin(F.col("rem"))))
+        .alias("rho"),
+    )
+    regs = rr.groupBy("scope", "bucket").agg(F.max("rho").alias("rho"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__ALL__").alias("scope"), "bucket", "rho")
+    )
+    allregs = regs.unionByName(merged)
+    est = (
+        allregs.groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).alias("nonzero_regs"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), CAST(rho AS INT)) AS DOUBLE)"
+                )
+            ).alias("s_present"),
+        )
+    )
+    ex = li.groupBy(F.col("l_returnflag").alias("scope")).agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    ex_all = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct")).select(
+        F.lit("__ALL__").alias("scope"), "exact_distinct"
+    )
+    exu = ex.unionByName(ex_all)
+    return est.join(exu, "scope").select(
+        "scope",
+        "exact_distinct",
+        "nonzero_regs",
+        (
+            (F.lit(0.709) * F.lit(4096.0))
+            / (F.col("s_present") + (F.lit(64) - F.col("nonzero_regs")))
+        ).alias("hll_est"),
+    )
+
+
+@query(
+    "b26_bfs_levels",
+    oracle="""
+    WITH RECURSIVE g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    ed AS (
+        SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id <> b.user_id
+    ),
+    seeds AS (
+        SELECT DISTINCT user_id FROM g WHERE user_id % 50 = 0
+    ),
+    r AS (
+        SELECT user_id AS node, 0 AS lvl FROM seeds
+        UNION
+        SELECT ed.dst AS node, r.lvl + 1 AS lvl
+        FROM r JOIN ed ON ed.src = r.node
+        WHERE r.lvl < 3
+    )
+    SELECT node AS user_id, CAST(min(lvl) AS BIGINT) AS level
+    FROM r GROUP BY node
+    """,
+    doc="B26 (r9): multi-source BFS hop distance over the user "
+    "co-occurrence graph (users sharing an (event_type, 60-second) cell "
+    "are adjacent; seeds = user_id % 50 == 0; levels capped at 3) — the "
+    "reachability/blast-radius primitive next to PageRank (importance), "
+    "triangle count (cohesion), and connected components (partition). "
+    "Implemented as ITERATIVE FRONTIER EXPANSION, the textbook "
+    "distributed BFS: per level, the frontier equi-joins the (src,dst) "
+    "edge list, dedups, and anti-joins the visited set so each vertex "
+    "is labeled exactly once with its MINIMUM hop count; every step is "
+    "an equi-join/distinct (shuffle on user_id — no broadcast of the "
+    "visited set needed and no all-pairs anything), and the edge list "
+    "is localCheckpoint()ed because all 3 levels consume it (the "
+    "triangle-count lineage-truncation pattern; the 3-deep lazy "
+    "frontier chain executes once under the single terminal action per "
+    "the PageRank ladder's measurement, so per-level checkpoints of the "
+    "frontier itself would only add cost). The oracle is a recursive "
+    "CTE with UNION (not UNION ALL) dedup semantics, which bounds the "
+    "DuckDB row set at nodes x levels instead of path enumeration — "
+    "and min(lvl) collapses both engines to the same hop distances, so "
+    "the hash match proves the frontier expansion finds exactly the "
+    "recursive closure. At 100 TB the frontier/visited anti-join is "
+    "the right shape: state per level is O(reached vertices), edges "
+    "stream through an equi-join AQE can size, and level depth — not "
+    "graph size — bounds the plan.",
+)
+def b26_bfs_levels(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
+        "user_id",
+    ).distinct()
+    ed = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+        # consumed once per BFS level — truncate the self-join lineage
+        .localCheckpoint()
+    )
+    seeds = g.select("user_id").distinct().filter(F.col("user_id") % 50 == 0)
+    visited = seeds.select("user_id", F.lit(0).alias("level"))
+    frontier = seeds
+    for lvl in (1, 2, 3):
+        nxt = (
+            frontier.join(ed, frontier["user_id"] == ed["src"])
+            .select(F.col("dst").alias("user_id"))
+            .distinct()
+            .join(visited.select("user_id"), "user_id", "left_anti")
+        )
+        visited = visited.unionByName(nxt.select("user_id", F.lit(lvl).alias("level")))
+        frontier = nxt
+    return visited.select("user_id", F.col("level").cast("bigint").alias("level"))
+
+
+@query(
+    "b09_skyline",
+    oracle="""
+    SELECT t.p_partkey, t.p_retailprice, t.p_size
+    FROM part t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part u
+        WHERE u.p_retailprice <= t.p_retailprice
+          AND u.p_size <= t.p_size
+          AND (u.p_retailprice < t.p_retailprice OR u.p_size < t.p_size)
+    )
+    """,
+    doc="B9 (r9): 2-D SKYLINE (Pareto frontier) — parts no other part "
+    "dominates on (p_retailprice, p_size), both minimized: the "
+    "multi-criteria 'best tradeoffs' query that top-k by any single "
+    "weighted score cannot express. Implemented with the distributed "
+    "LOCAL-SKYLINE-THEN-MERGE pattern (Borzsony/Kossmann/Stocker's "
+    "block-nested-loop made partition-parallel): pass 1 computes each "
+    "partition's local skyline via a vectorized sort-sweep in "
+    "mapInPandas (sort by (price, size); a row survives iff it has its "
+    "price-group's min size and every strictly-cheaper group's min "
+    "size is larger — O(n log n), NO pairwise dominance tests), which "
+    "is sound because the global skyline is a subset of every "
+    "superset-partition's local skyline, so the union of local "
+    "skylines contains it; pass 2 runs the IDENTICAL sweep on the "
+    "candidate union after an explicit repartition(1) — a deliberate "
+    "single-task stage on a provably small input (expected skyline of "
+    "n random 2-D points is O(log n); coalesce(1) would instead fuse "
+    "and serialize pass 1). The oracle is the quadratic NOT EXISTS "
+    "dominance scan, so the hash match proves the two-pass prune is "
+    "lossless, duplicates included (two parts with identical "
+    "(price, size) on the frontier both survive — strict-dominance "
+    "semantics, which the sweep's size == group-min test preserves). "
+    "No floats are computed, only compared, so cross-engine hashing "
+    "is safe. At 100 TB: pass 1 scans once in parallel and the "
+    "shuffle moves only per-partition skylines — the data-dependent "
+    "analogue of the M4 downsample's bounded reduction.",
+)
+def b09_skyline(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    schema = "p_partkey bigint, p_retailprice double, p_size int"
+
+    def local_sky(it):
+        import numpy as np
+
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                ["p_retailprice", "p_size", "p_partkey"], kind="mergesort"
+            ).reset_index(drop=True)
+            price = pdf["p_retailprice"].to_numpy()
+            size = pdf["p_size"].to_numpy(dtype=np.int64)
+            new_grp = np.empty(len(pdf), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = price[1:] != price[:-1]
+            grp_id = np.cumsum(new_grp) - 1
+            starts = np.flatnonzero(new_grp)
+            cm = np.minimum.accumulate(size)
+            big = np.iinfo(np.int64).max
+            strict_min = np.where(starts > 0, cm[np.maximum(starts - 1, 0)], big)
+            keep = (size == size[starts][grp_id]) & (size < strict_min[grp_id])
+            yield pdf[keep]
+
+    cands = p.mapInPandas(local_sky, schema)
+    return cands.repartition(1).mapInPandas(local_sky, schema)
