@@ -6919,9 +6919,11 @@ def b06_approx_top_k_exact(spark, sf_dir):
     oracle="""
     WITH hb AS (
         SELECT l_returnflag AS scope,
-               ((l_orderkey * 1103515245 + 12345) % 2147483647) % 64 AS bucket,
-               ((l_orderkey * 1103515245 + 12345) % 2147483647) // 64 AS rem
-        FROM lineitem
+               h % 64 AS bucket,
+               (h // 64) % 33554432 AS rem
+        FROM (SELECT l_returnflag,
+                     ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM lineitem)
     ),
     rr AS (
         SELECT scope, bucket,
@@ -6963,11 +6965,21 @@ def b06_approx_top_k_exact(spark, sf_dir):
     "count-min entry's own docstring records ('unlike the rows-only "
     "HLL/KLL entries'): this HLL is portable integer/dyadic arithmetic "
     "end to end, so the oracle replays every register AND the final "
-    "double estimate bit for bit. Hash h = (key*1103515245 + 12345) mod "
-    "(2^31-1); bucket = h mod 64 (m = 64 registers), rho = leading-zero "
-    "count of the remaining 25-bit field + 1, computed cross-engine "
-    "without transcendentals as 26 - length(bin(rem)) (both engines' "
-    "bin() emits the minimal binary string; rem = 0 maps to 26). "
+    "double estimate bit for bit. Hash h = 60-bit md5 prefix of the "
+    "key's decimal string (the b22_dataset_fingerprint idiom — "
+    "Spark conv(substr(md5,1,15),16,10) == DuckDB ('0x'||...)::BIGINT); "
+    "an LCG-mod-prime hash was tried first and REJECTED by measurement: "
+    "sequential orderkeys map to an arithmetic progression mod p whose "
+    "three-distance lattice structure wrecks exactly the max-leading-"
+    "zero statistic HLL needs (33-83% overestimate vs md5's expected "
+    "+-13% at m=64 — the negative result is the reason sketch hashes "
+    "must be mixing, not merely full-period). bucket = h mod 64 (m = 64 "
+    "registers), rho = leading-zero count + 1 over a 25-bit field "
+    "((h div 64) mod 2^25 — capped so every 2^-rho term stays >= 2^-26, "
+    "see below; the cap only biases past 2^25 distincts PER REGISTER), "
+    "computed cross-engine without transcendentals as "
+    "26 - length(bin(rem)) (both engines' bin() emits the minimal "
+    "binary string; rem = 0 maps to 26). "
     "Registers = max(rho) per (l_returnflag, bucket) — ONE groupBy whose "
     "shuffle carries at most 64 cells per scope per task after map-side "
     "partial max, the same bounded-state shape as the CMS entry; the "
@@ -6984,19 +6996,20 @@ def b06_approx_top_k_exact(spark, sf_dir):
     "0.709e0*4096 is a pure exponent shift. |orderkeys| per flag "
     "(~1100 at sf0.001) keeps every scope in the raw-estimate regime "
     "(n > 2.5m = 160), so no small-range correction branch is needed; "
-    "accuracy vs exact_distinct is pinned in pytest. Key*A stays under "
-    "2^63 through sf100; beyond that the hash needs a two-step mod "
-    "(documented, not needed here).",
+    "accuracy vs exact_distinct is pinned in pytest "
+    "(tests/test_llm_ops.py, every scope within the 3-sigma band).",
 )
 def b06_hll_registers(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
     hb = li.select(
         F.col("l_returnflag").alias("scope"),
-        ((F.col("l_orderkey") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)).alias("h"),
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     ).select(
         "scope",
         (F.col("h") % 64).alias("bucket"),
-        F.expr("h DIV 64").alias("rem"),
+        (F.expr("h DIV 64") % F.lit(33554432)).alias("rem"),
     )
     rr = hb.select(
         "scope",

@@ -1858,3 +1858,124 @@ def test_pagerank_fixedpoint_invariant_under_parallelism(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) > 0
+
+
+def test_hll_registers_accuracy(spark):
+    """The docstring's accuracy claim, executed: with a mixing (md5) hash
+    every scope's estimate must land within the 3-sigma HLL band
+    (3 * 1.04/sqrt(64) ~ 39% relative) at both SFs — the bound the
+    rejected LCG hash violated (33-83% overestimate, arithmetic-
+    progression lattice; see the entry docstring's negative result)."""
+    from dataselector_spark.suite import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = QUERIES["b06_hll_registers"].fn(spark, sf).collect()
+        assert len(rows) >= 3  # per-flag scopes + __ALL__
+        for r in rows:
+            rel = abs(r.hll_est - r.exact_distinct) / r.exact_distinct
+            assert rel < 0.39, (sf, r.scope, r.exact_distinct, r.hll_est)
+
+
+def test_final_r9_entries_handle_empty_tables(spark, tmp_path):
+    """HLL of zero rows, BFS with no seeds, skyline of an empty relation:
+    each must return its declared empty result, not crash — the
+    degenerate partition every 100 TB run contains somewhere."""
+    import os
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    sf = str(tmp_path / "empty_sf9c")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "l_partkey": pd.Series([], dtype="int64"),
+            "l_suppkey": pd.Series([], dtype="int64"),
+            "l_linenumber": pd.Series([], dtype="int32"),
+            "l_quantity": pd.Series([], dtype="float64"),
+            "l_extendedprice": pd.Series([], dtype="float64"),
+            "l_discount": pd.Series([], dtype="float64"),
+            "l_tax": pd.Series([], dtype="float64"),
+            "l_returnflag": pd.Series([], dtype="string"),
+            "l_linestatus": pd.Series([], dtype="string"),
+            "l_shipdate": pd.Series([], dtype="datetime64[us]"),
+        }
+    ).to_parquet(os.path.join(sf, "lineitem.parquet"))
+    pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_name": pd.Series([], dtype="string"),
+            "p_brand": pd.Series([], dtype="string"),
+            "p_type": pd.Series([], dtype="string"),
+            "p_size": pd.Series([], dtype="int32"),
+            "p_retailprice": pd.Series([], dtype="float64"),
+        }
+    ).to_parquet(os.path.join(sf, "part.parquet"))
+    pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="string"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="string"),
+        }
+    ).to_parquet(os.path.join(sf, "events.parquet"))
+    for name in ("b06_hll_registers", "b26_bfs_levels", "b09_skyline"):
+        assert QUERIES[name].fn(spark, sf).count() == 0, name
+
+
+def test_skyline_random_differential(spark, tmp_path):
+    """Seeded-random differential for the sort-sweep: 400 points drawn
+    from a SMALL integer grid (so duplicate (price, size) pairs and
+    within-group ties actually occur) vs the quadratic strict-dominance
+    scan in pure Python. Duplicated frontier points must BOTH survive —
+    the tie case the sweep's size == group-min test exists for."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from dataselector_spark.suite import QUERIES
+
+    rng = random.Random(90217)
+    price = [float(rng.randint(2, 30)) for _ in range(394)]
+    size = [rng.randint(2, 30) for _ in range(394)]
+    # planted duplicated frontier cells: price 1 / size 1 are strictly
+    # below the random draw range, so nothing can dominate these — both
+    # copies of each MUST survive (strict-dominance tie semantics)
+    price += [1.0, 1.0, 10.0, 10.0, 0.0, 21.0]
+    size += [10, 10, 1, 1, 15, 0]
+    n = len(price)
+    sf = str(tmp_path / "sky_rand")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "p_partkey": pd.Series(range(n), dtype="int64"),
+            "p_name": pd.Series(["x"] * n, dtype="string"),
+            "p_brand": pd.Series(["b"] * n, dtype="string"),
+            "p_type": pd.Series(["t"] * n, dtype="string"),
+            "p_size": pd.Series(size, dtype="int32"),
+            "p_retailprice": pd.Series(price, dtype="float64"),
+        }
+    ).to_parquet(os.path.join(sf, "part.parquet"))
+
+    def dominated(i):
+        return any(
+            price[j] <= price[i]
+            and size[j] <= size[i]
+            and (price[j] < price[i] or size[j] < size[i])
+            for j in range(n)
+        )
+
+    want = {(k, price[k], size[k]) for k in range(n) if not dominated(k)}
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in QUERIES["b09_skyline"].fn(spark, sf).collect()
+    }
+    assert got == want, got.symmetric_difference(want)
+    # the grid guarantees duplicated frontier cells are exercised
+    cells = [(p, s) for (_, p, s) in want]
+    assert len(cells) > len(set(cells)), "planted duplicate frontier case missing"

@@ -796,3 +796,46 @@ def test_all_tpch_analogues_no_unbounded_product(spark):
         assert "CartesianProduct" not in plan, name
         if name not in single_row_bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+def test_hll_registers_map_side_combined_pruned_scan(spark):
+    """The HLL register build must partial-aggregate map-side (the shuffle
+    carries <= 64 register cells per scope per task, the same bounded-state
+    shape the CMS entry pins) and the scan must read only the two columns
+    the sketch needs."""
+    df = QUERIES["b06_hll_registers"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in plan, (
+        plan[:1500]
+    )
+
+
+def test_bfs_levels_equi_joins_checkpointed_edges(spark):
+    """Frontier BFS: every per-level step is an equi-join (frontier x edges)
+    or anti-join (visited) — never a cartesian/nested-loop product — and the
+    edge list is consumed from its localCheckpoint (Scan ExistingRDD), not
+    re-derived from the co-occurrence self-join per level."""
+    df = QUERIES["b26_bfs_levels"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "Scan ExistingRDD" in plan, plan[:1500]
+
+
+def test_skyline_map_only_pass_then_single_partition(spark):
+    """Local-skyline-then-merge plan shape: pass 1's MapInPandas sits
+    directly on the (3-column-pruned) scan with NO exchange below it —
+    the local sweep is map-only — and the ONLY shuffle in the whole plan
+    is the deliberate SinglePartition repartition feeding pass 2's merge
+    sweep over the provably small candidate union."""
+    df = QUERIES["b09_skyline"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan[:1500]
+    assert shuffle_count(df) == 1, plan[:1500]
+    assert "Exchange SinglePartition" in plan, plan[:1500]
+    assert (
+        "ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"
+        in plan
+    ), plan[:1500]
