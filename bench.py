@@ -177,6 +177,7 @@ HEADLINE_V5 = [
     "b06_hll_registers",  # B6 value-checked HyperLogLog registers + estimate
     "b26_bfs_levels",  # B26 multi-source frontier BFS hop distance
     "b09_skyline",  # B9 2-D skyline via local-skyline-then-merge
+    "b26_kcore",  # B26 k-core decomposition by iterative peeling
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -1923,7 +1923,7 @@ def test_final_r9_entries_handle_empty_tables(spark, tmp_path):
             "props": pd.Series([], dtype="string"),
         }
     ).to_parquet(os.path.join(sf, "events.parquet"))
-    for name in ("b06_hll_registers", "b26_bfs_levels", "b09_skyline"):
+    for name in ("b06_hll_registers", "b26_bfs_levels", "b09_skyline", "b26_kcore"):
         assert QUERIES[name].fn(spark, sf).count() == 0, name
 
 
@@ -1979,3 +1979,63 @@ def test_skyline_random_differential(spark, tmp_path):
     # the grid guarantees duplicated frontier cells are exercised
     cells = [(p, s) for (_, p, s) in want]
     assert len(cells) > len(set(cells)), "planted duplicate frontier case missing"
+
+
+def test_kcore_converged_at_tested_scale(spark):
+    """The docstring's convergence claim, executed: at sf0.01 a FOURTH
+    peel round is the identity, so the entry's fixed 3-round output is
+    the true 2-core there, not a truncated approximation."""
+    import pyspark.sql.functions as F
+
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    three = {tuple(r) for r in QUERIES["b26_kcore"].fn(spark, sf).collect()}
+    assert len(three) > 0
+
+    g = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    e = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(4):  # one MORE round than the entry
+        deg = (
+            e.select(F.col("ua").alias("v"))
+            .unionByName(e.select(F.col("ub").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 2).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "ua"), "ua", "left_semi")
+            .join(keep.withColumnRenamed("v", "ub"), "ub", "left_semi")
+            .select("ua", "ub")
+            .localCheckpoint()
+        )
+    four = {
+        tuple(r)
+        for r in (
+            e.select(F.col("ua").alias("user_id"))
+            .unionByName(e.select(F.col("ub").alias("user_id")))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        ).collect()
+    }
+    assert three == four

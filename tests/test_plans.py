@@ -839,3 +839,16 @@ def test_skyline_map_only_pass_then_single_partition(spark):
         "ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"
         in plan
     ), plan[:1500]
+
+
+def test_kcore_equi_joins_checkpointed_rounds(spark):
+    """k-core peeling: every round is a degree aggregate + two left-semi
+    survivor joins — no cartesian/nested-loop products — and the final
+    round's plan consumes a localCheckpoint()ed edge set (Scan
+    ExistingRDD), not the re-derived co-occurrence self-join (whose lazy
+    tree would replicate 4^rounds times; tools/kcore_ladder.py)."""
+    df = QUERIES["b26_kcore"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "Scan ExistingRDD" in plan, plan[:1500]
