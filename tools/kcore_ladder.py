@@ -91,3 +91,8 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# NOTE (r9 measurement): the lazy variant is not merely slower — at
+# rounds >= 4 the 4^rounds logical-tree replication blows up CATALYST
+# (analysis/optimization time), not execution; see the recorded rungs in
+# docs/SCALE.md. Run lazy rungs with a timeout.
