@@ -178,6 +178,7 @@ HEADLINE_V5 = [
     "b26_bfs_levels",  # B26 multi-source frontier BFS hop distance
     "b09_skyline",  # B9 2-D skyline via local-skyline-then-merge
     "b26_kcore",  # B26 k-core decomposition by iterative peeling
+    "b25_max_concurrency",  # B25 interval-overlap peak via boundary sweep
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

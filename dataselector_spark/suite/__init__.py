@@ -102,7 +102,7 @@ REWRITTEN_IN_ROUND = {
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
-#   * 18 entries NEW in r9, never driver-checked (outrank everything):
+#   * 19 entries NEW in r9, never driver-checked (outrank everything):
 #     the planted-signal demonstration twins (b15_pmi_planted,
 #     b06_heavy_hitters_planted — VERDICT r8 #5), the Spark 4
 #     modern-API set (b11_variant_extract, b01_python_datasource,
@@ -112,10 +112,11 @@ REWRITTEN_IN_ROUND = {
 #     (b26_recursive_hierarchy, b11_collated_group,
 #     b26_pagerank_fixedpoint, b24_scripting_lang_coverage,
 #     b11_parameterized_sql, b06_approx_top_k_exact), plus the final
-#     four (b06_hll_registers value-checked HLL, b26_bfs_levels
+#     five (b06_hll_registers value-checked HLL, b26_bfs_levels
 #     frontier BFS, b09_skyline Pareto frontier, b26_kcore iterative
-#     peeling) which displace the last four r5-latest re-confirms
-#     (b20_stream_stream_join, b17_stream_static_enrich, b06_pivot,
+#     peeling, b25_max_concurrency boundary sweep) which displace the
+#     last five r5-latest re-confirms (b20_stream_toggle,
+#     b20_stream_stream_join, b17_stream_static_enrich, b06_pivot,
 #     b08_sessionize -> r10);
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
 #     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
@@ -126,14 +127,14 @@ REWRITTEN_IN_ROUND = {
 #     oldest tail — VERDICT r8 #1; the 3 rows-only r4 entries are
 #     deliberately excluded per the r7 #4 rule: a rows-only driver row
 #     re-confirms nothing their green exact twins do not);
-#   * the 7 oldest r5-latest oracle-bearing entries in registration
+#   * the 6 oldest r5-latest oracle-bearing entries in registration
 #     order (17 until the six late-r9 additions displaced
 #     a15_composite_key / a13_selection_toggle / a16_semi_join_apply /
 #     a07_extents / a05_range_filter / a04_derived_timestamp and the
-#     final four displaced b20_stream_stream_join /
+#     final five displaced b20_stream_toggle / b20_stream_stream_join /
 #     b17_stream_static_enrich / b06_pivot / b08_sessionize —
-#     never-checked outranks re-confirm). The 38 remaining r5-latest
-#     entries queue for r10: b20_stream_stream_join,
+#     never-checked outranks re-confirm). The 39 remaining r5-latest
+#     entries queue for r10: b20_stream_toggle, b20_stream_stream_join,
 #     b17_stream_static_enrich, b06_pivot,
 #     b08_sessionize, a15_composite_key, a13_selection_toggle,
 #     a16_semi_join_apply, a07_extents, a05_range_filter,
@@ -152,7 +153,7 @@ REWRITTEN_IN_ROUND = {
 #     b22_table_profile, b23_snapshot_diff — after which the oldest
 #     remaining rows are r6.
 _R9_WINDOW = [
-    # --- 18 new in r9, never checked ---
+    # --- 19 new in r9, never checked ---
     "b15_pmi_planted",
     "b06_heavy_hitters_planted",
     "b11_variant_extract",
@@ -176,6 +177,7 @@ _R9_WINDOW = [
     "b26_bfs_levels",
     "b09_skyline",
     "b26_kcore",
+    "b25_max_concurrency",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
@@ -203,14 +205,13 @@ _R9_WINDOW = [
     "b16_resize_nn",
     "b26_transition_bigrams",
     "b06_equidepth_histogram",
-    # --- 7 oldest r5-latest re-confirms (registration order) ---
+    # --- 6 oldest r5-latest re-confirms (registration order) ---
     "b12_dedup_exact",
     "b17_stream_tumbling",
     "b17_stream_sliding",
     "b18_stream_session",
     "b19_stream_watermark",
     "b20_stream_dedup",
-    "b20_stream_toggle",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 

@@ -7316,3 +7316,103 @@ def b26_kcore(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+@query(
+    "b25_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, t, sum(ns) AS ns, sum(ne) AS ne FROM (
+            SELECT event_type, s AS t, count(*) AS ns, 0 AS ne
+            FROM iv GROUP BY 1, 2
+            UNION ALL
+            SELECT event_type, e AS t, 0, count(*) FROM iv GROUP BY 1, 2
+        ) GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, t,
+               sum(ns) OVER (PARTITION BY event_type ORDER BY t
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - sum(ne) OVER (PARTITION BY event_type ORDER BY t
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM b
+    ),
+    p AS (SELECT event_type, max(conc) AS peak FROM c GROUP BY 1)
+    SELECT c.event_type,
+           CAST(max(p.peak) AS BIGINT) AS peak,
+           CAST(min(c.t) AS BIGINT) AS first_peak_ts
+    FROM c JOIN p ON c.event_type = p.event_type AND c.conc = p.peak
+    GROUP BY c.event_type
+    """,
+    doc="B25 (r9): MAX CONCURRENCY via the boundary-sweep — peak number "
+    "of simultaneously-active 5-minute activity windows per event_type, "
+    "plus the first instant the peak is reached: the interval-stabbing "
+    "question behind capacity planning, connection-pool sizing, and "
+    "peak-load attribution, which no groupBy over raw events can answer "
+    "(concurrency is a property of interval OVERLAP, not of any single "
+    "row). Classic sweep re-expressed relationally: each interval "
+    "[s, s+300) emits a +1 boundary at s and a -1 at e; boundaries "
+    "PRE-AGGREGATE per (event_type, t) — map-side combinable, so the "
+    "shuffle carries distinct boundary instants, not events — then "
+    "concurrency at t is cum(starts<=t) - cum(ends<=t) via two window "
+    "sums with explicit RANGE frames. The RANGE frame (not ROWS) is the "
+    "determinism keystone: ties on t are INSIDE the frame together, so "
+    "the running sums are functions of t alone — a ROWS frame would "
+    "order-depend on tie layout and flake the hash. Half-open interval "
+    "semantics fall out for free: at t = e the -1 is already in the "
+    "cumulative, so back-to-back windows never double-count. Both "
+    "engines floor epoch seconds explicitly (Spark CAST(ts AS LONG) "
+    "truncates; DuckDB epoch() keeps fractional seconds and its BIGINT "
+    "cast ROUNDS — the 1-second tie this entry's first draft measured "
+    "on 'signup' before the floor). One shuffle keyed by event_type "
+    "feeds the windows; peak + argmin fold into a per-type aggregate. "
+    "At 100 TB: boundary stream is 2n pre-aggregated to distinct "
+    "instants; per-key sweep state is a running integer; skewed types "
+    "split by AQE like any window partition.",
+)
+def b25_max_concurrency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("long").alias("s"))
+        .select("event_type", "s", (F.col("s") + 300).alias("e"))
+    )
+    b = (
+        ev.groupBy("event_type", F.col("s").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n_start"))
+        .select("event_type", "t", F.col("n_start").alias("ns"), F.lit(0).alias("ne"))
+        .unionByName(
+            ev.groupBy("event_type", F.col("e").alias("t"))
+            .agg(F.count(F.lit(1)).alias("n_end"))
+            .select("event_type", "t", F.lit(0).alias("ns"), F.col("n_end").alias("ne"))
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("ns").alias("ns"), F.sum("ne").alias("ne"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    conc = b.select(
+        "event_type",
+        "t",
+        (F.sum("ns").over(w) - F.sum("ne").over(w)).alias("conc"),
+    )
+    peak = conc.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        conc.join(peak, "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("peak").cast("bigint").alias("peak"),
+            F.min("t").cast("bigint").alias("first_peak_ts"),
+        )
+    )

@@ -1923,7 +1923,7 @@ def test_final_r9_entries_handle_empty_tables(spark, tmp_path):
             "props": pd.Series([], dtype="string"),
         }
     ).to_parquet(os.path.join(sf, "events.parquet"))
-    for name in ("b06_hll_registers", "b26_bfs_levels", "b09_skyline", "b26_kcore"):
+    for name in ("b06_hll_registers", "b26_bfs_levels", "b09_skyline", "b26_kcore", "b25_max_concurrency"):
         assert QUERIES[name].fn(spark, sf).count() == 0, name
 
 

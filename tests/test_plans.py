@@ -852,3 +852,16 @@ def test_kcore_equi_joins_checkpointed_rounds(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "Scan ExistingRDD" in plan, plan[:1500]
+
+
+def test_max_concurrency_range_frames_no_products(spark):
+    """The boundary sweep must run its cumulative sums as window
+    aggregates over RANGE frames (ties share the frame — the determinism
+    keystone), pre-aggregate boundaries before the window (partial_sum
+    map-side), and contain no cartesian/nested-loop joins."""
+    df = QUERIES["b25_max_concurrency"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:1500]
+    assert "partial_sum" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
