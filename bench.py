@@ -179,6 +179,11 @@ HEADLINE_V5 = [
     "b09_skyline",  # B9 2-D skyline via local-skyline-then-merge
     "b26_kcore",  # B26 k-core decomposition by iterative peeling
     "b25_max_concurrency",  # B25 interval-overlap peak via boundary sweep
+    "b06_bitmap_distinct",  # B6 exact distinct via bitmap aggregates
+    "b25_interval_merge",  # B25 interval coalescing (islands & gaps)
+    "b26_sssp_bounded",  # B26 bounded-hop weighted SSSP (Bellman-Ford)
+    "b13_record_linkage",  # B13 blocked cross-table record linkage
+    "b25_ewma_dyadic",  # B25 exact dyadic-weight EWMA (bigint shifts)
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -7416,3 +7416,409 @@ def b25_max_concurrency(spark, sf_dir):
             F.min("t").cast("bigint").alias("first_peak_ts"),
         )
     )
+
+
+@query(
+    "b06_bitmap_distinct",
+    oracle="""
+    SELECT event_type AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__ALL__' AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    """,
+    doc="B6 (r9): EXACT distinct counting with BOUNDED, MERGEABLE state — "
+    "the missing middle between count(DISTINCT) (exact but state grows "
+    "with cardinality: the shuffle carries every distinct id) and HLL "
+    "(b06_hll_registers: 64 registers but approximate). Spark's bitmap "
+    "aggregates (3.5+) pin each id to (bucket, bit) = "
+    "(bitmap_bucket_number, bitmap_bit_position) and "
+    "bitmap_construct_agg ORs bits into a <=4KB bytes cell per "
+    "(scope, bucket) — partial aggregation is a map-side bitwise OR, so "
+    "the shuffle moves at most one 4KB bitmap per populated bucket per "
+    "scope regardless of row count: state is O(id-range/32768), not "
+    "O(rows) and not O(distinct). The `__ALL__` scope is built by "
+    "MERGING the per-type bitmaps with bitmap_or_agg grouped by bucket "
+    "— cell-wise OR of already-reduced state, NOT a second scan of "
+    "events — the same partial-merge contract the HLL entry proves for "
+    "registers, here yielding the EXACT count (OR of exact bitmaps "
+    "loses nothing, unlike register max which keeps only an estimate). "
+    "Catalyst reuses the (event_type, bucket) shuffle for both "
+    "consumers (ReusedExchange, the b13_prefix_filter_pairs pattern), "
+    "so events is scanned once. At 100 TB: a daily 10B-row scan "
+    "reduces map-side to bitmaps; re-aggregation cost is bucket-count "
+    "bound; the same bitmaps persist as an additive daily cube "
+    "(b23_incremental_agg's merge≡recompute contract holds exactly). "
+    "DuckDB oracle is the plain exact COUNT(DISTINCT) per scope, so "
+    "the differential proves the bitmap path LOSSLESS.",
+)
+def b06_bitmap_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per = ev.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    per_type = (
+        per.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct"))
+        .select(F.col("event_type").alias("scope"), "n_distinct")
+    )
+    merged = (
+        per.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct"))
+        .select(F.lit("__ALL__").alias("scope"), "n_distinct")
+    )
+    return per_type.unionByName(merged)
+
+
+@query(
+    "b25_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_e
+        FROM iv
+    ),
+    f AS (
+        SELECT user_id, s, e,
+               CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END
+                   AS is_start
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, s, e,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY s
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM f
+    ),
+    isl AS (
+        SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+        FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered_s,
+           CAST(max(i_e - i_s) AS BIGINT) AS longest_s
+    FROM isl GROUP BY 1
+    """,
+    doc="B25 (r9): INTERVAL COALESCING (islands & gaps) — merge each "
+    "user's overlapping/adjacent 5-minute activity intervals into "
+    "maximal disjoint islands and report per-user island count, total "
+    "covered seconds, and longest island: the uptime/SLA/session- "
+    "coverage primitive (total covered time is NOT sum of interval "
+    "lengths — overlaps double-count; b25_max_concurrency answers how "
+    "MANY overlap, this answers how much time they COVER). Gap "
+    "detection is the running-max trick: an interval starts a new "
+    "island iff its s exceeds max(e) over ALL earlier intervals — both "
+    "window passes use RANGE frames exclusively (UNBOUNDED..1 PRECEDING "
+    "for the running max, UNBOUNDED..CURRENT for the island id), so "
+    "tied start instants share one frame and one island id and the "
+    "result is a function of the interval SET, never of tie layout "
+    "(the b25_max_concurrency determinism rule). Half-open semantics: "
+    "back-to-back intervals ([t,t+300) then [t+300,..)) have no gap "
+    "and merge. The whole plan runs on ONE exchange: the windows hash "
+    "by user_id, and both downstream groupBys — (user_id, island) then "
+    "(user_id) — are satisfied by that same HashPartitioning (Spark's "
+    "ClusteredDistribution accepts any subset partitioning), so "
+    "Catalyst inserts no further shuffle (plan-asserted). At 100 TB "
+    "the per-user sweep state is one running bigint; skewed users "
+    "split by AQE like any window partition; both engines floor epoch "
+    "seconds explicitly (DuckDB rounds on BIGINT cast).",
+)
+def b25_interval_merge(spark, sf_dir):
+    from pyspark.sql import Window
+
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("long").alias("s"))
+        .select("user_id", "s", (F.col("s") + 300).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    islands = (
+        flagged.withColumn("island", F.sum("is_start").over(w_cum))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("i_s"), F.max("e").alias("i_e"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_e") - F.col("i_s")).cast("bigint").alias("covered_s"),
+        F.max(F.col("i_e") - F.col("i_s")).cast("bigint").alias("longest_s"),
+    )
+
+
+@query(
+    "b26_sssp_bounded",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
+               user_id
+        FROM events
+    ),
+    p AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               count(*) AS cnt
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT ua, ub, greatest(1, 10 - cnt) AS w FROM p
+        UNION ALL
+        SELECT ub, ua, greatest(1, 10 - cnt) AS w FROM p
+    ),
+    src AS (SELECT min(ua) AS s FROM e),
+    d0 AS (SELECT s AS v, 0 AS d FROM src),
+    d1 AS (SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM d0
+        UNION ALL
+        SELECT e.ub AS v, d0.d + e.w AS d FROM d0 JOIN e ON e.ua = d0.v
+    ) GROUP BY v),
+    d2 AS (SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM d1
+        UNION ALL
+        SELECT e.ub AS v, d1.d + e.w AS d FROM d1 JOIN e ON e.ua = d1.v
+    ) GROUP BY v),
+    d3 AS (SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM d2
+        UNION ALL
+        SELECT e.ub AS v, d2.d + e.w AS d FROM d2 JOIN e ON e.ua = d2.v
+    ) GROUP BY v),
+    d4 AS (SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM d3
+        UNION ALL
+        SELECT e.ub AS v, d3.d + e.w AS d FROM d3 JOIN e ON e.ua = d3.v
+    ) GROUP BY v)
+    SELECT v AS user_id, CAST(d AS BIGINT) AS dist FROM d4
+    """,
+    doc="B26 (r9): BOUNDED-HOP WEIGHTED SHORTEST PATH (4-round "
+    "Bellman-Ford) from the minimum-id user over the 60-second "
+    "co-occurrence graph — the weighted companion to b26_bfs_levels "
+    "(hop COUNT) and the cost-aware question behind influence radius "
+    "and routing: cheapest path cost using at most 4 edges, where an "
+    "edge's cost is an affinity inverse (w = max(1, 10 - shared "
+    "contexts): users who co-occur often are 'closer'). Bounded-hop is "
+    "the SPEC, not an approximation — d_r(v) is exactly min cost over "
+    "paths of <=r edges, a well-defined quantity the unrolled oracle "
+    "replays round for round (all-integer weights, no float "
+    "accumulation) — so unlike open-ended convergence loops the entry "
+    "is correct at every scale by construction. Per round one "
+    "equi-join (frontier x edges), a union, and a map-side-combinable "
+    "min-groupBy; the edge list is localCheckpoint()ed once (consumed "
+    "all 4 rounds) and each d_r is localCheckpoint()ed per the k-core "
+    "fan-out rule (d_r feeds BOTH the union and the join in round "
+    "r+1 — the 2-consumer case; tools/kcore_ladder.py measured the "
+    "lazy alternative's Catalyst tree DNF). Relaxation never "
+    "all-pairs: the join moves only (frontier x avg-degree) rows per "
+    "round; at 100 TB the same plan is r scans of a bucketed edge "
+    "table with AQE splitting hub-vertex skew.",
+)
+def b26_sssp_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
+        "user_id",
+    ).distinct()
+    p = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "ua", "ub", F.greatest(F.lit(1), F.lit(10) - F.col("cnt")).alias("w")
+        )
+    )
+    e = p.unionByName(
+        p.select(F.col("ub").alias("ua"), F.col("ua").alias("ub"), "w")
+    ).localCheckpoint()
+    src = e.agg(F.min("ua").alias("v"))
+    d = src.select("v", F.lit(0).cast("bigint").alias("d")).localCheckpoint()
+    for _ in range(4):
+        relaxed = d.join(e, d["v"] == e["ua"]).select(
+            e["ub"].alias("v"), (d["d"] + e["w"]).alias("d")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return d.select(F.col("v").alias("user_id"), F.col("d").cast("bigint").alias("dist"))
+
+
+@query(
+    "b13_record_linkage",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS cd
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+               lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS sd
+        FROM supplier
+    ),
+    cand AS (
+        SELECT c_custkey, s_suppkey,
+               CAST(2 * (9 - levenshtein(cd, sd))
+                    + CASE WHEN c_nationkey = s_nationkey THEN 3 ELSE 0 END
+                    + CASE WHEN abs(c_acctbal - s_acctbal) < 500.0
+                           THEN 5 ELSE 0 END AS BIGINT) AS score
+        FROM c JOIN s ON c_custkey % 10 = s_suppkey % 10
+    )
+    SELECT c_custkey, s_suppkey, score
+    FROM cand WHERE score >= 16
+    """,
+    doc="B13 (r9): RECORD LINKAGE / entity resolution across two "
+    "relations (customer x supplier) — the cross-table sibling of the "
+    "within-table fuzzy-dedup family: candidate pairs from a BLOCKING "
+    "key (never all-pairs — the b13 family invariant), scored by a "
+    "Fellegi-Sunter-style additive rule over multiple field "
+    "comparators (string edit-distance similarity on the zero-padded "
+    "entity digits, weight 2 per matched unit; agreement on nation, "
+    "+3; account-balance proximity within 500, +5), thresholded at "
+    ">=16. All comparators fold to exact integers, so the score — and "
+    "therefore the differential — is bit-exact cross-engine (the "
+    "b13_editdist_neardup levenshtein contract). The blocking key "
+    "(entity-id suffix, the stand-in for a phonetic/prefix block on "
+    "real names) turns |C|x|S| into an equi-join with ~1/10 "
+    "selectivity per side pairing; the supplier side is a dimension "
+    "table and is broadcast (plan-asserted BroadcastHashJoin, zero "
+    "shuffle of the customer side). At 100 TB: blocked linkage is one "
+    "map-side join per blocking pass; multi-pass blocking = union of "
+    "broadcast joins; the scoring expression is whole-stage-codegen "
+    "arithmetic, no UDF.",
+)
+def b13_record_linkage(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("cd"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.lpad(F.col("s_suppkey").cast("string"), 9, "0").alias("sd"),
+    )
+    score = (
+        F.lit(2) * (F.lit(9) - F.levenshtein("cd", "sd"))
+        + F.when(F.col("c_nationkey") == F.col("s_nationkey"), 3).otherwise(0)
+        + F.when(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 500.0, 5).otherwise(0)
+    ).cast("bigint")
+    return (
+        c.join(F.broadcast(s), F.col("c_custkey") % 10 == F.col("s_suppkey") % 10)
+        .select("c_custkey", "s_suppkey", score.alias("score"))
+        .filter(F.col("score") >= 16)
+    )
+
+
+_EWMA_TERMS = " + ".join(
+    f"coalesce(lag(v, {i}) OVER w * {1 << (15 - i)}, 0)" for i in range(16)
+)
+
+@query(
+    "b25_ewma_dyadic",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 16) AS BIGINT) AS v,
+               ts
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST({_EWMA_TERMS} AS BIGINT) AS ewma_num,
+           CAST(count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_terms
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="B25 (r9): EXACT exponentially-weighted moving value — the "
+    "trend/anomaly smoother every metrics pipeline runs — made "
+    "hash-checkable by the DYADIC trick: float EWMA (s = a*x + (1-a)*s) "
+    "is a running float sum, order-dependent and unfixable "
+    "cross-engine (the fixed-point-bigint rule this suite applies to "
+    "every iterative float), but with alpha = 1/2 and a 16-step "
+    "horizon every weight is a power of two, so the numerator "
+    "sum(v_{{t-i}} * 2^(15-i)) is pure bigint shifts — bit-exact on "
+    "both engines, the denominator a constant the consumer divides at "
+    "the edge. Inputs quantize once (floor(value*16): one explicit "
+    "float op, identical IEEE semantics) and the 16 taps are lag() "
+    "columns over ONE window sort keyed (user_id; ts, event_id) — the "
+    "unique event_id tiebreak makes the ROWS-based lag a function of "
+    "the data, not the partition layout (the one place a ROWS frame "
+    "is safe: a total order). One exchange, one sort, 16 lags + the "
+    "term count all ride the same Window operator; the truncated "
+    "horizon also bounds per-row state at 100 TB (full-history EWMA "
+    "weights below 2^-16 are sub-quantum and drop to zero anyway: "
+    "truncation IS the fixed point, not an approximation).",
+)
+def b25_ewma_dyadic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 16).cast("bigint").alias("v"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cnt = w.rowsBetween(-15, 0)
+    num = None
+    for i in range(16):
+        term = F.coalesce(F.lag("v", i).over(w) * F.lit(1 << (15 - i)), F.lit(0))
+        num = term if num is None else num + term
+    return q.select(
+        "event_id",
+        "user_id",
+        num.cast("bigint").alias("ewma_num"),
+        F.count("v").over(w_cnt).cast("bigint").alias("n_terms"),
+    )

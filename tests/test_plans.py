@@ -865,3 +865,75 @@ def test_max_concurrency_range_frames_no_products(spark):
     assert "partial_sum" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_bitmap_distinct_reuses_exchange_at_runtime(spark):
+    """Both bitmap consumers (per-type count and the merged `__ALL__`
+    scope) hang off the same (event_type, bucket) bitmap_construct_agg
+    exchange: AQE must stitch a ReusedExchange at runtime so events is
+    scanned and pre-aggregated once. Partial bitmap aggregation must be
+    map-side (partial_bitmap_construct_agg below the exchange)."""
+    df = QUERIES["b06_bitmap_distinct"].fn(spark, SF)
+    # Execute through the df's own QueryExecution so AQE finalizes the
+    # plan (the b02_aqe_skew_join rule: never a full-result collect).
+    df._jdf.queryExecution().toRdd().count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]
+    assert "partial_bitmap_construct_agg" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_interval_merge_single_exchange(spark):
+    """Islands & gaps runs on ONE exchange: both window passes hash by
+    user_id and the two downstream groupBys — (user_id, island) then
+    (user_id) — are satisfied by that same HashPartitioning (subset
+    clustering), so Catalyst inserts no further shuffle. Both frames
+    must be RANGE (determinism under tied start instants)."""
+    import re
+
+    df = QUERIES["b25_interval_merge"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 1, plan[:2000]
+    assert "Window" in plan, plan[:1500]
+    assert "RangeFrame" in plan, plan[:2000]
+    assert "RowsFrame" not in plan, plan[:2000]
+
+
+def test_sssp_rounds_checkpointed_no_products(spark):
+    """Bounded-hop Bellman-Ford: the final round's plan must consume
+    localCheckpoint()ed inputs (Scan ExistingRDD — the k-core 2-consumer
+    fan-out rule applied to d_r and the edge list), and relaxation is
+    equi-join only — no cartesian/nested-loop products."""
+    df = QUERIES["b26_sssp_bounded"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_record_linkage_broadcasts_dim_side(spark):
+    """Blocked record linkage must broadcast the supplier dimension
+    (BroadcastHashJoin — zero shuffle of the customer side) and keep the
+    Fellegi-Sunter score in whole-stage-codegen arithmetic: no UDF, no
+    cartesian/nested-loop product (the blocking key is an equi-join)."""
+    df = QUERIES["b13_record_linkage"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_ewma_dyadic_one_window_one_exchange(spark):
+    """All 16 dyadic lag taps plus the term count must fuse into ONE
+    Window operator over one (user_id) exchange — Catalyst collapses
+    same-spec window functions; a second Window or exchange would mean
+    the spec diverged (e.g. a frame mismatch re-sorting the partition)."""
+    import re
+
+    df = QUERIES["b25_ewma_dyadic"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 1, plan[:2000]
+    assert plan.count("Window") == 1, plan[:2000]
