@@ -184,6 +184,8 @@ HEADLINE_V5 = [
     "b26_sssp_bounded",  # B26 bounded-hop weighted SSSP (Bellman-Ford)
     "b13_record_linkage",  # B13 blocked cross-table record linkage
     "b25_ewma_dyadic",  # B25 exact dyadic-weight EWMA (bigint shifts)
+    "b26_attribution_last_touch",  # B26 conversion credit, one window pass
+    "b15_phrase_search",  # B15 positional-postings phrase query
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -7822,3 +7822,154 @@ def b25_ewma_dyadic(spark, sf_dir):
         num.cast("bigint").alias("ewma_num"),
         F.count("v").over(w_cnt).cast("bigint").alias("n_terms"),
     )
+
+
+@query(
+    "b26_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec, ts
+        FROM events
+    ),
+    marked AS (
+        SELECT event_id, user_id, event_type, tsec,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS t_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS t_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN tsec END IGNORE NULLS)
+                   OVER w AS t_ts
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN t_ts IS NOT NULL AND tsec - t_ts <= 1800
+                THEN t_id END AS touch_event_id,
+           CASE WHEN t_ts IS NOT NULL AND tsec - t_ts <= 1800
+                THEN t_type END AS touch_type,
+           CASE WHEN t_ts IS NOT NULL AND tsec - t_ts <= 1800
+                THEN tsec - t_ts END AS lag_s
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    doc="B26 (r9): LAST-TOUCH ATTRIBUTION — for every purchase, the most "
+    "recent click/view by the same user within a 30-minute lookback, or "
+    "NULL if the purchase was unattributable: the conversion-credit "
+    "question behind every marketing/behavioral funnel, and a "
+    "same-relation as-of join (b05) expressed without one — a "
+    "conditional running last_value(... IGNORE NULLS) carries the "
+    "latest touch forward INSIDE the one per-user window pass, so no "
+    "self-join, no second scan of events, one exchange (plan-asserted "
+    "single Window). The ROWS frame is safe here for the same reason "
+    "as b25_ewma_dyadic: ORDER BY (ts, event_id) is a total order "
+    "(unique tiebreak), so the running last is a function of the data "
+    "— and a tied-timestamp touch attributes only if its event_id "
+    "orders before the purchase, a documented, deterministic edge. "
+    "The 1800 s lookback is enforced AFTER the carry (touch older than "
+    "the window -> NULL, not 'next older touch' — exactly last-touch "
+    "semantics, not as-of-with-tolerance semantics; the difference is "
+    "the point of the entry). All three carried fields ride the same "
+    "frame so their NULLs coincide. At 100 TB: one shuffle keyed by "
+    "user, linear state per partition, skewed users split by AQE; the "
+    "NULL rows are retained because unattributed-rate is the metric "
+    "the pipeline monitors.",
+)
+def b26_attribution_last_touch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("tsec"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "tsec",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("t_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_type"),
+        F.last(F.when(is_touch, F.col("tsec")), ignorenulls=True)
+        .over(w)
+        .alias("t_ts"),
+    )
+    in_window = F.col("t_ts").isNotNull() & (
+        (F.col("tsec") - F.col("t_ts")) <= 1800
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("t_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("t_type")).alias("touch_type"),
+        F.when(in_window, F.col("tsec") - F.col("t_ts")).alias("lag_s"),
+    )
+
+
+@query(
+    "b15_phrase_search",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos FROM tok),
+    hit AS (
+        SELECT doc_id, pos FROM idx
+        WHERE tk[pos] = 'merge' AND tk[pos + 1] = 'join'
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM hit GROUP BY doc_id
+    """,
+    doc="B15 (r9): PHRASE SEARCH over a POSITIONAL inverted index — "
+    "documents containing the exact token sequence 'merge join', with "
+    "per-doc occurrence count and first position: the IR primitive "
+    "(quoted-phrase query) that bag-of-words retrieval (b15_tfidf_*, "
+    "a18_inverted_index) cannot answer, because it needs token ORDER. "
+    "Classic positional-postings evaluation re-expressed relationally: "
+    "posexplode yields (doc, pos, term); each query term's posting "
+    "list is a FILTER over that one exploded scan (postings shrink "
+    "BEFORE any join — the selectivity lever; at scale you intersect "
+    "rarest-term-first exactly as b13_prefix_filter_pairs orders "
+    "rarest-first); the phrase constraint is then a pure EQUI-join on "
+    "(doc_id, adjacent position) — offset intersection, never a "
+    "string scan of full documents and never all-pairs (join width is "
+    "bounded by the rarer posting list). Positions are 1-based on "
+    "both engines (Spark posexplode+1, DuckDB list index). At 100 TB "
+    "the posting lists are the only shuffled rows ((doc,pos) int "
+    "pairs, not text); a k-term phrase is k-1 chained offset joins on "
+    "the same key, one shuffle each, and a persisted positional index "
+    "(the exploded relation bucketed by term) turns every query into "
+    "scan-free lookups.",
+)
+def b15_phrase_search(spark, sf_dir):
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    p1 = toks.filter(F.col("term") == "merge").select("doc_id", "pos")
+    p2 = toks.filter(F.col("term") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )

@@ -937,3 +937,31 @@ def test_ewma_dyadic_one_window_one_exchange(spark):
     n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
     assert n_ex == 1, plan[:2000]
     assert plan.count("Window") == 1, plan[:2000]
+
+
+def test_attribution_single_window_no_self_join(spark):
+    """Last-touch attribution must run as ONE window pass over events —
+    a conditional running last_value, not a self-join/as-of encoding:
+    single Window operator, single exchange, exactly one events scan."""
+    import re
+
+    df = QUERIES["b26_attribution_last_touch"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan[:2000]
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 1, plan[:2000]
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_phrase_search_equi_join_postings(spark):
+    """Phrase evaluation must be an equi-join of filtered posting lists
+    on (doc_id, pos) — a SortMergeJoin/ShuffledHashJoin or broadcast
+    equi-join, never a nested-loop product — with the term filters
+    applied below the join (postings shrink before shuffling)."""
+    df = QUERIES["b15_phrase_search"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "merge" in plan and "join" in plan  # literal term filters present
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan[:1500]
