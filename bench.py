@@ -186,6 +186,7 @@ HEADLINE_V5 = [
     "b25_ewma_dyadic",  # B25 exact dyadic-weight EWMA (bigint shifts)
     "b26_attribution_last_touch",  # B26 conversion credit, one window pass
     "b15_phrase_search",  # B15 positional-postings phrase query
+    "b16_scene_cuts",  # B16 shot-boundary detection, planted scene grid
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -999,3 +999,107 @@ def phash256(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
 
     return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def synthesize_scene_clips(docs: DataFrame) -> DataFrame:
+    """`synthesize_clips` with PLANTED SCENE BOUNDARIES: doc_id gets
+    n = doc_id%6 + 2 frames of (h = doc_id%12 + 6) x (w = doc_id%16 + 8)
+    uint8 luma where pixel(t, r, c) =
+    (doc_id*31 + (t // L)*101 + t*3 + r*7 + c*13) mod 256 with scene
+    length L = doc_id%3 + 2. Within a scene consecutive frames differ by
+    a +3 luma drift (mean abs diff ~6 including mod-256 wrap); across a
+    boundary the (t // L) term jumps by 101 (mean abs diff ~123) — a
+    >20x planted contrast, and still fully closed-form so the oracle
+    can replay every pixel of every frame."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = d % 16 + 8, d % 12 + 6, d % 6 + 2
+                scene_len = d % 3 + 2
+                t = np.arange(nf, dtype=np.int64)[:, None, None]
+                r = np.arange(h, dtype=np.int64)[None, :, None]
+                c = np.arange(w, dtype=np.int64)[None, None, :]
+                clip = (
+                    (d * 31 + (t // scene_len) * 101 + t * 3 + r * 7 + c * 13)
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(clip.tobytes())
+                metas.append(
+                    {
+                        "media_type": "video/raw8",
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "n_bytes": w * h * nf,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, VIDEO_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("first_cut", T.LongType()),
+    ]
+)
+
+
+def detect_scene_cuts(media: DataFrame, threshold: int = 50) -> DataFrame:
+    """Shot-boundary detection on raw luma clips: a cut between frames
+    t-1 and t when the sum of absolute pixel differences exceeds
+    threshold * (pixels per frame). ALL-INTEGER decision math (uint8 ->
+    int16 diff, int64 sum, integer threshold product), so the verdict is
+    bit-exact and replayable — no float mean to accumulate differently
+    across engines. Map-only (one pass over payload bytes, no shuffle);
+    emits per-clip n_cuts and the first cut index (NULL when the clip is
+    a single shot). Defensive shape check names the doc_id on a payload
+    whose length disagrees with meta (the ADVICE r8 ahash rule)."""
+    thr = int(threshold)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "first_cut": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, nf = (
+                    int(meta["width"]),
+                    int(meta["height"]),
+                    int(meta["n_frames"]),
+                )
+                if len(payload) != w * h * nf:
+                    raise ValueError(
+                        f"doc_id={int(doc_id)}: payload {len(payload)}B, "
+                        f"meta says {w}x{h}x{nf}={w * h * nf}B"
+                    )
+                clip = np.frombuffer(payload, dtype=np.uint8).reshape(
+                    nf, h * w
+                )
+                sad = np.abs(
+                    clip[1:].astype(np.int64) - clip[:-1].astype(np.int64)
+                ).sum(axis=1)
+                cuts = np.nonzero(sad > thr * h * w)[0] + 1
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(nf)
+                out["n_cuts"].append(int(cuts.size))
+                out["first_cut"].append(
+                    int(cuts[0]) if cuts.size else None
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, SCENE_CUT_SCHEMA)

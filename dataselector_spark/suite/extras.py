@@ -7973,3 +7973,66 @@ def b15_phrase_search(spark, sf_dir):
             F.min("pos").cast("bigint").alias("first_pos"),
         )
     )
+
+
+@query(
+    "b16_scene_cuts",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 8 AS w,
+               doc_id % 12 + 6 AS h,
+               doc_id % 6 + 2 AS nf,
+               doc_id % 3 + 2 AS L
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w, h, L, nf, unnest(range(1, nf)) AS t FROM dims
+    ),
+    diffs AS (
+        SELECT doc_id, nf, t, h * w AS npix,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, h * w), i -> CAST(abs(
+                       ((doc_id*31 + (t // L)*101 + t*3
+                         + (i // w)*7 + (i % w)*13) % 256)
+                     - ((doc_id*31 + ((t-1) // L)*101 + (t-1)*3
+                         + (i // w)*7 + (i % w)*13) % 256)
+                   ) AS BIGINT))), (a, b) -> a + b) AS sad
+        FROM pairs
+    )
+    SELECT doc_id,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(count(CASE WHEN sad > 50 * npix THEN 1 END) AS BIGINT)
+               AS n_cuts,
+           CAST(min(CASE WHEN sad > 50 * npix THEN t END) AS BIGINT)
+               AS first_cut
+    FROM diffs GROUP BY doc_id
+    """,
+    doc="B16 (r9): SHOT-BOUNDARY (scene cut) DETECTION — the first "
+    "multimodal ANALYSIS entry beyond fingerprint/resize/roundtrip: "
+    "per-clip cut count and first cut index by thresholded sum of "
+    "absolute luma differences between consecutive frames, the "
+    "classic SAD shot detector every video-curation pipeline runs "
+    "before sampling frames for training (sample at cuts, not "
+    "uniformly — b16_frame_sample's missing selector). Clips carry "
+    "PLANTED boundaries (synthesize_scene_clips: intra-scene drift "
+    "+3/frame, mean abs diff ~6; scene jump +101, mean ~123 — a >20x "
+    "contrast around the threshold of 50) so the entry demonstrates "
+    "RECOVERY of known cuts, not just machinery (the r8 "
+    "ivf_recall_clustered pattern). The decision math is ALL-INTEGER "
+    "(int64 SAD vs threshold*npix product — no float mean to "
+    "accumulate differently), so the closed-form per-pixel DuckDB "
+    "oracle replays every frame pair of every clip bit for bit, "
+    "planted-signal semantics included (n_cuts = #{t : t mod L = 0}). "
+    "Plan: synthesis and detection are ONE fused Arrow-batched "
+    "mapInPandas chain — map-only, zero shuffles (plan-asserted), "
+    "partition-parallel at any scale; per-clip state is one frame "
+    "pair. At 100 TB real decoders slot in behind the same "
+    "(payload, meta) -> cuts contract; the defensive shape check "
+    "names the offending doc_id (the ADVICE r8 rule).",
+)
+def b16_scene_cuts(spark, sf_dir):
+    from ..multimodal import detect_scene_cuts, synthesize_scene_clips
+
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_scene_cuts(synthesize_scene_clips(docs), threshold=50)

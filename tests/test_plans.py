@@ -965,3 +965,15 @@ def test_phrase_search_equi_join_postings(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "merge" in plan and "join" in plan  # literal term filters present
     assert "Generate explode" in plan or "Generate posexplode" in plan, plan[:1500]
+
+
+def test_scene_cuts_map_only_no_shuffle(spark):
+    """Synthesis + detection fuse into one map-only Arrow/Pandas chain:
+    zero exchanges — per-clip work never leaves its partition."""
+    import re
+
+    df = QUERIES["b16_scene_cuts"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:1500]
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 0, plan[:2000]

@@ -72,3 +72,21 @@ def test_pmi_parent_unchanged_by_refactor(spark):
     rows = df.collect()
     assert len(rows) <= 20
     assert all(r.c_xy >= 5 for r in rows)
+
+
+def test_scene_cuts_recover_planted_boundaries(spark):
+    """The SAD detector must recover EXACTLY the planted scene grid:
+    for doc_id d (frames nf = d%6+2, scene length L = d%3+2) the cuts
+    are {t in 1..nf-1 : t mod L = 0} — count and first index — and no
+    intra-scene drift pair (mean abs diff ~6, threshold 50) may fire."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b16_scene_cuts"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        d = r.doc_id
+        nf, L = d % 6 + 2, d % 3 + 2
+        expected = [t for t in range(1, nf) if t % L == 0]
+        assert r.n_frames == nf, r
+        assert r.n_cuts == len(expected), r
+        assert r.first_cut == (expected[0] if expected else None), r
