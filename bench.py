@@ -187,6 +187,7 @@ HEADLINE_V5 = [
     "b26_attribution_last_touch",  # B26 conversion credit, one window pass
     "b15_phrase_search",  # B15 positional-postings phrase query
     "b16_scene_cuts",  # B16 shot-boundary detection, planted scene grid
+    "b25_cusum_drift",  # B25 CUSUM change-point, closed-form windows
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -8036,3 +8036,147 @@ def b16_scene_cuts(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return detect_scene_cuts(synthesize_scene_clips(docs), threshold=50)
+
+
+@query(
+    "b25_cusum_drift",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tgt AS (
+        SELECT event_type,
+               CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS k
+        FROM b GROUP BY 1
+    ),
+    c AS (
+        SELECT b.event_type, b.bucket,
+               sum(b.x - tgt.k) OVER (PARTITION BY b.event_type
+                   ORDER BY b.bucket
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cz
+        FROM b JOIN tgt USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, bucket,
+               cz - least(0, min(cz) OVER (PARTITION BY event_type
+                   ORDER BY bucket
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   AS cusum
+        FROM c
+    ),
+    agg AS (
+        SELECT event_type, max(cusum) AS max_cusum FROM s GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(agg.max_cusum AS BIGINT) AS max_cusum,
+           CAST(min(CASE WHEN s.cusum = agg.max_cusum THEN s.bucket END)
+                AS BIGINT) AS peak_bucket,
+           CAST(min(CASE WHEN s.cusum > 100000 THEN s.bucket END)
+                AS BIGINT) AS first_alarm_bucket
+    FROM s JOIN agg USING (event_type)
+    GROUP BY s.event_type, agg.max_cusum
+    """,
+    doc="B25 (r9): CUSUM CHANGE-POINT / DRIFT DETECTION — the sequential "
+    "upward-shift detector (Page 1954) behind production-metric drift "
+    "alarms, here over per-minute value totals per event_type: "
+    "S_t = max(0, S_{t-1} + (x_t - k)) flags a sustained shift above "
+    "the per-type baseline k long before any fixed threshold on x_t "
+    "does, and unlike the distributional drift entries "
+    "(b22_drift_ks/chisq: two static samples) it LOCALIZES the change "
+    "in time. The recursive max(0, ...) looks stateful-sequential, but "
+    "the closed form S_t = CZ_t - min(0, min_{j<t} CZ_j) (cumsum minus "
+    "running floor) turns it into RANGE-frame window passes over the "
+    "same (event_type; bucket) sort — no recursion, no UDF. The "
+    "baseline k AND the per-type peak are whole-partition WINDOW "
+    "aggregates rather than groupBy+join-back: the join form "
+    "duplicates the entire upstream subtree in the physical plan (two "
+    "scans, two pre-aggregations — measured on the first draft), the "
+    "window form keeps ONE pipeline — plan-asserted at exactly 2 "
+    "exchanges ((type,bucket) pre-agg, then type), 1 scan, 0 joins. "
+    "Everything is exact "
+    "integer: values quantize once (floor(value*100)), the baseline is "
+    "an integer division (Spark DIV ≡ DuckDB // on non-negative "
+    "operands — the cross-engine rule), buckets pre-aggregate "
+    "map-side so ties inside the RANGE frame are impossible by "
+    "construction (bucket is the sort key AND the group key). Output "
+    "per type: the peak CUSUM statistic, where it peaked, and the "
+    "first alarm crossing h=100000 (NULL when never crossed; on this "
+    "corpus the alarm fires — the integer-floor baseline k = "
+    "floor(mean) leaves a nonnegative per-bucket residual, so S_t "
+    "accumulates the fractional drift the way a real slightly-hot "
+    "metric would, and the entry exercises both the crossing and its "
+    "localization). At 100 TB: "
+    "one shuffle keyed by (type, bucket) for the pre-aggregation, one "
+    "by type for the sweep; per-partition state is two running "
+    "bigints.",
+)
+def b25_cusum_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("q"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("q").alias("x"))
+    )
+    # Baseline k and the peak are WINDOW aggregates over the same
+    # event_type partitioning, not groupBy+join back: a join would
+    # duplicate the whole upstream subtree in the plan (two scans, two
+    # pre-aggregations) where a window keeps one pipeline on one sort.
+    w_part = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.expr("sum(x) OVER (PARTITION BY event_type)").alias("tot"),
+        F.expr("count(*) OVER (PARTITION BY event_type)").alias("nb"),
+    ).select(
+        "event_type",
+        "bucket",
+        (F.col("x") - F.expr("tot DIV nb")).alias("z"),
+    )
+    s_ = c.select(
+        "event_type",
+        "bucket",
+        F.sum("z").over(w_cum).alias("cz"),
+    ).select(
+        "event_type",
+        "bucket",
+        (
+            F.col("cz")
+            - F.least(F.lit(0).cast("bigint"), F.min("cz").over(w_prev))
+        ).alias("cusum"),
+    )
+    s2 = s_.select(
+        "event_type",
+        "bucket",
+        "cusum",
+        F.max("cusum").over(w_part).alias("mx"),
+    )
+    return s2.groupBy("event_type").agg(
+        F.max("mx").cast("bigint").alias("max_cusum"),
+        F.min(F.when(F.col("cusum") == F.col("mx"), F.col("bucket")))
+        .cast("bigint")
+        .alias("peak_bucket"),
+        F.min(F.when(F.col("cusum") > 100000, F.col("bucket")))
+        .cast("bigint")
+        .alias("first_alarm_bucket"),
+    )

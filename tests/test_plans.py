@@ -977,3 +977,20 @@ def test_scene_cuts_map_only_no_shuffle(spark):
     assert "MapInPandas" in plan, plan[:1500]
     n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
     assert n_ex == 0, plan[:2000]
+
+
+def test_cusum_one_pipeline_no_join(spark):
+    """CUSUM's baseline and peak must be whole-partition window
+    aggregates, not groupBy+join-back (which duplicates the entire
+    upstream subtree): exactly 2 exchanges ((type,bucket) pre-agg, then
+    type), ONE events scan, zero joins, RANGE frames only for the
+    ordered sweeps."""
+    import re
+
+    df = QUERIES["b25_cusum_drift"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 2, plan[:2000]
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "RowsFrame" not in plan, plan[:2000]
