@@ -188,6 +188,8 @@ HEADLINE_V5 = [
     "b15_phrase_search",  # B15 positional-postings phrase query
     "b16_scene_cuts",  # B16 shot-boundary detection, planted scene grid
     "b25_cusum_drift",  # B25 CUSUM change-point, closed-form windows
+    "b04_range_anti_join",  # B4 bucketed range anti-join (no-error cohort)
+    "b26_top_paths",  # B26 session path mining, order-explicit assembly
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -8180,3 +8180,191 @@ def b25_cusum_drift(spark, sf_dir):
         .cast("bigint")
         .alias("first_alarm_bucket"),
     )
+
+
+@query(
+    "b04_range_anti_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.pt AS purchase_ts
+    FROM p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.user_id = p.user_id
+          AND e.et >= p.pt AND e.et < p.pt + 86400
+    )
+    """,
+    doc="B4 (r9): RANGE ANTI-JOIN — purchases with NO error by the same "
+    "user in the following 24 h (the 'clean conversion' / "
+    "did-X-never-Y-within-T cohort): the negated sibling of the "
+    "interval joins, and the one join shape Spark will happily plan as "
+    "a per-row NESTED LOOP if written naively, because an anti-join "
+    "condition `et BETWEEN pt AND pt+86400` has no equi-key. The "
+    "b04_interval_join_bucketed cure applies to the NEGATION too: "
+    "quantize time into day-wide buckets, expand each purchase to the "
+    "(at most 2) buckets its 24 h window can touch — a bounded "
+    "explode, never a cross product — equi-join errors on (user_id, "
+    "bucket), keep only witnesses inside the exact range, and finish "
+    "with a LEFT ANTI equi-join of purchases against the distinct "
+    "witnessed purchase ids. Every join in the executed plan is an "
+    "equi-join (plan-asserted: no CartesianProduct, no "
+    "BroadcastNestedLoopJoin); the quadratic NOT EXISTS oracle proves "
+    "the bucketed rewrite LOSSLESS, duplicate semantics included "
+    "(DISTINCT witnesses, so a purchase with many errors anti-joins "
+    "identically to one with one). At 100 TB: shuffle keys are "
+    "(user, day) — bounded fan-out of 2x, skew split by AQE; the "
+    "witness set is distinct purchase ids, never the error rows.",
+)
+def b04_range_anti_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("pt")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").cast("long").alias("et"),
+        (F.col("ts").cast("long") / 86400).cast("bigint").alias("bkt"),
+    )
+    # each purchase window [pt, pt+86400) touches at most 2 day buckets
+    cand = p.select(
+        "event_id",
+        "user_id",
+        "pt",
+        F.explode(
+            F.array(
+                (F.col("pt") / 86400).cast("bigint"),
+                (F.col("pt") / 86400).cast("bigint") + 1,
+            )
+        ).alias("bkt"),
+    )
+    witnessed = (
+        cand.join(e, ["user_id", "bkt"])
+        .filter((F.col("et") >= F.col("pt")) & (F.col("et") < F.col("pt") + 86400))
+        .select("event_id")
+        .distinct()
+    )
+    return p.join(witnessed, "event_id", "left_anti").select(
+        "event_id", "user_id", F.col("pt").alias("purchase_ts")
+    )
+
+
+@query(
+    "b26_top_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+        FROM marked
+    ),
+    capped AS (
+        SELECT user_id, sid, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM capped WHERE rn <= 8 GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+    doc="B26 (r9): TOP CONVERTING PATHS — the 10 most common session "
+    "journeys (ordered event_type sequences, capped at the first 8 "
+    "steps) with session counts: the sequence-mining question behind "
+    "'how do users actually move through the product', which the "
+    "pairwise views (b26_transition_bigrams: Markov edges; b26_funnel: "
+    "one fixed sequence) cannot answer — a path is the WHOLE ordered "
+    "journey. Reuses b08_sessionize's gaps-and-islands numbering "
+    "verbatim (30-min gap, (ts, event_id) total order), then builds "
+    "each session's path by the suite's order-explicit reassembly rule "
+    "(b13_repeated_span_dedup): collect structs keyed by the total "
+    "order, array_sort, slice 8, array_join — NEVER collect_list's "
+    "arrival order, which is partition-layout-dependent and would "
+    "flake the hash. The sid cumsum runs ROWS-framed over the SAME "
+    "total order on both engines (the b08_sessionize oracle orders by "
+    "ts alone — safe only while per-user ts ties never straddle a "
+    "session mark; this entry closes that latent ambiguity rather "
+    "than inheriting it). Top-10 is (count DESC, path ASC) — path is "
+    "the group key, so the composite sort is a total order and the "
+    "cut is tie-proof. Plan: one user_id exchange carries both "
+    "windows AND the (user, sid) groupBy (subset clustering); the "
+    "path-count groupBy is map-side combined; the final cut is a "
+    "TakeOrdered heap, not a global sort (plan-asserted). At 100 TB "
+    "paths are bounded strings (<=8 types), the shuffle after "
+    "session assembly carries one row per session, and hot paths are "
+    "just hot groupBy keys — AQE territory, nothing all-pairs.",
+)
+def b26_top_paths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(w_cum).cast("bigint").alias("sid"),
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("ts").cast("long").alias("t"),
+                                    F.col("event_id").alias("i"),
+                                    F.col("event_type").alias("y"),
+                                )
+                            )
+                        ),
+                        lambda x: x["y"],
+                    ),
+                    1,
+                    8,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )

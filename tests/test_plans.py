@@ -994,3 +994,30 @@ def test_cusum_one_pipeline_no_join(spark):
     assert plan.count("FileScan") == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert "RowsFrame" not in plan, plan[:2000]
+
+
+def test_range_anti_join_all_equi(spark):
+    """The 24h no-error cohort must never plan a nested-loop anti-join:
+    the day-bucket expansion (bounded 2x explode) turns the range
+    condition into equi-joins; the final step is a left-anti equi-join
+    on event_id."""
+    df = QUERIES["b04_range_anti_join"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "Generate explode" in plan, plan[:1500]
+
+
+def test_top_paths_take_ordered_single_user_exchange(spark):
+    """Path mining: the final top-10 must be a TakeOrdered heap, not a
+    global sort; sessionization windows and the (user, sid) path
+    assembly must share ONE user_id exchange (subset clustering), with
+    only the path-count groupBy adding a second."""
+    import re
+
+    df = QUERIES["b26_top_paths"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 2, plan[:2000]
