@@ -190,6 +190,7 @@ HEADLINE_V5 = [
     "b25_cusum_drift",  # B25 CUSUM change-point, closed-form windows
     "b04_range_anti_join",  # B4 bucketed range anti-join (no-error cohort)
     "b26_top_paths",  # B26 session path mining, order-explicit assembly
+    "b22_kanonymity",  # B22 k-anonymity privacy audit (class census)
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

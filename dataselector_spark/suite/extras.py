@@ -8368,3 +8368,65 @@ def b26_top_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@query(
+    "b22_kanonymity",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               count(*) AS class_size
+        FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN class_size < 5 THEN 1 END) AS BIGINT)
+               AS n_risky_classes,
+           CAST(coalesce(sum(CASE WHEN class_size < 5
+                                  THEN class_size END), 0) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(class_size) AS BIGINT) AS k_anonymity
+    FROM g
+    """,
+    doc="B22 (r9): K-ANONYMITY AUDIT — the privacy-risk measurement that "
+    "precedes any data release: bucket every record by its "
+    "quasi-identifier tuple (nation, market segment, 1000-unit balance "
+    "band — the attributes an adversary can link from outside), and "
+    "report the equivalence-class census: the dataset's k (its "
+    "smallest class — the formal k-anonymity level of Sweeney 2002), "
+    "how many classes and rows sit below k=5, i.e. are re-identifiable "
+    "by linkage. Complements b15_pii_scrub (which removes DIRECT "
+    "identifiers; this measures the residual risk from INDIRECT ones — "
+    "scrubbing is not anonymity, the audit quantifies the gap). "
+    "Deterministic banding (floor of a parquet double / exact integer "
+    "1000 — identical IEEE division on both engines), one "
+    "map-side-combinable groupBy to class sizes, one tiny global fold "
+    "— shuffle carries one row per equivalence class, never the "
+    "customers. At 100 TB the audit is the same two aggregations; the "
+    "class census also feeds the FIX (generalize bands until min "
+    "class_size >= k), which is this same query in a widening loop.",
+)
+def b22_kanonymity(spark, sf_dir):
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    risky = F.col("class_size") < 5
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.count(F.when(risky, 1)).cast("bigint").alias("n_risky_classes"),
+        F.coalesce(F.sum(F.when(risky, F.col("class_size"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+    )
