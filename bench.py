@@ -191,6 +191,8 @@ HEADLINE_V5 = [
     "b04_range_anti_join",  # B4 bucketed range anti-join (no-error cohort)
     "b26_top_paths",  # B26 session path mining, order-explicit assembly
     "b22_kanonymity",  # B22 k-anonymity privacy audit (class census)
+    "b13_source_overlap",  # B13 cross-source shingle Jaccard matrix
+    "b25_autocorr",  # B25 exact ACF via centered integer products
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

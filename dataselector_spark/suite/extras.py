@@ -8430,3 +8430,204 @@ def b22_kanonymity(spark, sf_dir):
         .alias("n_risky_rows"),
         F.min("class_size").cast("bigint").alias("k_anonymity"),
     )
+
+
+@query(
+    "b13_source_overlap",
+    oracle="""
+    WITH tok AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT source, tk, unnest(range(1, len(tk) - 3)) AS pos FROM tok),
+    sh AS (SELECT DISTINCT source, array_to_string(tk[pos:pos+4], ' ') AS s
+           FROM idx),
+    sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.inter AS BIGINT) AS n_shared,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           CAST(i.inter AS DOUBLE) / (za.n + zb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.source = i.src_a
+    JOIN sz zb ON zb.source = i.src_b
+    """,
+    doc="B13 (r9): SOURCE-LEVEL OVERLAP MATRIX — pairwise 5-gram-shingle "
+    "Jaccard between corpus SOURCES (not documents): the curation "
+    "question 'how much of source A is already in source B' that "
+    "decides dedup order, mixture weights, and whether a new crawl "
+    "adds anything — document-level dedup (b12/b13) removes copies, "
+    "this MEASURES aggregate redundancy between collections, the "
+    "corpus-health dashboard number. Same 5-gram granularity as the "
+    "repeated-span family (b13_repeated_span_coverage cites Lee et "
+    "al. 2022). Plan: one scan explodes positional shingles "
+    "(source, shingle)-distinct — map-side combinable; the "
+    "intersection is a self-equi-join ON THE SHINGLE KEY whose "
+    "per-shingle fan-out is bounded by |sources|^2 (20 sources -> "
+    "<=190 pairs per shingle, NOT per row — the b13 never-all-pairs "
+    "invariant holds at the collection level); per-source set sizes "
+    "are a 20-row aggregate joined back via broadcast. The only "
+    "float is the final Jaccard — ONE correctly-rounded division of "
+    "exact bigints (the b15_pmi rule), so the matrix hashes "
+    "bit-exact. At 100 TB: shingle-key skew (boilerplate 5-grams "
+    "shared by every source) is bounded by the pair cap and AQE-split; "
+    "for thousands of sources swap the pair join for per-shingle "
+    "source-set sketches — same contract, documented trade.",
+)
+def b13_source_overlap(spark, sf_dir):
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.split(F.col("text"), " ").alias("tk")
+    )
+    # sequence(1, n) DESCENDS when n < 1 (a sub-5-token doc would emit
+    # bogus short shingles) — gate on size explicitly.
+    positions = F.when(
+        F.size("tk") >= 5, F.sequence(F.lit(1), F.size("tk") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    positions,
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "b25_autocorr",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bucket,
+               x - (sum(x) OVER (PARTITION BY event_type)
+                    // count(*) OVER (PARTITION BY event_type)) AS cx
+        FROM b
+    ),
+    den AS (
+        SELECT event_type, sum(cx * cx) AS den FROM c GROUP BY 1
+    ),
+    num AS (
+        SELECT a.event_type, k.k, sum(a.cx * f.cx) AS num
+        FROM c a
+        JOIN (SELECT unnest([1, 2, 3]) AS k) k ON true
+        JOIN c f ON f.event_type = a.event_type
+                AND f.bucket = a.bucket + k.k
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.k AS BIGINT) AS lag_minutes,
+           CAST(n.num AS BIGINT) AS num,
+           CAST(d.den AS BIGINT) AS den,
+           CAST(n.num AS DOUBLE) / d.den AS acf
+    FROM num n JOIN den d USING (event_type)
+    """,
+    doc="B25 (r9): EXACT AUTOCORRELATION (ACF at 1-3 minute lags) of the "
+    "per-minute value series per event_type — the seasonality/"
+    "persistence diagnostic behind forecasting and anomaly baselines "
+    "(is the metric self-similar minute over minute, or noise?), made "
+    "hash-checkable the fixed-point way: quantize once, center on the "
+    "integer-DIV mean (a window aggregate — the b25_cusum_drift rule, "
+    "no join-back), and both the lag-k numerator sum(c_t * c_{t+k}) "
+    "and the denominator sum(c_t^2) are exact bigint products; the "
+    "ACF ratio is ONE correctly-rounded division at the edge (float "
+    "covariance accumulation, the textbook formulation, can never "
+    "hash cross-engine). Lags are TRUE time lags — an equi-join on "
+    "(type, bucket + k), not a positional window lag, so a missing "
+    "minute yields no phantom pair (the gap-vs-position distinction "
+    "positional lag() silently gets wrong on sparse series); the "
+    "3-lag fan-out is one bounded explode, the b04_range_anti_join "
+    "trick in miniature. Shuffle carries one row per (type, minute) "
+    "— pre-aggregated map-side; at 100 TB the join key is (type, "
+    "minute), uniform by construction, and k more lags cost k "
+    "explode rows per bucket, not k scans.",
+)
+def b25_autocorr(spark, sf_dir):
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("q"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("q").alias("x"))
+    )
+    c = b.select(
+        "event_type",
+        "bucket",
+        (
+            F.col("x")
+            - F.expr(
+                "sum(x) OVER (PARTITION BY event_type)"
+                " DIV count(*) OVER (PARTITION BY event_type)"
+            )
+        ).alias("cx"),
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("den")
+    )
+    lagged = c.select(
+        "event_type",
+        "cx",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        "bucket",
+    ).select(
+        "event_type", "k", F.col("cx").alias("cx_a"),
+        (F.col("bucket") + F.col("k")).alias("bucket"),
+    )
+    f = c.select(
+        "event_type", "bucket", F.col("cx").alias("cx_f")
+    )
+    num = (
+        lagged.join(f, ["event_type", "bucket"])
+        .groupBy("event_type", "k")
+        .agg(F.sum(F.col("cx_a") * F.col("cx_f")).alias("num"))
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("k").cast("bigint").alias("lag_minutes"),
+        F.col("num").cast("bigint").alias("num"),
+        F.col("den").cast("bigint").alias("den"),
+        (F.col("num").cast("double") / F.col("den")).alias("acf"),
+    )

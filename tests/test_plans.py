@@ -1021,3 +1021,26 @@ def test_top_paths_take_ordered_single_user_exchange(spark):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
     assert n_ex == 2, plan[:2000]
+
+
+def test_source_overlap_no_products_broadcast_sizes(spark):
+    """The source-overlap matrix must intersect via the shingle-key
+    equi-join (no cartesian/nested-loop) and join the 20-row size
+    relation back by broadcast."""
+    df = QUERIES["b13_source_overlap"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_autocorr_true_time_lag_equi_join(spark):
+    """ACF lags must be TRUE time lags — an equi-join on
+    (type, bucket+k) — with the 3-lag fan-out as a bounded explode and
+    the centered mean as a window aggregate (single events scan on the
+    numerator path; the denominator reuses the same pre-aggregation)."""
+    df = QUERIES["b25_autocorr"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
