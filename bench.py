@@ -193,6 +193,7 @@ HEADLINE_V5 = [
     "b22_kanonymity",  # B22 k-anonymity privacy audit (class census)
     "b13_source_overlap",  # B13 cross-source shingle Jaccard matrix
     "b25_autocorr",  # B25 exact ACF via centered integer products
+    "b22_proportional_allocation",  # B22 Hamilton apportionment, exact
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -102,7 +102,7 @@ REWRITTEN_IN_ROUND = {
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
-#   * 33 entries NEW in r9, never driver-checked (outrank everything):
+#   * 34 entries NEW in r9, never driver-checked (outrank everything):
 #     the planted-signal demonstration twins (b15_pmi_planted,
 #     b06_heavy_hitters_planted — VERDICT r8 #5), the Spark 4
 #     modern-API set (b11_variant_extract, b01_python_datasource,
@@ -117,7 +117,7 @@ REWRITTEN_IN_ROUND = {
 #     peeling, b25_max_concurrency boundary sweep) which displace the
 #     last five r5-latest re-confirms (b20_stream_toggle,
 #     b20_stream_stream_join, b17_stream_static_enrich, b06_pivot,
-#     b08_sessionize -> r10), and the fourteen session-2 additions
+#     b08_sessionize -> r10), and the fifteen session-2 additions
 #     (b06_bitmap_distinct exact bitmap distinct,
 #     b25_interval_merge islands & gaps,
 #     b26_sssp_bounded bounded-hop Bellman-Ford, b13_record_linkage
@@ -127,12 +127,14 @@ REWRITTEN_IN_ROUND = {
 #     b25_cusum_drift CUSUM change-point, b04_range_anti_join
 #     bucketed range anti-join, b26_top_paths session path mining,
 #     b22_kanonymity privacy audit, b13_source_overlap cross-source
-#     Jaccard matrix, b25_autocorr exact ACF) which displace
+#     Jaccard matrix, b25_autocorr exact ACF,
+#     b22_proportional_allocation Hamilton apportionment) which displace
 #     b18_stream_session / b19_stream_watermark / b20_stream_dedup /
 #     b17_stream_tumbling / b17_stream_sliding / b12_dedup_exact /
 #     b06_equidepth_histogram / b26_transition_bigrams /
 #     b16_resize_nn / b22_winsorize / b22_drift_ks / b22_drift_chisq /
-#     b01_json_permissive / b22_mixture_upsample -> r10;
+#     b01_json_permissive / b22_mixture_upsample / b15_rarity_score
+#     -> r10;
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
 #     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
 #     JVM-side toRdd().count(), VERDICT r8 #2), b02_bloom_filter_join
@@ -152,7 +154,7 @@ REWRITTEN_IN_ROUND = {
 #     entries queue for r10 (plus the r4-latest displaced late:
 #     b06_equidepth_histogram, b26_transition_bigrams, b16_resize_nn,
 #     b22_winsorize, b22_drift_ks, b22_drift_chisq,
-#     b01_json_permissive, b22_mixture_upsample):
+#     b01_json_permissive, b22_mixture_upsample, b15_rarity_score):
 #     b20_stream_toggle,
 #     b20_stream_stream_join,
 #     b17_stream_static_enrich, b06_pivot, b18_stream_session,
@@ -228,15 +230,17 @@ _R9_WINDOW = [
     # b22_mixture_upsample -> r10
     "b13_source_overlap",
     "b25_autocorr",
+    # Hamilton apportionment — displaces b15_rarity_score -> r10
+    "b22_proportional_allocation",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
     "b15_pmi_collocations",
-    # --- 14 oldest re-confirms: every oracle-bearing r4-latest entry
-    # except the eight displaced late to r10 (b06_equidepth_histogram /
+    # --- 13 oldest re-confirms: every oracle-bearing r4-latest entry
+    # except the nine displaced late to r10 (b06_equidepth_histogram /
     # b26_transition_bigrams / b16_resize_nn / b22_winsorize /
     # b22_drift_ks / b22_drift_chisq / b01_json_permissive /
-    # b22_mixture_upsample) ---
+    # b22_mixture_upsample / b15_rarity_score) ---
     "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_revenue",
@@ -250,7 +254,6 @@ _R9_WINDOW = [
     "b22_train_val_split",
     "b22_global_shuffle",
     "b15_repetition_score",
-    "b15_rarity_score",
     # (b26_transition_bigrams, b06_equidepth_histogram and the
     # r5-latest re-confirms b18_stream_session / b19_stream_watermark /
     # b20_stream_dedup / b17_stream_tumbling / b17_stream_sliding /

@@ -8631,3 +8631,83 @@ def b25_autocorr(spark, sf_dir):
         F.col("den").cast("bigint").alias("den"),
         (F.col("num").cast("double") / F.col("den")).alias("acf"),
     )
+
+
+@query(
+    "b22_proportional_allocation",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, count(*) AS n_h FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n_h) AS n FROM s),
+    q AS (
+        SELECT s.event_type, s.n_h,
+               (1000 * s.n_h) // t.n AS base,
+               (1000 * s.n_h) % t.n AS rem
+        FROM s, t
+    ),
+    r AS (
+        SELECT event_type, n_h, base, rem,
+               row_number() OVER (ORDER BY rem DESC, event_type ASC)
+                   AS rnk,
+               1000 - sum(base) OVER () AS leftover
+        FROM q
+    )
+    SELECT event_type,
+           CAST(n_h AS BIGINT) AS n_rows,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r
+    """,
+    doc="B22 (r9): EXACT PROPORTIONAL ALLOCATION (largest-remainder / "
+    "Hamilton apportionment) of a fixed sample budget (n=1000) across "
+    "strata — the step between 'decide strata' and 'draw the sample' "
+    "(b22_stratified_sample draws; this decides HOW MANY per stratum "
+    "so the total is EXACTLY the budget): naive round(n * share) "
+    "over- or under-shoots the total, the classic apportionment "
+    "problem; Hamilton's method gives each stratum floor(n*N_h / N) "
+    "and hands the leftover seats to the largest remainders. "
+    "All-integer ((1000*N_h) DIV N and % N — exact bigint products, "
+    "the cross-engine DIV rule), with a deterministic "
+    "(remainder DESC, key ASC) total order for the leftover ranking "
+    "so ties cannot flake the hash. sum(base) OVER () and the rank "
+    "ride one single-partition window over |strata| rows — the "
+    "DRIVER-SIZED relation, not the data (the b06_footer_stats "
+    "pattern): the data-sized work is one map-side-combinable count "
+    "per stratum. The invariant sum(allocated) = 1000 exactly is "
+    "pinned in pytest. At 100 TB this is the same plan: one "
+    "aggregation shuffle, then apportionment over however many "
+    "strata exist.",
+)
+def b22_proportional_allocation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    q = s.select(
+        "event_type",
+        "n_h",
+        F.expr("(1000 * n_h) DIV (sum(n_h) OVER ())").alias("base"),
+        F.expr("(1000 * n_h) % (sum(n_h) OVER ())").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("event_type").asc())
+    r = q.select(
+        "event_type",
+        "n_h",
+        "base",
+        F.row_number().over(w_rank).alias("rnk"),
+        (F.lit(1000) - F.expr("sum(base) OVER ()")).alias("leftover"),
+    )
+    return r.select(
+        "event_type",
+        F.col("n_h").cast("bigint").alias("n_rows"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated"),
+    )

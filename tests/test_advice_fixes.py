@@ -689,3 +689,19 @@ def test_docs_suite_counts_match_registry():
         f"COVERAGE.md says {m.group(0)!r} but the registry has "
         f"{n_q} queries / {n_o} oracles"
     )
+
+
+def test_proportional_allocation_sums_to_budget(spark):
+    """Hamilton apportionment invariant: the allocation sums to EXACTLY
+    the budget (1000) — the property naive round(n*share) violates —
+    and every stratum gets either floor or floor+1 of its quota."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b22_proportional_allocation"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r.allocated for r in rows) == 1000
+    n = sum(r.n_rows for r in rows)
+    for r in rows:
+        base = (1000 * r.n_rows) // n
+        assert r.allocated in (base, base + 1), r
