@@ -99,6 +99,9 @@ REWRITTEN_IN_ROUND = {
     "b02_aqe_skew_join": 9,
     "b02_bloom_filter_join": 9,
     "b15_pmi_collocations": 9,
+    # r9 session 2: oracle hardened to the (ts, event_id) total order
+    # (the latent tie ambiguity b26_top_paths documented)
+    "b08_sessionize": 9,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -133,8 +136,10 @@ REWRITTEN_IN_ROUND = {
 #     b17_stream_tumbling / b17_stream_sliding / b12_dedup_exact /
 #     b06_equidepth_histogram / b26_transition_bigrams /
 #     b16_resize_nn / b22_winsorize / b22_drift_ks / b22_drift_chisq /
-#     b01_json_permissive / b22_mixture_upsample / b15_rarity_score
-#     -> r10;
+#     b01_json_permissive / b22_mixture_upsample / b15_rarity_score /
+#     b15_repetition_score -> r10 (the last displaced by the
+#     b08_sessionize oracle-hardening re-check, which as a
+#     REWRITTEN_IN_ROUND entry outranks re-confirms);
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
 #     REWRITTEN_IN_ROUND): b02_aqe_skew_join (full-result collect ->
 #     JVM-side toRdd().count(), VERDICT r8 #2), b02_bloom_filter_join
@@ -154,7 +159,8 @@ REWRITTEN_IN_ROUND = {
 #     entries queue for r10 (plus the r4-latest displaced late:
 #     b06_equidepth_histogram, b26_transition_bigrams, b16_resize_nn,
 #     b22_winsorize, b22_drift_ks, b22_drift_chisq,
-#     b01_json_permissive, b22_mixture_upsample, b15_rarity_score):
+#     b01_json_permissive, b22_mixture_upsample, b15_rarity_score,
+#     b15_repetition_score):
 #     b20_stream_toggle,
 #     b20_stream_stream_join,
 #     b17_stream_static_enrich, b06_pivot, b18_stream_session,
@@ -232,12 +238,15 @@ _R9_WINDOW = [
     "b25_autocorr",
     # Hamilton apportionment — displaces b15_rarity_score -> r10
     "b22_proportional_allocation",
+    # oracle-hardened in session 2 (REWRITTEN_IN_ROUND) — rewritten
+    # outranks re-confirm; displaces b15_repetition_score -> r10
+    "b08_sessionize",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
     "b15_pmi_collocations",
-    # --- 13 oldest re-confirms: every oracle-bearing r4-latest entry
-    # except the nine displaced late to r10 (b06_equidepth_histogram /
+    # --- 12 oldest re-confirms: every oracle-bearing r4-latest entry
+    # except the ten displaced late to r10 (b06_equidepth_histogram /
     # b26_transition_bigrams / b16_resize_nn / b22_winsorize /
     # b22_drift_ks / b22_drift_chisq / b01_json_permissive /
     # b22_mixture_upsample / b15_rarity_score) ---
@@ -253,7 +262,6 @@ _R9_WINDOW = [
     "b15_chunk_documents",
     "b22_train_val_split",
     "b22_global_shuffle",
-    "b15_repetition_score",
     # (b26_transition_bigrams, b06_equidepth_histogram and the
     # r5-latest re-confirms b18_stream_session / b19_stream_watermark /
     # b20_stream_dedup / b17_stream_tumbling / b17_stream_sliding /

@@ -157,7 +157,7 @@ def b08_outlier_zscore(spark, sf_dir):
     "b08_sessionize",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -165,7 +165,8 @@ def b08_outlier_zscore(spark, sf_dir):
     ),
     sess AS (
         SELECT user_id, ts,
-               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) AS sid
         FROM marked
@@ -178,7 +179,11 @@ def b08_outlier_zscore(spark, sf_dir):
     "a running sum numbers sessions, one grouped agg summarizes — two "
     "window passes over ONE shuffle on user_id (both windows and the "
     "final groupBy share the partitioning). The batch twin of "
-    "b18_stream_session.",
+    "b18_stream_session. r9 hardening: the oracle's sid cumsum now "
+    "orders by the (ts, event_id) TOTAL order like the Spark side "
+    "always did — ordering by ts alone was safe only while per-user "
+    "timestamp ties never straddled a session mark (the latent "
+    "ambiguity b26_top_paths documented; closed here at the source).",
 )
 def b08_sessionize(spark, sf_dir):
     from pyspark.sql import Window
