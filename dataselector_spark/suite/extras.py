@@ -8711,3 +8711,122 @@ def b22_proportional_allocation(spark, sf_dir):
         .cast("bigint")
         .alias("allocated"),
     )
+
+
+@query(
+    "b26_clustering_coeff",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT u, count(*) AS degree FROM (
+            SELECT ua AS u FROM e UNION ALL SELECT ub FROM e
+        ) GROUP BY u
+    ),
+    tri AS (
+        SELECT count(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.ua = e1.ub
+        JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    ),
+    w AS (
+        SELECT sum(degree * (degree - 1) // 2) AS wedges FROM deg
+    )
+    SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(w.wedges AS BIGINT) AS n_wedges,
+           CAST(3 * tri.t AS DOUBLE) / w.wedges AS global_cc
+    FROM tri, w
+    """,
+    doc="B26 (r9): GLOBAL CLUSTERING COEFFICIENT (transitivity) of the "
+    "10-minute co-occurrence graph — C = 3*triangles / wedges, the "
+    "one-number answer to 'is this graph clique-ish or star-ish' that "
+    "raw triangle counts (b26_triangle_count) can't give because T "
+    "only means something relative to the wedge opportunity count. "
+    "Completes the graph-topology family: count (triangles), "
+    "components (CC), distance (BFS/SSSP), centrality (PageRank), "
+    "cohesion (k-core), and now transitivity. Triangles reuse the "
+    "Suri-Vassilvitskii degree-ordered orientation (each triangle "
+    "counted exactly once from its degree-smallest vertex, wedge "
+    "fan-out bounded O(sqrt(E)) under skew); wedges are a pure "
+    "degree-table fold (sum deg*(deg-1)/2 — exact bigints, "
+    "map-side-combined). 3T and W stay integers; the coefficient is "
+    "ONE correctly-rounded division at the edge. The oracle counts "
+    "triangles by the naive three-way join — the differential proves "
+    "the oriented count identical, the same lossless contract as the "
+    "parent entry. At 100 TB: wedges cost one degree aggregate; the "
+    "triangle join is the bounded-orientation one the parent entry's "
+    "ladder measured; nothing new shuffles.",
+)
+def b26_clustering_coeff(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
+        "user_id",
+    ).distinct()
+    e = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("degree * (degree - 1) DIV 2")).alias("wedges")
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("u").alias("ub"), F.col("degree").alias("degb"))
+    ek = e.join(da, "ua").join(db, "ub")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = ek.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+    ).localCheckpoint()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge_pairs = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(
+        F.col("o1.dst") < F.col("o2.dst")
+    )
+    # a wedge closes iff (dst1, dst2) is an edge in EITHER orientation
+    closer = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    ).unionAll(
+        oriented.select(F.col("dst").alias("x"), F.col("src").alias("y"))
+    ).filter(F.col("x") < F.col("y")).distinct()
+    tri = (
+        wedge_pairs.join(
+            closer,
+            (F.col("o1.dst") == F.col("x")) & (F.col("o2.dst") == F.col("y")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("t").cast("bigint").alias("n_triangles"),
+        F.col("wedges").cast("bigint").alias("n_wedges"),
+        ((F.lit(3) * F.col("t")).cast("double") / F.col("wedges")).alias(
+            "global_cc"
+        ),
+    )
