@@ -195,6 +195,7 @@ HEADLINE_V5 = [
     "b25_autocorr",  # B25 exact ACF via centered integer products
     "b22_proportional_allocation",  # B22 Hamilton apportionment, exact
     "b26_clustering_coeff",  # B26 transitivity: 3T/W, exact ints + 1 div
+    "b19_lateness_profile",  # B19 watermark-setting lateness audit
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -8830,3 +8830,101 @@ def b26_clustering_coeff(spark, sf_dir):
             "global_cc"
         ),
     )
+
+
+@query(
+    "b19_lateness_profile",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, event_id,
+               event_id + CASE WHEN event_id % 10 = 7
+                               THEN 100 ELSE 0 END AS arrival,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, tsec,
+               max(tsec) OVER (PARTITION BY event_type
+                   ORDER BY arrival, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS seen_max
+        FROM o
+    ),
+    l AS (
+        SELECT event_type,
+               CASE WHEN seen_max IS NOT NULL AND tsec < seen_max
+                    THEN seen_max - tsec ELSE 0 END AS late_s
+        FROM m
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN late_s > 0 THEN 1 END) AS BIGINT)
+               AS n_late,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           CAST(sum(late_s) AS BIGINT) AS sum_late_s,
+           CAST(count(CASE WHEN late_s > 300 THEN 1 END) AS BIGINT)
+               AS n_beyond_5m
+    FROM l GROUP BY event_type
+    """,
+    doc="B19 (r9): EVENT-TIME LATENESS PROFILE — how out-of-order does "
+    "each stream actually arrive: per event_type, the count/max/total "
+    "of (running-max event-time minus this event's time) over ARRIVAL "
+    "order, plus how many events arrive more than 5 minutes late. "
+    "This is the number that SETS the watermark: "
+    "b19_stream_watermark/b20_* pick withWatermark('5 minutes') as a "
+    "given — this entry measures what that bound drops (n_beyond_5m "
+    "= exactly the rows a 5-minute watermark would treat as too "
+    "late), turning the streaming config into a data-derived "
+    "decision. The generator emits events already time-ordered "
+    "(measured: zero lateness over raw event_id order — an all-zero "
+    "profile verifies nothing), so the entry SIMULATES the delayed "
+    "ingest every real collector produces: a deterministic 10% of "
+    "events (event_id % 10 = 7) arrive 100 sequence positions late — "
+    "the planted-signal rule (b16_scene_cuts, b15_pmi_planted): known "
+    "input, recovered output, pinned in pytest. The running max is a "
+    "ROWS frame over the (arrival, event_id) total order — "
+    "deterministic by the b25_ewma_dyadic rule — and "
+    "the UNBOUNDED..1 PRECEDING frame excludes the current row so a "
+    "new high-water mark is never 'late vs itself'. All-integer "
+    "lateness arithmetic (explicit epoch floor on both engines). One "
+    "exchange keyed by event_type; the profile aggregates are "
+    "map-side-combined. At 100 TB this runs as the daily stream-"
+    "health audit on the same partitioning the streaming jobs use; "
+    "per-partition state is one running bigint.",
+)
+def b19_lateness_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 10 == 7, 100).otherwise(0)
+        ).alias("arrival"),
+        F.col("ts").cast("long").alias("tsec"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = o.select(
+        "event_type",
+        F.when(
+            F.max("tsec").over(w).isNotNull()
+            & (F.col("tsec") < F.max("tsec").over(w)),
+            F.max("tsec").over(w) - F.col("tsec"),
+        )
+        .otherwise(F.lit(0))
+        .alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.when(F.col("late_s") > 0, 1)).cast("bigint").alias("n_late"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+        F.sum("late_s").cast("bigint").alias("sum_late_s"),
+        F.count(F.when(F.col("late_s") > 300, 1))
+        .cast("bigint")
+        .alias("n_beyond_5m"),
+    )

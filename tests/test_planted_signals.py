@@ -90,3 +90,20 @@ def test_scene_cuts_recover_planted_boundaries(spark):
         assert r.n_frames == nf, r
         assert r.n_cuts == len(expected), r
         assert r.first_cut == (expected[0] if expected else None), r
+
+
+def test_lateness_profile_recovers_planted_delay(spark):
+    """The simulated delayed ingest displaces the event_id % 10 == 7
+    rows; lateness hits BOTH the displaced rows that land behind a
+    larger event-time AND the on-time neighbors a displaced
+    high-timestamp row overtakes — so the late fraction sits above the
+    planted 10% but stays bounded (measured ~13% at sf0.001, ~10% at
+    sf0.01); the raw corpus is time-ordered (measured zero without the
+    plant)."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b19_lateness_profile"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events // 20 <= r.n_late <= r.n_events // 3, r
+        assert r.max_late_s > 0 and r.sum_late_s >= r.max_late_s, r
