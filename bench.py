@@ -196,6 +196,7 @@ HEADLINE_V5 = [
     "b22_proportional_allocation",  # B22 Hamilton apportionment, exact
     "b26_clustering_coeff",  # B26 transitivity: 3T/W, exact ints + 1 div
     "b19_lateness_profile",  # B19 watermark-setting lateness audit
+    "b20_stream_stream_left_outer",  # B20 outer join via watermark eviction
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -389,3 +389,107 @@ def b01_python_stream_source(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "b20_stream_stream_left_outer",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+    FROM events s LEFT JOIN events p
+      ON s.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+      AND s.ts <= (SELECT least(
+                        max(CASE WHEN event_type = 'signup' THEN ts END),
+                        max(CASE WHEN event_type = 'purchase' THEN ts END))
+                    FROM events) - INTERVAL 4 HOUR
+    """,
+    doc="B20: stream-stream LEFT OUTER join — every (eligible) signup, "
+    "with its within-the-hour purchase or NULL: the join semantics the "
+    "inner variant (b20_stream_stream_join) cannot give, and the one "
+    "where WATERMARK MECHANICS decide correctness, because a "
+    "null-padded row is emitted only once the watermark proves no "
+    "match can still arrive (state eviction IS the outer-join "
+    "trigger). The subtlety this entry exists to document: when a "
+    "bounded replay ends, left rows whose eviction time "
+    "(l_ts + 1h window) has not passed the final watermark "
+    "(max event time - 2h delay) are silently NEVER emitted — a naive "
+    "batch LEFT JOIN oracle would mismatch on exactly the stream's "
+    "trailing 3 hours. The fix is the EVICTION MARGIN: restrict the "
+    "left side to signups at least 4 h before the min of the two "
+    "sides' event-time maxima — the instant the global min-watermark "
+    "actually tracks (one "
+    "driver-side scalar read of the static table — the bound a "
+    "production job gets from its scheduler), APPLIED AFTER the "
+    "watermark node so the global min-watermark still tracks the full "
+    "stream (filtering first makes the left watermark trail the "
+    "filtered max and the unemitted tail chases the cutoff forever — "
+    "measured on the first draft), leaving every retained "
+    "left row a full hour clear of the eviction boundary, so the "
+    "no-data flush batch (spark.sql.streaming.noDataMicroBatches) "
+    "emits ALL null rows deterministically and the plain batch LEFT "
+    "JOIN with the same cutoff is the exact oracle — boundary ties "
+    "cannot flake the hash because no row sits within an hour of the "
+    "boundary. State stays proportional to the 1 h window + 2 h "
+    "delay on both sides at any scale, exactly as in the inner "
+    "entry.",
+)
+def b20_stream_stream_left_outer(spark, sf_dir):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..streaming import run_stream_to_table, stream_events
+
+    # The global watermark is min(left_wm, right_wm), each = that SIDE's
+    # max event time - 2h — so the margin must key off the SMALLER of the
+    # two sides' maxima, not the corpus max (at sf0.001 the purchase max
+    # trails the corpus max enough to strand 2 null rows — measured).
+    ext = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "signup", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .collect()[0][0]
+    )
+    cutoff = ext - dt.timedelta(hours=4)
+    # withWatermark BEFORE the cutoff filter: the global watermark is the
+    # MIN over watermark nodes, each tracking the max event time of rows
+    # passing THROUGH it — filtering first would make the left watermark
+    # trail the FILTERED max and the unevicted 3h tail chases the cutoff
+    # down forever (measured: 2/199 null rows missing on the first draft).
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "2 hours")
+        .filter(F.col("l_ts") <= F.lit(cutoff))
+    )
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "2 hours")
+    )
+    cond = (
+        (s["user_id"] == p["p_user"])
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = s.join(p, cond, "leftOuter").select(
+        "signup_id", "purchase_id", s["user_id"]
+    )
+    return run_stream_to_table(joined, output_mode="append")
