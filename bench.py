@@ -197,6 +197,8 @@ HEADLINE_V5 = [
     "b26_clustering_coeff",  # B26 transitivity: 3T/W, exact ints + 1 div
     "b19_lateness_profile",  # B19 watermark-setting lateness audit
     "b20_stream_stream_left_outer",  # B20 outer join via watermark eviction
+    "b06_gini",  # B6/B22 Gini concentration, exact rank formula
+    "b26_assortativity",  # B26 degree assortativity, exact moments
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -8928,3 +8928,190 @@ def b19_lateness_profile(spark, sf_dir):
         .cast("bigint")
         .alias("n_beyond_5m"),
     )
+
+
+@query(
+    "b06_gini",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS i
+        FROM q
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x) AS sx,
+               sum(i * x) AS six
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_x,
+           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx) AS gini
+    FROM m
+    """,
+    doc="B6/B22 (r9): GINI COEFFICIENT of the per-type value "
+    "distribution — the concentration number behind corpus-curation "
+    "decisions (is the token/value mass spread out or owned by a few "
+    "rows?), computed by the exact rank formula "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over values "
+    "sorted ascending. Determinism has one subtlety this entry "
+    "documents: ranks of TIED values are permutation-dependent, but "
+    "the formula is not — within a tie block x is constant, so "
+    "sum(i*x) over the block is x * (sum of the block's rank range) "
+    "regardless of which tied row got which rank; the (x, event_id) "
+    "tiebreak still pins both engines to identical row order for the "
+    "window itself. Everything is exact bigints (quantize once, "
+    "floor(value*100)) with numerator and denominator EMITTED so the "
+    "differential value-checks the integer math, plus ONE "
+    "correctly-rounded division for the coefficient. One exchange "
+    "keyed by event_type (window + groupBy share it); at 100 TB the "
+    "per-partition sort is the only superlinear step and rides the "
+    "same spillable sort every window uses; output is |types| rows.",
+)
+def b06_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "event_id")
+    r = q.select("event_type", "x", F.row_number().over(w).alias("i"))
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den).alias("gini"),
+    )
+
+
+@query(
+    "b26_assortativity",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT u, count(*) AS d FROM (
+            SELECT ua AS u FROM e UNION ALL SELECT ub FROM e
+        ) GROUP BY u
+    ),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM e JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_endpoints,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS assortativity
+    FROM m
+    """,
+    doc="B26 (r9): DEGREE ASSORTATIVITY of the co-occurrence graph — "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list (Newman 2002): do hubs attach to hubs (positive) or "
+    "to leaves (negative)? The last number in the graph-stats panel "
+    "(clustering coefficient says how cliquish, assortativity says "
+    "WHO cliques with whom), and it decides real plan choices: "
+    "disassortative hub-leaf graphs are exactly where the "
+    "b26_triangle_count degree-orientation and AQE skew-splitting "
+    "pay. Method is the b06_correlation_exact_moments contract "
+    "applied to graph data: degree moments are exact bigints "
+    "(symmetrizing via UNION ALL makes x/y marginals identical and "
+    "the coefficient the standard undirected r), each moment casts "
+    "to double ONCE (degrees are tiny — far inside the 2^53 exact "
+    "range), and the final expression is the identical "
+    "add/mul/div/sqrt IEEE tree on both engines — built-in corr() "
+    "could never hash. Joins are the same degree-annotation "
+    "equi-joins as the triangle family; one scalar output row.",
+)
+def b26_assortativity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
+        "user_id",
+    ).distinct()
+    e = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("dy"))
+    ek = e.join(da, "ua").join(db, "ub")
+    pairs = ek.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(ek.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("bigint").alias("n_endpoints"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("assortativity"),
+    )
