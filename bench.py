@@ -199,6 +199,7 @@ HEADLINE_V5 = [
     "b20_stream_stream_left_outer",  # B20 outer join via watermark eviction
     "b06_gini",  # B6/B22 Gini concentration, exact rank formula
     "b26_assortativity",  # B26 degree assortativity, exact moments
+    "b16_silence_runs",  # B16 audio silence segmentation, planted gaps
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

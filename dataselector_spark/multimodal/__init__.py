@@ -1103,3 +1103,102 @@ def detect_scene_cuts(media: DataFrame, threshold: int = 50) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, SCENE_CUT_SCHEMA)
+
+
+def synthesize_gapped_pcm(docs: DataFrame) -> DataFrame:
+    """`synthesize_pcm` with PLANTED SILENCE: same n = doc_id%512 + 256
+    samples and integer-hash waveform, but every 4th block of
+    G = doc_id%32 + 16 samples (blocks with (i // G) % 4 == 1) is zeroed
+    — silence runs of length >= 16 alternating with ~3G of loud hash
+    noise (mean |s| ~ 16k), a >30x contrast at any sane threshold, and
+    still fully closed-form so the oracle can replay every sample."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 512 + 256
+                g = d % 32 + 16
+                i = np.arange(n, dtype=np.int64)
+                samples = (
+                    (d * 7919 + i * 2654435761) % 65536 - 32768
+                ).astype(np.int64)
+                samples[(i // g) % 4 == 1] = 0
+                payloads.append(samples.astype("<i2").tobytes())
+                metas.append(
+                    {
+                        "media_type": "audio/raw-s16le",
+                        "sample_rate": 8000,
+                        "n_samples": n,
+                        "n_bytes": 2 * n,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, AUDIO_SCHEMA)
+
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_runs", T.LongType()),
+        T.StructField("silent_samples", T.LongType()),
+        T.StructField("first_run_start", T.LongType()),
+    ]
+)
+
+
+def detect_silence_runs(
+    media: DataFrame, threshold: int = 512, min_run: int = 8
+) -> DataFrame:
+    """Silence segmentation on raw PCM: maximal runs of consecutive
+    samples with |s| <= threshold; runs shorter than min_run are noise
+    dropouts and ignored. ALL-INTEGER decision math (int16 -> int64 abs
+    vs an integer threshold), map-only, one pass per payload; emits
+    per-clip qualifying-run count, samples inside qualifying runs, and
+    the first run's start index (NULL when the clip has none). The
+    defensive shape check names the doc_id (the ADVICE r8 rule)."""
+    thr, mr = int(threshold), int(min_run)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_runs": [],
+                "silent_samples": [],
+                "first_run_start": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                n = int(meta["n_samples"])
+                if len(payload) != 2 * n:
+                    raise ValueError(
+                        f"doc_id={int(doc_id)}: payload {len(payload)}B, "
+                        f"meta says {n} s16 samples = {2 * n}B"
+                    )
+                s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+                quiet = np.abs(s) <= thr
+                padded = np.concatenate(([False], quiet, [False]))
+                starts = np.nonzero(padded[1:-1] & ~padded[:-2])[0]
+                ends = np.nonzero(padded[1:-1] & ~padded[2:])[0]
+                lens = ends - starts + 1
+                keep = lens >= mr
+                out["doc_id"].append(int(doc_id))
+                out["n_runs"].append(int(keep.sum()))
+                out["silent_samples"].append(int(lens[keep].sum()))
+                out["first_run_start"].append(
+                    int(starts[keep][0]) if keep.any() else None
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, SILENCE_SCHEMA)

@@ -9115,3 +9115,83 @@ def b26_assortativity(spark, sf_dir):
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("assortativity"),
     )
+
+
+@query(
+    "b16_silence_runs",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 512 + 256 AS n,
+               doc_id % 32 + 16 AS g
+        FROM documents
+    ),
+    pos AS (SELECT doc_id, g, unnest(range(0, n)) AS i FROM dims),
+    q AS (
+        SELECT doc_id, i,
+               CASE WHEN (i // g) % 4 = 1 THEN 0
+                    ELSE ((doc_id * 7919 + i * 2654435761) % 65536) - 32768
+               END AS s
+        FROM pos
+    ),
+    quiet AS (SELECT doc_id, i, abs(s) <= 512 AS qt FROM q),
+    marked AS (
+        SELECT doc_id, i, qt,
+               CASE WHEN qt AND NOT coalesce(
+                        lag(qt) OVER (PARTITION BY doc_id ORDER BY i),
+                        FALSE)
+                    THEN 1 ELSE 0 END AS st
+        FROM quiet
+    ),
+    isl AS (
+        SELECT doc_id, i, qt,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM marked
+    ),
+    runs AS (
+        SELECT doc_id, run_id, count(*) AS len, min(i) AS start
+        FROM isl WHERE qt GROUP BY 1, 2
+    ),
+    k AS (
+        SELECT doc_id,
+               count(*) AS n_runs,
+               sum(len) AS silent,
+               min(start) AS first_start
+        FROM runs WHERE len >= 8 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(k.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(k.silent, 0) AS BIGINT) AS silent_samples,
+           CAST(k.first_start AS BIGINT) AS first_run_start
+    FROM documents d LEFT JOIN k USING (doc_id)
+    """,
+    doc="B16 (r9): SILENCE SEGMENTATION on raw PCM — per-clip count, "
+    "coverage and first index of silence runs (>= 8 consecutive "
+    "samples with |s| <= 512): the audio ANALYSIS op that completes "
+    "the multimodal triad (images: pHash near-dup; video: "
+    "b16_scene_cuts shot boundaries; audio: this) and the real "
+    "preprocessing gate before ASR/audio training (trim/segment on "
+    "silence). Clips carry PLANTED gaps (synthesize_gapped_pcm: every "
+    "4th G-sample block zeroed, G = doc_id%32+16, against hash noise "
+    "of mean |s| ~ 16k — a >30x contrast at threshold 512) so the "
+    "entry demonstrates RECOVERY of known segments, with the honest "
+    "wrinkle that ~1.6% of noise samples are coincidentally quiet and "
+    "can extend a planted run by a sample — which is why the oracle "
+    "replays the REAL island computation over every closed-form "
+    "sample (5M rows at sf0.01, the per-pixel-oracle pattern) instead "
+    "of assuming the plant, and the pytest mirror recomputes runs in "
+    "pure Python. ALL-INTEGER decisions end to end; detection is one "
+    "map-only Arrow pass fused with synthesis, zero shuffles "
+    "(plan-asserted); the min_run floor is the standard dropout "
+    "guard. At 100 TB a real decoder slots behind the same "
+    "(payload, meta) contract; per-clip state is one boolean mask.",
+)
+def b16_silence_runs(spark, sf_dir):
+    from ..multimodal import detect_silence_runs, synthesize_gapped_pcm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_silence_runs(
+        synthesize_gapped_pcm(docs), threshold=512, min_run=8
+    )

@@ -1044,3 +1044,15 @@ def test_autocorr_true_time_lag_equi_join(spark):
     assert "Generate explode" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_silence_runs_map_only_no_shuffle(spark):
+    """Audio silence segmentation fuses synthesis + detection into one
+    map-only Arrow/Pandas chain: zero exchanges."""
+    import re
+
+    df = QUERIES["b16_silence_runs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:1500]
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+    assert n_ex == 0, plan[:2000]

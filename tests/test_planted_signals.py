@@ -107,3 +107,36 @@ def test_lateness_profile_recovers_planted_delay(spark):
     for r in rows:
         assert r.n_events // 20 <= r.n_late <= r.n_events // 3, r
         assert r.max_late_s > 0 and r.sum_late_s >= r.max_late_s, r
+
+
+def test_silence_runs_match_pure_python_mirror(spark):
+    """Independent differential: recompute every clip's silence runs in
+    pure Python from the closed form (including the ~1.6% coincidental
+    quiet noise samples that can extend a planted run) and require the
+    distributed detector to agree exactly."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["b16_silence_runs"].fn(spark, SF).collect()
+    }
+    assert rows
+    for d in list(rows)[:50]:
+        n, g = d % 512 + 256, d % 32 + 16
+        quiet = []
+        for i in range(n):
+            s = 0 if (i // g) % 4 == 1 else ((d * 7919 + i * 2654435761) % 65536) - 32768
+            quiet.append(abs(s) <= 512)
+        runs, start = [], None
+        for i, qt in enumerate(quiet + [False]):
+            if qt and start is None:
+                start = i
+            elif not qt and start is not None:
+                runs.append((start, i - start))
+                start = None
+        keep = [(s0, ln) for s0, ln in runs if ln >= 8]
+        r = rows[d]
+        assert r.n_runs == len(keep), (d, r, keep)
+        assert r.silent_samples == sum(ln for _, ln in keep), (d, r)
+        assert r.first_run_start == (keep[0][0] if keep else None), (d, r)
+        assert r.n_runs > 0  # every clip has planted gaps
