@@ -200,6 +200,7 @@ HEADLINE_V5 = [
     "b06_gini",  # B6/B22 Gini concentration, exact rank formula
     "b26_assortativity",  # B26 degree assortativity, exact moments
     "b16_silence_runs",  # B16 audio silence segmentation, planted gaps
+    "b14_knn_accuracy",  # B14 exact 10-NN majority-vote label accuracy
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -105,7 +105,7 @@ REWRITTEN_IN_ROUND = {
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
-#   * 40 entries NEW in r9, never driver-checked (outrank everything):
+#   * 41 entries NEW in r9, never driver-checked (outrank everything):
 #     the planted-signal demonstration twins (b15_pmi_planted,
 #     b06_heavy_hitters_planted — VERDICT r8 #5), the Spark 4
 #     modern-API set (b11_variant_extract, b01_python_datasource,
@@ -120,7 +120,7 @@ REWRITTEN_IN_ROUND = {
 #     peeling, b25_max_concurrency boundary sweep) which displace the
 #     last five r5-latest re-confirms (b20_stream_toggle,
 #     b20_stream_stream_join, b17_stream_static_enrich, b06_pivot,
-#     b08_sessionize -> r10), and the twenty-one session-2 additions
+#     b08_sessionize -> r10), and the twenty-two session-2 additions
 #     (b06_bitmap_distinct exact bitmap distinct,
 #     b25_interval_merge islands & gaps,
 #     b26_sssp_bounded bounded-hop Bellman-Ford, b13_record_linkage
@@ -136,7 +136,7 @@ REWRITTEN_IN_ROUND = {
 #     watermark-setting lateness audit, b20_stream_stream_left_outer
 #     outer join via watermark eviction, b06_gini concentration,
 #     b26_assortativity degree mixing, b16_silence_runs audio
-#     segmentation) which displace
+#     segmentation, b14_knn_accuracy ground-truth eval) which displace
 #     b18_stream_session / b19_stream_watermark / b20_stream_dedup /
 #     b17_stream_tumbling / b17_stream_sliding / b12_dedup_exact /
 #     b06_equidepth_histogram / b26_transition_bigrams /
@@ -144,7 +144,8 @@ REWRITTEN_IN_ROUND = {
 #     b01_json_permissive / b22_mixture_upsample / b15_rarity_score /
 #     b15_repetition_score / b22_global_shuffle / b22_train_val_split /
 #     b15_chunk_documents / b14_embedding_neardup_lsh /
-#     b06_exact_distinct / b08_outlier_zscore -> r10 (one displaced by the
+#     b06_exact_distinct / b08_outlier_zscore / b22_mixture_resample
+#     -> r10 (one displaced by the
 #     b08_sessionize oracle-hardening re-check, which as a
 #     REWRITTEN_IN_ROUND entry outranks re-confirms);
 #   * 3 entries REWRITTEN in r9 after their r8 rows (declared in
@@ -169,7 +170,7 @@ REWRITTEN_IN_ROUND = {
 #     b01_json_permissive, b22_mixture_upsample, b15_rarity_score,
 #     b15_repetition_score, b22_global_shuffle, b22_train_val_split,
 #     b15_chunk_documents, b14_embedding_neardup_lsh,
-#     b06_exact_distinct, b08_outlier_zscore):
+#     b06_exact_distinct, b08_outlier_zscore, b22_mixture_resample):
 #     b20_stream_toggle,
 #     b20_stream_stream_join,
 #     b17_stream_static_enrich, b06_pivot, b18_stream_session,
@@ -262,12 +263,14 @@ _R9_WINDOW = [
     "b26_assortativity",
     # audio segmentation — displaces b08_outlier_zscore -> r10
     "b16_silence_runs",
+    # ground-truth kNN eval — displaces b22_mixture_resample -> r10
+    "b14_knn_accuracy",
     # --- 3 rewritten in r9 (REWRITTEN_IN_ROUND) ---
     "b02_aqe_skew_join",
     "b02_bloom_filter_join",
     "b15_pmi_collocations",
-    # --- 6 oldest re-confirms: every oracle-bearing r4-latest entry
-    # except the sixteen displaced late to r10 (b06_equidepth_histogram /
+    # --- 5 oldest re-confirms: every oracle-bearing r4-latest entry
+    # except the seventeen displaced late to r10 (b06_equidepth_histogram /
     # b26_transition_bigrams / b16_resize_nn / b22_winsorize /
     # b22_drift_ks / b22_drift_chisq / b01_json_permissive /
     # b22_mixture_upsample / b15_rarity_score) ---
@@ -276,7 +279,6 @@ _R9_WINDOW = [
     "q14_promo_revenue",
     "b23_merge_upsert",
     "b23_apply_changelog",
-    "b22_mixture_resample",
     # (b26_transition_bigrams, b06_equidepth_histogram and the
     # r5-latest re-confirms b18_stream_session / b19_stream_watermark /
     # b20_stream_dedup / b17_stream_tumbling / b17_stream_sliding /

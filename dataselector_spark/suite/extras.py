@@ -9195,3 +9195,122 @@ def b16_silence_runs(spark, sf_dir):
     return detect_silence_runs(
         synthesize_gapped_pcm(docs), threshold=512, min_run=8
     )
+
+
+@query(
+    "b14_knn_accuracy",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM base WHERE vec_id % 13 = 0),
+    pairs AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS cid, c.label AS clabel,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN base c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT qid, qlabel, clabel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid ASC) AS rn
+        FROM pairs
+    ),
+    votes AS (
+        SELECT qid, qlabel, clabel, count(*) AS cnt
+        FROM ranked WHERE rn <= 10 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT qid, qlabel, clabel AS plabel
+        FROM (
+            SELECT qid, qlabel, clabel, row_number() OVER (
+                PARTITION BY qid ORDER BY cnt DESC, clabel ASC) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(CASE WHEN plabel = qlabel THEN 1 END) AS BIGINT)
+               AS n_correct,
+           CAST(count(CASE WHEN plabel = qlabel THEN 1 END) AS DOUBLE)
+               / count(*) AS accuracy
+    FROM pred GROUP BY qlabel
+    """,
+    doc="B14 (r9): k-NN CLASSIFICATION ACCURACY — the end-use EVAL that "
+    "closes the vector family's loop: b14_topk_cosine retrieves, "
+    "b14_ann_recall_report scores retrieval against itself, this "
+    "scores retrieval against GROUND TRUTH (the embeddings table's "
+    "label column): per class, how often does a 10-NN majority vote "
+    "over exact cosine predict a held-out vector's label — the "
+    "embedding-quality number a training pipeline actually gates on. "
+    "Every stage is the suite's deterministic form: the explicit "
+    "sequential double fold for cosine (the list_reduce order both "
+    "engines share — built-in cosine kernels accumulate differently), "
+    "(cosine DESC, cid ASC) rank tie-break, majority vote broken by "
+    "(count DESC, label ASC), ONE division for the accuracy. The "
+    "query sample (vec_id % 13 = 0, ~8%) broadcasts once and the "
+    "corpus streams past it — one pass, no all-pairs (the "
+    "b14_ann_recall_report plan shape); both windows ride one qid "
+    "exchange. At 100 TB the exact scorer is the calibration twin "
+    "run on a sample next to the IVF/PQ serving path (b14_ivfpq_topk) "
+    "— same contract, sampled cost. Honest read of the number itself: "
+    "this near-isotropic synthetic corpus yields ~13% vs the 10% "
+    "10-class chance floor (the same caveat b14_ivf_recall_clustered "
+    "closes for recall) — the entry's value is the verified EVAL "
+    "MACHINERY; the clustered-corpus variant would show the signal.",
+)
+def b14_knn_accuracy(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_product, l2_norm
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        (dot_product("qv", "embedding") / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    votes = (
+        pairs.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .groupBy("qid", "qlabel", "clabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("cnt").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("qid", "qlabel", F.col("clabel").alias("plabel"))
+    )
+    correct = F.count(F.when(F.col("plabel") == F.col("qlabel"), 1))
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
