@@ -48,6 +48,10 @@ BOUNDED_BNLJ_OK = {
     "b14_ann_recall_report": "query-count scalar",
     "a29_cross_join": "deliberate tiny cross product (broadcast)",
     "b14_ivf_recall_clustered": "fixed query sample (recall eval design)",
+    # r9 session 2
+    "b26_clustering_coeff": "single-row wedge-count scalar",
+    "b14_knn_accuracy": "query sample (ground-truth eval; production caps"
+    " the sample explicitly, same class as the recall evals)",
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: execution
