@@ -102,6 +102,17 @@ REWRITTEN_IN_ROUND = {
     # r9 session 2: oracle hardened to the (ts, event_id) total order
     # (the latent tie ambiguity b26_top_paths documented)
     "b08_sessionize": 9,
+    # r10 (VERDICT r9 #2): the seven graph entries' co-occurrence edge
+    # build refactored onto the shared, skew-guarded helper
+    # (operators/graph.py cooccurrence_cells/cooccurrence_pairs) — same
+    # join semantics, but the code path changed after their r8/r9 rows
+    "b26_triangle_count": 10,
+    "b26_clustering_coeff": 10,
+    "b26_pagerank_fixedpoint": 10,
+    "b26_bfs_levels": 10,
+    "b26_kcore": 10,
+    "b26_sssp_bounded": 10,
+    "b26_assortativity": 10,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -192,6 +203,97 @@ REWRITTEN_IN_ROUND = {
 #     b16_binary_ingest, b13_containment_pairs, b15_vocab_coverage,
 #     b22_table_profile, b23_snapshot_diff — after which the oldest
 #     remaining rows are r6.
+# The round-10 window (VERDICT r9 "Next round" #1, freshness hygiene):
+# CORRECTNESS_r09 was 50/50 green, so no entry is red/never-checked at the
+# start of r10 — the whole window is the freshness-tail retirement the r9
+# verdict prescribes:
+#   * all 17 oracle-bearing entries whose latest driver row is r4 (the
+#     oldest tail; the 3 rows-only r4 entries b06_approx_percentile /
+#     b06_sketch_rollup / b22_stratified_sample are deliberately excluded
+#     per the standing r7 #4 rule);
+#   * the oldest r5-latest oracle-bearing entries in registration order
+#     (22 after displacement by the 4 new + 7 rewritten entries below).
+#     The 22 remaining r5-latest entries queue for r11
+#     (b25_m4_downsample, b25_time_weighted_avg, b26_funnel,
+#     b26_retention_cohorts, b25_trend_per_series, b05_asof_tolerance,
+#     b08_ratio_to_report, b13_minhash_portable,
+#     b22_stratified_sample_hash, b13_simhash_portable,
+#     b13_dedup_pipeline_verified, b13_incremental_dedup,
+#     b01_orc_roundtrip_lineitem, b13_dedup_survivors_quality,
+#     b14_embedding_dedup_survivors, b15_pii_scrub, b01_xml_roundtrip,
+#     b16_binary_ingest, b13_containment_pairs, b15_vocab_coverage,
+#     b22_table_profile, b23_snapshot_diff) — after which the oldest
+#     remaining rows are r6.
+#   * entries NEW in r10 (never-checked outranks re-confirm) and the 7
+#     graph entries REWRITTEN in r10 (shared skew-guarded edge build)
+#     displace the LAST r5 re-confirms, per the standing rule.
+_R10_WINDOW = [
+    # --- new in r10, never checked ---
+    "b14_knn_accuracy_clustered",
+    "b13_record_linkage_planted",
+    "b01_python_stream_source_parallel",
+    "b26_cooccurrence_skew_guard",
+    # --- 7 rewritten in r10 (REWRITTEN_IN_ROUND: shared skew-guarded
+    # edge build) — rewritten outranks re-confirm; they displace the
+    # last 7 r5 re-confirms (b25_m4_downsample, b25_time_weighted_avg,
+    # b26_funnel, b26_retention_cohorts, b25_trend_per_series,
+    # b05_asof_tolerance, b08_ratio_to_report -> r11) ---
+    "b26_triangle_count",
+    "b26_clustering_coeff",
+    "b26_pagerank_fixedpoint",
+    "b26_bfs_levels",
+    "b26_kcore",
+    "b26_sssp_bounded",
+    "b26_assortativity",
+    # --- 17 oracle-bearing r4-latest entries (oldest tail) ---
+    "b22_mixture_resample",
+    "b08_outlier_zscore",
+    "b06_exact_distinct",
+    "b14_embedding_neardup_lsh",
+    "b15_chunk_documents",
+    "b22_train_val_split",
+    "b22_global_shuffle",
+    "b15_repetition_score",
+    "b15_rarity_score",
+    "b01_json_permissive",
+    "b22_mixture_upsample",
+    "b22_drift_chisq",
+    "b22_drift_ks",
+    "b22_winsorize",
+    "b16_resize_nn",
+    "b26_transition_bigrams",
+    "b06_equidepth_histogram",
+    # --- 22 oldest r5-latest oracle-bearing re-confirms (registration
+    # order; b13_dedup_pipeline_verified / b13_simhash_portable /
+    # b22_stratified_sample_hash / b13_minhash_portable were displaced
+    # to r11 by the four r10 additions and the next seven by the seven
+    # REWRITTEN_IN_ROUND graph entries above) ---
+    "b12_dedup_exact",
+    "b17_stream_tumbling",
+    "b17_stream_sliding",
+    "b18_stream_session",
+    "b19_stream_watermark",
+    "b20_stream_dedup",
+    "b20_stream_toggle",
+    "b20_stream_stream_join",
+    "b17_stream_static_enrich",
+    "b06_pivot",
+    "a04_derived_timestamp",
+    "a05_range_filter",
+    "a07_extents",
+    "a15_composite_key",
+    "a13_selection_toggle",
+    "a16_semi_join_apply",
+    "a17_anti_join_retract",
+    "a18_inverted_index",
+    "a22_having",
+    "flagship_minute_flag_counts",
+    "a06_box_select_pixel",
+    "b25_gap_fill_interpolate",
+]
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+
+# r9 window, kept for the ledger (superseded by _R10_WINDOW above):
 _R9_WINDOW = [
     # --- 19 new in r9, never checked ---
     "b15_pmi_planted",
@@ -296,8 +398,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R9_WINDOW]
-_order = _R9_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R10_WINDOW]
+_order = _R10_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -5744,23 +5744,12 @@ def b21_map_in_arrow(spark, sf_dir):
     "every output is bigint.",
 )
 def b26_triangle_count(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
+    g = cooccurrence_cells(ev, 600)
     e = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
+        cooccurrence_pairs(g)
         .distinct()
         # e is consumed 3x (degrees, both orientation joins) and `oriented`
         # below 3x more; without materialization every reuse re-runs the
@@ -6714,23 +6703,11 @@ _PR_ITERS = 3
     "output column is bigint.",
 )
 def b26_pagerank_fixedpoint(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
-    und = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .distinct()
-    )
+    g = cooccurrence_cells(ev, 600)
+    und = cooccurrence_pairs(g).distinct()
     # materialize the symmetrized edge list once: it feeds deg + one join
     # per iteration (4 consumers), and the co-occurrence self-join above
     # is the expensive subplan no ReusedExchange spans across iterations
@@ -7109,21 +7086,13 @@ def b06_hll_registers(spark, sf_dir):
     "graph size — bounds the plan.",
 )
 def b26_bfs_levels(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
+    g = cooccurrence_cells(ev, 60)
     ed = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") != F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        cooccurrence_pairs(g, directed=True)
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
         .distinct()
         # consumed once per BFS level — truncate the self-join lineage
         .localCheckpoint()
@@ -7278,24 +7247,11 @@ def b09_skyline(spark, sf_dir):
     "degenerate case is part of the contract and the zero-row pytest.",
 )
 def b26_kcore(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
-    e = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .distinct()
-        .localCheckpoint()
-    )
+    g = cooccurrence_cells(ev, 60)
+    e = cooccurrence_pairs(g).distinct().localCheckpoint()
     for _ in range(3):
         deg = (
             e.select(F.col("ua").alias("v"))
@@ -7651,23 +7607,13 @@ def b25_interval_merge(spark, sf_dir):
     "table with AQE splitting hub-vertex skew.",
 )
 def b26_sssp_bounded(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 60).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
+    g = cooccurrence_cells(ev, 60)
     p = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
+        cooccurrence_pairs(g)
+        .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "ua", "ub", F.greatest(F.lit(1), F.lit(10) - F.col("cnt")).alias("w")
@@ -8768,24 +8714,11 @@ def b22_proportional_allocation(spark, sf_dir):
     "ladder measured; nothing new shuffles.",
 )
 def b26_clustering_coeff(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
-    e = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .distinct()
-        .localCheckpoint()
-    )
+    g = cooccurrence_cells(ev, 600)
+    e = cooccurrence_pairs(g).distinct().localCheckpoint()
     deg = (
         e.select(F.col("ua").alias("u"))
         .unionAll(e.select(F.col("ub").alias("u")))
@@ -9066,26 +8999,11 @@ def b06_gini(spark, sf_dir):
     "equi-joins as the triangle family; one scalar output row.",
 )
 def b26_assortativity(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 600).cast("bigint").alias("bucket"),
-        "user_id",
-    ).distinct()
-    e = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    g = cooccurrence_cells(ev, 600)
+    e = cooccurrence_pairs(g).distinct().localCheckpoint()
     deg = (
         e.select(F.col("ua").alias("u"))
         .unionAll(e.select(F.col("ub").alias("u")))
@@ -9313,4 +9231,326 @@ def b14_knn_accuracy(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         correct.cast("bigint").alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@query(
+    "b26_cooccurrence_skew_guard",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    census AS (
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS cell_rows,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_fanout
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, cell_rows, pair_fanout
+    FROM census
+    ORDER BY pair_fanout DESC, event_type ASC, bucket ASC
+    LIMIT 20
+    """,
+    doc="B26 (r10): the HOT-CELL CENSUS behind the graph family's shared "
+    "co-occurrence edge build (operators/graph.py, VERDICT r9 #2) — the "
+    "audit a pipeline runs BEFORE paying for the quadratic cell "
+    "self-join: per (event_type, 60 s bucket) cell, its membership count "
+    "and the c*(c-1)/2 candidate-pair fan-out it would contribute, top-20 "
+    "by fan-out with a full (fanout DESC, event_type, bucket) tiebreak. "
+    "A flash-crowd cell's share of the JOIN work grows quadratically "
+    "while its share of the INPUT grows linearly, so this census — one "
+    "shuffle carrying one row per cell, TakeOrdered for the top-k (no "
+    "single-partition global sort) — is how the r4 corrupted-timestamp "
+    "incident class (0.44 s -> 34 s at sf0.1) is caught at plan time at "
+    "100 TB: cap, salt, or drop the offenders it names, then build "
+    "edges. The same numbers drive the sampled in-line probe "
+    "(graph.warn_hot_cells) that every b26 graph entry now runs at "
+    "construction; tests/test_graph_guard.py plants a 1000-user bucket "
+    "and pins both the warning and the census arithmetic.",
+)
+def b26_cooccurrence_skew_guard(spark, sf_dir):
+    from ..operators.graph import cell_census, cooccurrence_cells
+
+    ev = load_table(spark, sf_dir, "events")
+    census = cell_census(cooccurrence_cells(ev, 60))
+    return census.orderBy(
+        F.col("pair_fanout").desc(), F.col("event_type").asc(), F.col("bucket").asc()
+    ).limit(20)
+
+
+def _knn_accuracy_clustered_oracle() -> str:
+    from ..operators.similarity import _pseudo_centroids
+    from ._sqlgen import sql_dot, sql_norm, sql_vec_literal
+
+    cents = _pseudo_centroids(64, 10, seed=33)
+    nested = "[" + ", ".join(sql_vec_literal(c) for c in cents) + "]"
+    cvec = f"""list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * 0.25e0
+             + ({nested})[label + 1][i])"""
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, {cvec} AS cvec FROM embeddings
+    ),
+    nb AS (
+        SELECT vec_id, label, cvec, {sql_norm("cvec")} AS nrm FROM base
+    ),
+    q AS (SELECT * FROM nb WHERE vec_id % 13 = 0),
+    pairs AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS cid, c.label AS clabel,
+               {sql_dot("q.cvec", "c.cvec")} / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN nb c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT qid, qlabel, clabel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid ASC) AS rn
+        FROM pairs
+    ),
+    votes AS (
+        SELECT qid, qlabel, clabel, count(*) AS cnt
+        FROM ranked WHERE rn <= 10 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT qid, qlabel, clabel AS plabel
+        FROM (
+            SELECT qid, qlabel, clabel, row_number() OVER (
+                PARTITION BY qid ORDER BY cnt DESC, clabel ASC) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(CASE WHEN plabel = qlabel THEN 1 END) AS BIGINT)
+               AS n_correct,
+           CAST(count(CASE WHEN plabel = qlabel THEN 1 END) AS DOUBLE)
+               / count(*) AS accuracy
+    FROM pred GROUP BY qlabel
+    """
+
+
+@query(
+    "b14_knn_accuracy_clustered",
+    oracle=_knn_accuracy_clustered_oracle(),
+    doc="B14 (r10): the SIGNAL-BEARING twin of b14_knn_accuracy (VERDICT "
+    "r9 #3) — the same 10-NN majority-vote ground-truth eval, run on a "
+    "corpus whose geometry actually ENCODES the labels: cvec = "
+    "0.25*embedding + center[label], 10 well-separated seeded centers "
+    "(the b14_ivf_recall_clustered mixture construction keyed by LABEL "
+    "instead of vec_id), so nearest neighbors are overwhelmingly "
+    "same-label and the vote recovers the class — "
+    "tests/test_llm_ops.py pins overall accuracy >= 0.9, turning the "
+    "parent entry's honest '~13% on isotropic data' caveat into a "
+    "demonstration, exactly as b15_pmi_planted did for PMI. Machinery "
+    "is the parent's verbatim: ~8% query sample (vec_id % 13) "
+    "broadcast once, corpus streams past, explicit sequential double "
+    "fold for cosine, (cosine DESC, cid ASC) rank and (cnt DESC, "
+    "label ASC) vote tiebreaks, one division per accuracy at the "
+    "edge; every float is shared-formula replayed by the oracle so "
+    "the accuracy numbers themselves are hash-checked. At 100 TB this "
+    "pair is the eval harness contract: run BOTH twins — the "
+    "isotropic one calibrates the chance floor, the clustered one "
+    "proves the harness detects real structure when present.",
+)
+def b14_knn_accuracy_clustered(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_product, l2_norm
+    from ..operators.similarity import _pseudo_centroids
+
+    cents = _pseudo_centroids(64, 10, seed=33)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    center = F.element_at(cents_lit, (F.col("label") + 1).cast("int"))
+    cvec = F.zip_with(
+        F.col("embedding"),
+        center,
+        lambda a, b: a.cast("double") * F.lit(0.25) + b,
+    )
+    base = emb.select("vec_id", "label", cvec.alias("cvec")).select(
+        "vec_id", "label", "cvec", l2_norm("cvec").alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("cvec").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        (dot_product("qv", "cvec") / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    votes = (
+        pairs.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .groupBy("qid", "qlabel", "clabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("cnt").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("qid", "qlabel", F.col("clabel").alias("plabel"))
+    )
+    correct = F.count(F.when(F.col("plabel") == F.col("qlabel"), 1))
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@query(
+    "b13_record_linkage_planted",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS cd
+        FROM customer
+    ),
+    r AS (
+        SELECT c_custkey AS src, TRUE AS is_twin,
+               c_nationkey AS r_nation, c_acctbal + 100 AS r_bal,
+               substr(cd, 1, CAST(c_custkey % 4 AS INT)) || 'X'
+                   || substr(cd, CAST(c_custkey % 4 AS INT) + 2) AS rd
+        FROM c WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey AS src, FALSE AS is_twin,
+               CAST((c_nationkey + 7) % 25 AS INT) AS r_nation,
+               c_acctbal + 3000 AS r_bal,
+               'YYY' || substr(cd, 4) AS rd
+        FROM c WHERE c_custkey % 7 = 1
+    ),
+    cand AS (
+        SELECT c.c_custkey, r.src, r.is_twin,
+               CAST(2 * (9 - levenshtein(c.cd, r.rd))
+                    + CASE WHEN c.c_nationkey = r.r_nation THEN 3 ELSE 0 END
+                    + CASE WHEN abs(c.c_acctbal - r.r_bal) < 500 THEN 5 ELSE 0 END
+                 AS BIGINT) AS score
+        FROM c JOIN r ON c.c_custkey % 100 = r.src % 100
+    ),
+    per_score AS (
+        SELECT score, count(*) AS n,
+               count(CASE WHEN is_twin AND c_custkey = src THEN 1 END) AS tp
+        FROM cand GROUP BY score
+    ),
+    truth AS (
+        SELECT count(*) AS n_truth FROM c WHERE c_custkey % 3 = 0
+    ),
+    grid AS (SELECT unnest(range(12, 25)) AS threshold)
+    SELECT g.threshold AS threshold,
+           CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST(sum(p.n) AS BIGINT) AS n_pred,
+           CAST(sum(p.tp) AS BIGINT) AS n_tp,
+           CAST(sum(p.tp) AS DOUBLE) / sum(p.n) AS precision,
+           CAST(sum(p.tp) AS DOUBLE) / t.n_truth AS recall
+    FROM grid g
+    CROSS JOIN truth t
+    JOIN per_score p ON p.score >= g.threshold
+    GROUP BY g.threshold, t.n_truth
+    """,
+    doc="B13 (r10): GROUND-TRUTH record-linkage calibration (VERDICT r9 "
+    "#4) — b13_record_linkage verified the blocked Fellegi-Sunter "
+    "machinery but its >=16 threshold was uncalibrated against any "
+    "truth; this entry PLANTS the truth and sweeps the threshold. A "
+    "synthetic registry is derived from customer in closed form: every "
+    "custkey%3==0 row gets a TRUE TWIN (one char of the zero-padded "
+    "key replaced by 'X' at a key-dependent position INSIDE THE "
+    "PADDING, positions 1-4 — two distinct keys < 10^5 always differ "
+    "in a real digit, so no foreign digest can be levenshtein-1 from "
+    "a twin: the first draft perturbed real-digit positions and "
+    "block-mates 100 apart collided at lev 1 -> levenshtein exactly "
+    "1; same nation; balance shifted +100, inside the 500 proximity "
+    "band -> score exactly 24) and every custkey%7==1 row a "
+    "DECOY (3-letter prefix corruption, shifted nation, +3000 balance "
+    "-> its own best score 12). Candidates come from the same "
+    "2-digit-suffix blocking key (never all-pairs), the registry side "
+    "broadcasts (the dimension side, as in the parent), and ONE "
+    "scored pass feeds the whole calibration CURVE: per-score counts "
+    "(<=27 groups) joined to a 13-point threshold grid gives "
+    "precision/recall per threshold in two bounded joins — pairs are "
+    "scored once no matter how many thresholds are graded, which is "
+    "the 100 TB shape (the grid join moves ~27 rows). All comparators "
+    "fold to exact integers; the only floats are the final two "
+    "divisions per grid row. tests/test_llm_ops.py pins recall == 1.0 "
+    "across the grid (every twin scores 24) and precision == 1.0 at "
+    "thresholds 23-24 (score parity: no cross-pair can exceed 22), so "
+    "the curve provably separates; the production 16 row reports the "
+    "honest measured precision of the parent's threshold.",
+)
+def b13_record_linkage_planted(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("cd"),
+    )
+    twins = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src"),
+        F.lit(True).alias("is_twin"),
+        F.col("c_nationkey").alias("r_nation"),
+        (F.col("c_acctbal") + 100).alias("r_bal"),
+        F.expr(
+            "substr(cd, 1, CAST(c_custkey % 4 AS INT)) || 'X' "
+            "|| substr(cd, CAST(c_custkey % 4 AS INT) + 2)"
+        ).alias("rd"),
+    )
+    decoys = c.filter(F.col("c_custkey") % 7 == 1).select(
+        F.col("c_custkey").alias("src"),
+        F.lit(False).alias("is_twin"),
+        ((F.col("c_nationkey") + 7) % 25).cast("int").alias("r_nation"),
+        (F.col("c_acctbal") + 3000).alias("r_bal"),
+        F.expr("'YYY' || substr(cd, 4)").alias("rd"),
+    )
+    r = twins.unionByName(decoys)
+    score = (
+        F.lit(2) * (F.lit(9) - F.levenshtein("cd", "rd"))
+        + F.when(F.col("c_nationkey") == F.col("r_nation"), 3).otherwise(0)
+        + F.when(F.abs(F.col("c_acctbal") - F.col("r_bal")) < 500, 5).otherwise(0)
+    ).cast("bigint")
+    cand = c.join(
+        F.broadcast(r), F.col("c_custkey") % 100 == F.col("src") % 100
+    ).select(
+        "c_custkey",
+        "src",
+        "is_twin",
+        score.alias("score"),
+    )
+    per_score = cand.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("is_twin") & (F.col("c_custkey") == F.col("src")), 1)
+        ).alias("tp"),
+    )
+    truth = c.filter(F.col("c_custkey") % 3 == 0).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    grid = spark.range(12, 25).select(F.col("id").alias("threshold"))
+    swept = (
+        grid.join(F.broadcast(per_score), F.col("score") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.sum("n").alias("n_pred"), F.sum("tp").alias("n_tp"))
+    )
+    return swept.crossJoin(F.broadcast(truth)).select(
+        "threshold",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_tp").cast("bigint").alias("n_tp"),
+        (F.col("n_tp").cast("double") / F.col("n_pred")).alias("precision"),
+        (F.col("n_tp").cast("double") / F.col("n_truth")).alias("recall"),
     )

