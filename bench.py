@@ -210,6 +210,8 @@ HEADLINE_V6 = [
     "b14_knn_accuracy_clustered",  # B14 kNN accuracy, clustered corpus
     "b13_record_linkage_planted",  # B13 linkage threshold calibration curve
     "b01_python_stream_source_parallel",  # B1 executor-parallel stream source
+    "b01_python_stream_sink",  # B1 Python streaming sink, manifest commit
+    "b06_quantile_histogram",  # B6 fixed-range histogram quantile sketch
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -232,6 +232,8 @@ _R10_WINDOW = [
     "b14_knn_accuracy_clustered",
     "b13_record_linkage_planted",
     "b01_python_stream_source_parallel",
+    "b01_python_stream_sink",
+    "b06_quantile_histogram",
     "b26_cooccurrence_skew_guard",
     # --- 7 rewritten in r10 (REWRITTEN_IN_ROUND: shared skew-guarded
     # edge build) — rewritten outranks re-confirm; they displace the
@@ -288,8 +290,9 @@ _R10_WINDOW = [
     "a18_inverted_index",
     "a22_having",
     "flagship_minute_flag_counts",
-    "a06_box_select_pixel",
-    "b25_gap_fill_interpolate",
+    # (b25_gap_fill_interpolate and a06_box_select_pixel were displaced
+    # to r11 by the fifth and sixth r10 additions, b01_python_stream_sink
+    # and b06_quantile_histogram — never-checked outranks re-confirm)
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

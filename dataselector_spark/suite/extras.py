@@ -9554,3 +9554,118 @@ def b13_record_linkage_planted(spark, sf_dir):
         (F.col("n_tp").cast("double") / F.col("n_pred")).alias("precision"),
         (F.col("n_tp").cast("double") / F.col("n_truth")).alias("recall"),
     )
+
+
+@query(
+    "b06_quantile_histogram",
+    oracle="""
+    WITH h AS (
+        SELECT least(greatest(CAST(floor(value / 4) AS BIGINT), 0), 255)
+                   AS bucket,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+    q AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS q_pct),
+    est AS (
+        SELECT q.q_pct, t.total, min(c.bucket) AS bucket
+        FROM q CROSS JOIN t JOIN c ON c.cum * 100 >= q.q_pct * t.total
+        GROUP BY q.q_pct, t.total
+    ),
+    e2 AS (
+        SELECT q_pct, total,
+               CAST((bucket + 1) * 4 AS DOUBLE) AS est
+        FROM est
+    )
+    SELECT e2.q_pct AS q_pct, e2.est AS est,
+           CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS BIGINT)
+               AS n_le,
+           e2.total AS total,
+           CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS DOUBLE)
+               / e2.total AS le_frac,
+           abs(CAST(e2.q_pct AS DOUBLE) / 100
+               - CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS DOUBLE)
+                 / e2.total) AS rank_err
+    FROM e2, events ev
+    GROUP BY e2.q_pct, e2.est, e2.total
+    """,
+    doc="B6 (r10): VALUE-CHECKED QUANTILE SKETCH — the bounded-mergeable-"
+    "state percentile estimator that completes the sketch family's "
+    "value-checked wing (b06_hll_registers for distinct, "
+    "b06_cms_sketch for frequency, this for rank): a FIXED-RANGE "
+    "equi-width histogram of 256 cells over value in [0,1024) (width "
+    "4 = a power of two, so value/4 is one EXACT IEEE op in Spark, "
+    "DuckDB, and any engine; out-of-range clamps to the edge cells), "
+    "quantile estimate = upper edge of the first bucket whose "
+    "cumulative count reaches ceil(q*total/100), all in integer "
+    "cross-multiplied arithmetic (cum*100 >= q*total — no float rank "
+    "math). Like the HLL entry, the sketch's ERROR is measured inside "
+    "the query, not asserted: a second scan counts the exact fraction "
+    "of rows below each estimate, so every output row carries its "
+    "true rank error (bounded by the bucket's mass) and the whole "
+    "thing hash-checks. The 256-cell state is constant regardless of "
+    "data size, merges by cell-wise addition (partitions, streams, "
+    "days), and the cumulative pass runs on <=256 rows — bounded by "
+    "CONSTRUCTION, unlike a sampled-sort sketch whose 'small' sample "
+    "grows with the data. At 100 TB: one map-side-combined aggregate "
+    "+ one broadcast of 7 estimates back over the fact table for the "
+    "error audit (the audit is optional in serving; the sketch alone "
+    "never rescans). The rows-only approx twin is "
+    "b06_approx_percentile; the exact-rank twin is "
+    "b06_equidepth_histogram.",
+)
+def b06_quantile_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    hist = (
+        ev.select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / 4).cast("bigint"), F.lit(0)),
+                F.lit(255),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # <=256 rows by construction: the unpartitioned window is bounded
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("cnt").over(w).alias("cum"))
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("total"))
+    targets = spark.range(0, 7).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (1, 5, 25, 50, 75, 95, 99)]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q_pct")
+    )
+    est = (
+        targets.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") * 100 >= F.col("q_pct") * F.col("total"),
+        )
+        .groupBy("q_pct", "total")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "q_pct",
+            "total",
+            ((F.col("bucket") + 1) * 4).cast("double").alias("est"),
+        )
+    )
+    n_le = F.count(F.when(F.col("value") < F.col("est"), 1))
+    return (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "est", "total")
+        .agg(
+            n_le.cast("bigint").alias("n_le"),
+            (n_le.cast("double") / F.col("total")).alias("le_frac"),
+            F.abs(
+                F.col("q_pct").cast("double") / 100
+                - n_le.cast("double") / F.col("total")
+            ).alias("rank_err"),
+        )
+        .select("q_pct", "est", "n_le", "total", "le_frac", "rank_err")
+    )

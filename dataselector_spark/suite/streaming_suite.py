@@ -613,3 +613,141 @@ def b01_python_stream_source_parallel(spark, sf_dir):
             F.countDistinct("pid").cast("bigint").alias("n_parts"),
         )
     )
+
+
+@query(
+    "b01_python_stream_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="B1 x B17 (r10): the WRITE-side Python Data Source surface — "
+    "DataSourceStreamWriter, completing the connector family "
+    "(batch reader r9, simple + partition-parallel stream readers, and "
+    "now a streaming SINK with the real two-phase commit protocol): "
+    "write(iterator) runs on EXECUTORS, one task per partition, "
+    "serializing each partition of the events file-stream to its own "
+    "uniquely-named JSONL part file and returning a WriterCommitMessage "
+    "naming it; the driver calls commit(messages, batchId) only when "
+    "every task succeeded, which atomically (tmp+rename) publishes a "
+    "per-batch MANIFEST of exactly the committed files; abort() deletes "
+    "the orphans. The entry then reads back ONLY manifest-listed files "
+    "and aggregates — the manifest is what turns at-least-once executor "
+    "writes (task retries leave stray part files) into exactly-once "
+    "reads, the same contract as Spark's own file-sink _spark_metadata "
+    "log. The DuckDB oracle aggregates the events TABLE directly, so "
+    "the hash match proves no row was lost or duplicated end to end "
+    "through stream -> Python sink -> manifest -> readback. Values "
+    "cross the JSON boundary as exact cents bigints (floor(value*100) "
+    "— one identical IEEE op in Python, Spark, and DuckDB), never as "
+    "serialized floats. At 100 TB/day the part files land on object "
+    "storage and the manifest in a transactional store; the protocol "
+    "shown here is unchanged.",
+)
+def b01_python_stream_sink(spark, sf_dir):
+    import glob as globmod
+    import json as jsonmod
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    from ..streaming import stream_events
+
+    out_dir = (
+        f"/tmp/dsspark_pysink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    class FileMsg(WriterCommitMessage):
+        def __init__(self, path, n):
+            self.path = path
+            self.n = n
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def write(self, iterator):
+            import json
+            import math
+            import os as _os
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            path = _os.path.join(
+                out_dir,
+                f"part-{ctx.partitionId()}-{_uuid.uuid4().hex}.jsonl",
+            )
+            n = 0
+            with open(path, "w") as f:
+                for row in iterator:
+                    vc = (
+                        None
+                        if row.value is None
+                        else int(math.floor(row.value * 100))
+                    )
+                    f.write(json.dumps({"t": row.event_type, "vc": vc}) + "\n")
+                    n += 1
+            return FileMsg(path, n)
+
+        def commit(self, messages, batchId):
+            import json
+            import os as _os
+
+            manifest = _os.path.join(out_dir, f"manifest-{batchId}.json")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    [
+                        {"path": m.path, "n": m.n}
+                        for m in messages
+                        if m is not None
+                    ],
+                    f,
+                )
+            _os.rename(tmp, manifest)
+
+        def abort(self, messages, batchId):
+            import os as _os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(m.path)
+                    except OSError:
+                        pass
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "dsspark_jsonl_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter()
+
+    spark.dataSource.register(JsonlSink)
+    ev = stream_events(spark, sf_dir).select("event_type", "value")
+    q = (
+        ev.writeStream.format("dsspark_jsonl_sink")
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files: list[str] = []
+    for man in sorted(globmod.glob(os.path.join(out_dir, "manifest-*.json"))):
+        with open(man) as f:
+            files += [e["path"] for e in jsonmod.load(f)]
+    committed = spark.read.schema("t string, vc bigint").json(files)
+    return committed.groupBy(F.col("t").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("cents_sum"),
+    )

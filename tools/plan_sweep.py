@@ -57,6 +57,8 @@ BOUNDED_BNLJ_OK = {
     " isotropic parent)",
     "b13_record_linkage_planted": "<=27-row per-score counts joined to a"
     " 13-row threshold grid + single-row truth count (calibration sweep)",
+    "b06_quantile_histogram": "<=256-row cumulative sketch + 7-row"
+    " estimate probe (bounded by construction; the error-audit rescan)",
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: execution
@@ -67,6 +69,7 @@ EFFECTFUL = {
     "b20_stream_stream_join", "b17_stream_static_enrich",
     "b23_streaming_upsert_sink", "b20_state_store_read",
     "b01_python_stream_source", "b01_python_stream_source_parallel",
+    "b01_python_stream_sink",
     "b02_bucketed_join",
     "b04_interval_join_colocated", "b02_bloom_filter_join",
     "b22_zorder_write_readback", "b22_compaction_readback",
