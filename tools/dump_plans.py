@@ -24,17 +24,9 @@ SF = "/root/testdata/sf0.01"
 
 
 def main() -> None:
-    from bench import (
-        HEADLINE,
-        HEADLINE_V2,
-        HEADLINE_V3,
-        HEADLINE_V4,
-        HEADLINE_V5,
-    )
+    from bench import SETS
 
-    HEADLINE = (
-        HEADLINE + HEADLINE_V2 + HEADLINE_V3 + HEADLINE_V4 + HEADLINE_V5
-    )
+    HEADLINE = [n for names in SETS.values() for n in names]
 
     spark = get_spark("plan-dump", cpus=8, shuffle_partitions=8)
     out = [
