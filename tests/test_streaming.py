@@ -489,3 +489,113 @@ def test_upsert_sink_exactly_once_under_midstream_crash(spark, tmp_path):
     q.awaitTermination()
     got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 1.0, 2: 9.0, 3: 7.0, 4: 4.0}
+
+
+def test_python_stream_sink_failure_leaves_no_manifest(spark, tmp_path):
+    """The manifest commit protocol's failure half: when a sink task
+    throws, the batch must NOT publish a manifest — so the
+    manifest-driven readback (b01_python_stream_sink's exactly-once
+    contract) sees zero rows, even though some successful tasks may have
+    already written orphan part files. (abort() can only delete files
+    whose tasks RETURNED messages; crashed tasks' orphans survive on
+    disk, which is exactly why readback trusts the manifest, not the
+    directory listing.)"""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = str(tmp_path / "failing_sink_out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    class Msg(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class FailingWriter(DataSourceStreamWriter):
+        def write(self, iterator):
+            import os as _os
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            rows = list(iterator)
+            path = _os.path.join(
+                out_dir, f"part-{ctx.partitionId()}-{_uuid.uuid4().hex}.jsonl"
+            )
+            with open(path, "w") as f:
+                for r in rows:
+                    f.write(f"{r[0]}\n")
+            if rows and min(r[0] for r in rows) == 0:
+                raise RuntimeError("planted task failure after orphan write")
+            return Msg(path)
+
+        def commit(self, messages, batchId):
+            import json as _json
+            import os as _os
+
+            manifest = _os.path.join(out_dir, f"manifest-{batchId}.json")
+            with open(manifest, "w") as f:
+                _json.dump([m.path for m in messages if m is not None], f)
+
+        def abort(self, messages, batchId):
+            pass
+
+    class FailingSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "dsspark_failing_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return FailingWriter()
+
+    spark.dataSource.register(FailingSink)
+    src = str(tmp_path / "src")
+    spark.range(0, 64, 1, 8).write.parquet(src)
+    q = (
+        spark.readStream.schema("id bigint")
+        .parquet(src)
+        .writeStream.format("dsspark_failing_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # some tasks may have left orphan part files...
+    assert glob.glob(os.path.join(out_dir, "part-*.jsonl"))
+    # ...but no manifest was published, so the committed view is EMPTY
+    manifests = glob.glob(os.path.join(out_dir, "manifest-*.json"))
+    assert manifests == []
+    committed = [
+        p
+        for man in manifests
+        for p in json.load(open(man))
+    ]
+    assert committed == []
+
+
+def test_bench_sets_name_real_suite_entries():
+    """Every frozen bench set member must be a registered suite entry —
+    a typo'd name in a new HEADLINE_V* would otherwise only surface as
+    a KeyError halfway through the driver's per-round bench run."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import SETS
+
+    from dataselector_spark.suite import QUERIES
+
+    for key, names in SETS.items():
+        missing = [n for n in names if n not in QUERIES]
+        assert not missing, (key, missing)
+        assert len(set(names)) == len(names), (key, "duplicate names")
