@@ -234,6 +234,7 @@ _R10_WINDOW = [
     "b01_python_stream_source_parallel",
     "b01_python_stream_sink",
     "b06_quantile_histogram",
+    "b17_stream_quantile_sketch",
     "b26_cooccurrence_skew_guard",
     # --- 7 rewritten in r10 (REWRITTEN_IN_ROUND: shared skew-guarded
     # edge build) — rewritten outranks re-confirm; they displace the
@@ -289,10 +290,11 @@ _R10_WINDOW = [
     "a17_anti_join_retract",
     "a18_inverted_index",
     "a22_having",
-    "flagship_minute_flag_counts",
-    # (b25_gap_fill_interpolate and a06_box_select_pixel were displaced
-    # to r11 by the fifth and sixth r10 additions, b01_python_stream_sink
-    # and b06_quantile_histogram — never-checked outranks re-confirm)
+    # (b25_gap_fill_interpolate, a06_box_select_pixel and
+    # flagship_minute_flag_counts were displaced to r11 by the fifth
+    # through seventh r10 additions, b01_python_stream_sink,
+    # b06_quantile_histogram and b17_stream_quantile_sketch —
+    # never-checked outranks re-confirm)
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

@@ -9556,6 +9556,64 @@ def b13_record_linkage_planted(spark, sf_dir):
     )
 
 
+def value_histogram_bucket():
+    """The fixed-range 256-cell bucket expression shared by the batch and
+    streaming quantile-sketch entries (width 4 = a power of two, so
+    value/4 is one exact IEEE op in every engine; edges clamp)."""
+    return F.least(
+        F.greatest(F.floor(F.col("value") / 4).cast("bigint"), F.lit(0)),
+        F.lit(255),
+    ).alias("bucket")
+
+
+def histogram_quantile_report(spark, hist, ev):
+    """Quantile estimates + in-query true-rank audit from a 256-cell
+    histogram (``hist``: bucket, cnt) against the exact value column
+    (``ev``: value) — the shared back half of b06_quantile_histogram and
+    b17_stream_quantile_sketch, so the streaming entry proves its
+    micro-batch-merged state is bit-identical to the batch sketch."""
+    from pyspark.sql import Window
+
+    # <=256 rows by construction: the unpartitioned window is bounded
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("cnt").over(w).alias("cum"))
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("total"))
+    targets = spark.range(0, 7).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (1, 5, 25, 50, 75, 95, 99)]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q_pct")
+    )
+    est = (
+        targets.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") * 100 >= F.col("q_pct") * F.col("total"),
+        )
+        .groupBy("q_pct", "total")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "q_pct",
+            "total",
+            ((F.col("bucket") + 1) * 4).cast("double").alias("est"),
+        )
+    )
+    n_le = F.count(F.when(F.col("value") < F.col("est"), 1))
+    return (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "est", "total")
+        .agg(
+            n_le.cast("bigint").alias("n_le"),
+            (n_le.cast("double") / F.col("total")).alias("le_frac"),
+            F.abs(
+                F.col("q_pct").cast("double") / 100
+                - n_le.cast("double") / F.col("total")
+            ).alias("rank_err"),
+        )
+        .select("q_pct", "est", "n_le", "total", "le_frac", "rank_err")
+    )
+
+
 @query(
     "b06_quantile_histogram",
     oracle="""
@@ -9618,54 +9676,10 @@ def b13_record_linkage_planted(spark, sf_dir):
     "b06_equidepth_histogram.",
 )
 def b06_quantile_histogram(spark, sf_dir):
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").select("value")
     hist = (
-        ev.select(
-            F.least(
-                F.greatest(F.floor(F.col("value") / 4).cast("bigint"), F.lit(0)),
-                F.lit(255),
-            ).alias("bucket")
-        )
+        ev.select(value_histogram_bucket())
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # <=256 rows by construction: the unpartitioned window is bounded
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("bucket", F.sum("cnt").over(w).alias("cum"))
-    total = hist.agg(F.sum("cnt").cast("bigint").alias("total"))
-    targets = spark.range(0, 7).select(
-        F.element_at(
-            F.array(*[F.lit(x) for x in (1, 5, 25, 50, 75, 95, 99)]),
-            (F.col("id") + 1).cast("int"),
-        ).alias("q_pct")
-    )
-    est = (
-        targets.crossJoin(F.broadcast(total))
-        .join(
-            F.broadcast(cum),
-            F.col("cum") * 100 >= F.col("q_pct") * F.col("total"),
-        )
-        .groupBy("q_pct", "total")
-        .agg(F.min("bucket").alias("bucket"))
-        .select(
-            "q_pct",
-            "total",
-            ((F.col("bucket") + 1) * 4).cast("double").alias("est"),
-        )
-    )
-    n_le = F.count(F.when(F.col("value") < F.col("est"), 1))
-    return (
-        ev.crossJoin(F.broadcast(est))
-        .groupBy("q_pct", "est", "total")
-        .agg(
-            n_le.cast("bigint").alias("n_le"),
-            (n_le.cast("double") / F.col("total")).alias("le_frac"),
-            F.abs(
-                F.col("q_pct").cast("double") / 100
-                - n_le.cast("double") / F.col("total")
-            ).alias("rank_err"),
-        )
-        .select("q_pct", "est", "n_le", "total", "le_frac", "rank_err")
-    )
+    return histogram_quantile_report(spark, hist, ev)

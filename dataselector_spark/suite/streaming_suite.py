@@ -751,3 +751,73 @@ def b01_python_stream_sink(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("vc").cast("bigint").alias("cents_sum"),
     )
+
+
+@query(
+    "b17_stream_quantile_sketch",
+    oracle="""
+    WITH h AS (
+        SELECT least(greatest(CAST(floor(value / 4) AS BIGINT), 0), 255)
+                   AS bucket,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+    q AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS q_pct),
+    est AS (
+        SELECT q.q_pct, t.total, min(c.bucket) AS bucket
+        FROM q CROSS JOIN t JOIN c ON c.cum * 100 >= q.q_pct * t.total
+        GROUP BY q.q_pct, t.total
+    ),
+    e2 AS (
+        SELECT q_pct, total,
+               CAST((bucket + 1) * 4 AS DOUBLE) AS est
+        FROM est
+    )
+    SELECT e2.q_pct AS q_pct, e2.est AS est,
+           CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS BIGINT)
+               AS n_le,
+           e2.total AS total,
+           CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS DOUBLE)
+               / e2.total AS le_frac,
+           abs(CAST(e2.q_pct AS DOUBLE) / 100
+               - CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS DOUBLE)
+                 / e2.total) AS rank_err
+    FROM e2, events ev
+    GROUP BY e2.q_pct, e2.est, e2.total
+    """,
+    doc="B17 x B6 (r10): the quantile sketch SERVED FROM A LIVE STREAM — "
+    "b06_quantile_histogram's fixed-range 256-cell histogram maintained "
+    "as real Structured Streaming aggregation state (file source -> "
+    "groupBy(bucket) -> complete-mode memory sink): the cells merge by "
+    "addition, so per-micro-batch partial counts fold into exactly the "
+    "batch histogram, and the quantile report computed from the sink "
+    "(the shared histogram_quantile_report back half, including the "
+    "exact true-rank audit against the batch table) hash-matches the "
+    "batch oracle bit for bit — the MERGEABILITY claim the batch "
+    "entry's docstring makes, executed rather than asserted. This is "
+    "the 100 TB serving pattern for percentile dashboards: the "
+    "streaming state is 256 bigints per key scope regardless of "
+    "throughput (contrast the unbounded distinct-set state of a naive "
+    "percentile-over-stream), checkpoint-recoverable, and queryable "
+    "mid-stream without stopping anything (b20_state_store_read's ops "
+    "contract).",
+)
+def b17_stream_quantile_sketch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from .extras import histogram_quantile_report, value_histogram_bucket
+
+    hist_stream = (
+        stream_events(spark, sf_dir)
+        .select(value_histogram_bucket())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = run_stream_to_table(hist_stream)
+    ev = load_table(spark, sf_dir, "events").select("value")
+    return histogram_quantile_report(spark, hist, ev)

@@ -59,6 +59,8 @@ BOUNDED_BNLJ_OK = {
     " 13-row threshold grid + single-row truth count (calibration sweep)",
     "b06_quantile_histogram": "<=256-row cumulative sketch + 7-row"
     " estimate probe (bounded by construction; the error-audit rescan)",
+    "b17_stream_quantile_sketch": "same bounded sketch report as"
+    " b06_quantile_histogram, fed from the streaming sink table",
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: execution
@@ -69,7 +71,7 @@ EFFECTFUL = {
     "b20_stream_stream_join", "b17_stream_static_enrich",
     "b23_streaming_upsert_sink", "b20_state_store_read",
     "b01_python_stream_source", "b01_python_stream_source_parallel",
-    "b01_python_stream_sink",
+    "b01_python_stream_sink", "b17_stream_quantile_sketch",
     "b02_bucketed_join",
     "b04_interval_join_colocated", "b02_bloom_filter_join",
     "b22_zorder_write_readback", "b22_compaction_readback",
