@@ -213,6 +213,7 @@ HEADLINE_V6 = [
     "b01_python_stream_sink",  # B1 Python streaming sink, manifest commit
     "b06_quantile_histogram",  # B6 fixed-range histogram quantile sketch
     "b17_stream_quantile_sketch",  # B17/B6 sketch as live streaming state
+    "b22_benford_digits",  # B22 Benford first-digit forensic audit
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

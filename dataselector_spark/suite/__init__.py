@@ -235,6 +235,7 @@ _R10_WINDOW = [
     "b01_python_stream_sink",
     "b06_quantile_histogram",
     "b17_stream_quantile_sketch",
+    "b22_benford_digits",
     "b26_cooccurrence_skew_guard",
     # --- 7 rewritten in r10 (REWRITTEN_IN_ROUND: shared skew-guarded
     # edge build) — rewritten outranks re-confirm; they displace the
@@ -289,12 +290,11 @@ _R10_WINDOW = [
     "a16_semi_join_apply",
     "a17_anti_join_retract",
     "a18_inverted_index",
-    "a22_having",
-    # (b25_gap_fill_interpolate, a06_box_select_pixel and
-    # flagship_minute_flag_counts were displaced to r11 by the fifth
-    # through seventh r10 additions, b01_python_stream_sink,
-    # b06_quantile_histogram and b17_stream_quantile_sketch —
-    # never-checked outranks re-confirm)
+    # (b25_gap_fill_interpolate, a06_box_select_pixel,
+    # flagship_minute_flag_counts and a22_having were displaced to r11
+    # by the fifth through eighth r10 additions, b01_python_stream_sink,
+    # b06_quantile_histogram, b17_stream_quantile_sketch and
+    # b22_benford_digits — never-checked outranks re-confirm)
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

@@ -9683,3 +9683,100 @@ def b06_quantile_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return histogram_quantile_report(spark, hist, ev)
+
+
+@query(
+    "b22_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS digit
+        FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    obs AS (
+        SELECT CAST(digit AS BIGINT) AS digit, count(*) AS n
+        FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    exp AS (
+        SELECT CAST(g.d AS BIGINT) AS digit, e.ppm AS expected_ppm
+        FROM (SELECT unnest(range(1, 10)) AS d) g
+        JOIN (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                     (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                     (9, 45757)) e(d, ppm)
+          ON e.d = g.d
+    )
+    SELECT exp.digit AS digit,
+           CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+           t.total AS total,
+           CAST(coalesce(obs.n, 0) AS DOUBLE) / t.total AS obs_frac,
+           CAST(exp.expected_ppm AS BIGINT) AS expected_ppm,
+           abs(CAST(coalesce(obs.n, 0) AS DOUBLE) / t.total
+               - CAST(exp.expected_ppm AS DOUBLE) / 1000000) AS dev
+    FROM exp CROSS JOIN t LEFT JOIN obs ON obs.digit = exp.digit
+    """,
+    doc="B22 (r10): BENFORD FIRST-DIGIT AUDIT — the forensic data-quality "
+    "profile (fraud screening, synthetic-data detection, unit-mixup "
+    "alarms): the distribution of leading digits of l_extendedprice "
+    "against Benford's law, per digit: observed count, observed "
+    "fraction, the expected log10(1+1/d) share embedded as EXACT "
+    "integer ppm literals precomputed at author time (301030 ... "
+    "45757, summing to exactly 1000000 — no transcendental evaluates "
+    "in EITHER engine, the no-logs-in-oracles rule), and the absolute "
+    "deviation. The leading digit comes from the integer-part STRING "
+    "(CAST(floor(x) AS BIGINT) -> first char) — no log10(x) per row, "
+    "whose libm rounding at decade boundaries differs across engines. "
+    "One shuffle carrying <=9 groups (map-side combined), a 9-row "
+    "expected table and a 1-row total broadcast; divisions only at "
+    "the edge. The honest finding is part of the entry: TPC-H-style "
+    "uniform prices are NOT Benford (dev ~0.1 at digit 1) — exactly "
+    "what the audit is built to flag on synthetic or truncated data; "
+    "organic multi-scale quantities converge toward the law. At "
+    "100 TB this is a free rider on any existing scan: 9 counters per "
+    "monitored column, mergeable across partitions and days.",
+)
+def b22_benford_digits(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    obs = (
+        li.select(
+            F.substring(
+                F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    ppm = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+           6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    exp = spark.range(1, 10).select(
+        F.col("id").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(ppm[d]) for d in range(1, 10)]),
+            F.col("id").cast("int"),
+        )
+        .cast("bigint")
+        .alias("expected_ppm"),
+    )
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    return (
+        exp.crossJoin(F.broadcast(total))
+        .join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            n.alias("n"),
+            "total",
+            (n.cast("double") / F.col("total")).alias("obs_frac"),
+            "expected_ppm",
+            F.abs(
+                n.cast("double") / F.col("total")
+                - F.col("expected_ppm").cast("double") / 1000000
+            ).alias("dev"),
+        )
+    )

@@ -61,6 +61,8 @@ BOUNDED_BNLJ_OK = {
     " estimate probe (bounded by construction; the error-audit rescan)",
     "b17_stream_quantile_sketch": "same bounded sketch report as"
     " b06_quantile_histogram, fed from the streaming sink table",
+    "b22_benford_digits": "single-row total broadcast over the 9-digit"
+    " expected table (digit join itself is an equi BroadcastHashJoin)",
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: execution
