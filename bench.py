@@ -216,6 +216,14 @@ HEADLINE_V6 = [
     "b22_benford_digits",  # B22 Benford first-digit forensic audit
 ]
 
+# HEADLINE_V7: the round-11 additions, FROZEN the same way (reported as
+# `headline_v7_wall`, excluded from `value`).
+HEADLINE_V7 = [
+    "b06_quantile_refined",  # B6 two-level hot-set refinement sketch
+    "b15_bm25_topk",  # B15 BM25 document ranking, fixed-point rationals
+    "b26_communities_lpa",  # B26 4-round synchronous label propagation
+]
+
 # The frozen versioned sets, addressable for per-set isolated re-runs.
 SETS = {
     "v1": HEADLINE,
@@ -224,6 +232,7 @@ SETS = {
     "v4": HEADLINE_V4,
     "v5": HEADLINE_V5,
     "v6": HEADLINE_V6,
+    "v7": HEADLINE_V7,
 }
 
 
@@ -328,7 +337,8 @@ def main() -> None:
         + HEADLINE_V3
         + HEADLINE_V4
         + HEADLINE_V5
-        + HEADLINE_V6,
+        + HEADLINE_V6
+        + HEADLINE_V7,
         sf_dir,
         reps,
     )
@@ -339,6 +349,7 @@ def main() -> None:
     extra4 = round(sum(timings[n] for n in HEADLINE_V4), 3)
     extra5 = round(sum(timings[n] for n in HEADLINE_V5), 3)
     extra6 = round(sum(timings[n] for n in HEADLINE_V6), 3)
+    extra7 = round(sum(timings[n] for n in HEADLINE_V7), 3)
     probe = _cpu_probe()
     scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
 
@@ -425,6 +436,8 @@ def main() -> None:
                 "headline_v5_n": len(HEADLINE_V5),
                 "headline_v6_wall": extra6,
                 "headline_v6_n": len(HEADLINE_V6),
+                "headline_v7_wall": extra7,
+                "headline_v7_n": len(HEADLINE_V7),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,

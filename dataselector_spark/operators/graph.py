@@ -30,10 +30,15 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: (semanticHash, frac) -> probe already ran in this process (the
-#: rangejoin._SKEW_PROBE_SEEN pattern: bench reps and repeated plan
-#: construction over the same input pay the probe jobs once).
-_CELL_PROBE_SEEN: set[tuple[int, float]] = set()
+#: (semanticHash, frac, sample_fraction) -> probe already ran in this
+#: process (the rangejoin._SKEW_PROBE_SEEN pattern: bench reps and repeated
+#: plan construction over the same input pay the probe jobs once).  ADVICE
+#: r10: the key carries EVERY probe parameter — a later call with a
+#: different sample_fraction is a different probe, not a cache hit — and
+#: the set is bounded (FIFO eviction) so a long-lived process composing
+#: many distinct plans cannot grow it without limit.
+_CELL_PROBE_SEEN: dict[tuple[int, float, float], None] = {}
+_CELL_PROBE_SEEN_MAX = 4096
 
 
 def cooccurrence_cells(
@@ -66,7 +71,7 @@ def warn_hot_cells(
     ~10M rows — exact is cheap there), verdict cached per logical plan per
     process."""
     try:
-        key = (cells.semanticHash(), frac)
+        key = (cells.semanticHash(), frac, sample_fraction)
     except Exception:  # pragma: no cover - Connect/ancient Spark
         key = None
     if key is not None and key in _CELL_PROBE_SEEN:
@@ -83,7 +88,9 @@ def warn_hot_cells(
             .first()
         )
     if key is not None:
-        _CELL_PROBE_SEEN.add(key)
+        while len(_CELL_PROBE_SEEN) >= _CELL_PROBE_SEEN_MAX:
+            _CELL_PROBE_SEEN.pop(next(iter(_CELL_PROBE_SEEN)))
+        _CELL_PROBE_SEEN[key] = None
     if row and row["n"] and row["mx"] / row["n"] > frac:
         est_pairs = row["mx"] * (row["mx"] - 1) // 2
         warnings.warn(

@@ -113,6 +113,17 @@ REWRITTEN_IN_ROUND = {
     "b26_kcore": 10,
     "b26_sssp_bounded": 10,
     "b26_assortativity": 10,
+    # r11 (ADVICE r10): material post-r10-row changes.  b01_python_stream_sink
+    # now materializes the readback aggregate and removes its /tmp output +
+    # checkpoint dirs before returning; b13_record_linkage_planted gained the
+    # max-custkey < 10^5 pad-safety guard job ahead of the twin build.
+    # (The r11 warn_hot_cells probe-cache change — key now includes
+    # sample_fraction, bounded FIFO — is deliberately NOT marked for the
+    # seven graph entries: it alters only probe memoization/warning behavior,
+    # never the edge dataflow or any emitted value; test_graph_guard.py
+    # covers the new contract directly.)
+    "b01_python_stream_sink": 11,
+    "b13_record_linkage_planted": 11,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -212,8 +223,12 @@ REWRITTEN_IN_ROUND = {
 #     b06_sketch_rollup / b22_stratified_sample are deliberately excluded
 #     per the standing r7 #4 rule);
 #   * the oldest r5-latest oracle-bearing entries in registration order
-#     (22 after displacement by the 4 new + 7 rewritten entries below).
-#     The 22 remaining r5-latest entries queue for r11
+#     (18 after displacement by the 8 new + 7 rewritten entries below —
+#     counts corrected per ADVICE r10 #4; the window list itself was
+#     always the len==50 source of truth).
+#     The 22 r5-latest entries below queued for r11 (plus the 4 displaced
+#     late — b25_gap_fill_interpolate, a06_box_select_pixel,
+#     flagship_minute_flag_counts, a22_having — 26 in total)
 #     (b25_m4_downsample, b25_time_weighted_avg, b26_funnel,
 #     b26_retention_cohorts, b25_trend_per_series, b05_asof_tolerance,
 #     b08_ratio_to_report, b13_minhash_portable,
@@ -267,11 +282,12 @@ _R10_WINDOW = [
     "b16_resize_nn",
     "b26_transition_bigrams",
     "b06_equidepth_histogram",
-    # --- 22 oldest r5-latest oracle-bearing re-confirms (registration
-    # order; b13_dedup_pipeline_verified / b13_simhash_portable /
+    # --- 18 oldest r5-latest oracle-bearing re-confirms (registration
+    # order; count corrected per ADVICE r10 #4.
+    # b13_dedup_pipeline_verified / b13_simhash_portable /
     # b22_stratified_sample_hash / b13_minhash_portable were displaced
-    # to r11 by the four r10 additions and the next seven by the seven
-    # REWRITTEN_IN_ROUND graph entries above) ---
+    # to r11 by four of the eight r10 additions and the next seven by
+    # the seven REWRITTEN_IN_ROUND graph entries above) ---
     "b12_dedup_exact",
     "b17_stream_tumbling",
     "b17_stream_sliding",
@@ -297,6 +313,95 @@ _R10_WINDOW = [
     # b22_benford_digits — never-checked outranks re-confirm)
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+
+# The round-11 window (VERDICT r10 "Next round" #1, freshness hygiene):
+# CORRECTNESS_r10 was 50/50 green, so nothing is red/never-checked from r10 —
+# the window is the freshness-tail retirement the r10 verdict prescribes
+# (all 26 r5-latest oracle-bearing entries + the oldest r6-latest rows),
+# minus the standing displacements:
+#   * 3 entries NEW in r11 (never-checked outranks everything):
+#     b06_quantile_refined (two-level hot-set refinement sketch, VERDICT
+#     r10 #3), b15_bm25_topk (BM25 document ranking, #5),
+#     b26_communities_lpa (bounded-round label propagation, #6);
+#   * 2 entries REWRITTEN in r11 after their r10 rows (REWRITTEN_IN_ROUND):
+#     b01_python_stream_sink (readback materialized + /tmp cleanup, ADVICE
+#     r10 #3), b13_record_linkage_planted (pad-safety guard, ADVICE r10 #1);
+#   * all 26 r5-latest oracle-bearing entries (the oldest tail — after this
+#     round no oracle-bearing entry's latest row predates r6);
+#   * the 19 oldest r6-latest oracle-bearing entries in registration order
+#     (24 per the verdict target, minus 5 displaced to r12 by the five
+#     new/rewritten entries above: q22_dormant_customers,
+#     b07_grouping_sets, b21_pandas_udf_scalar, b21_grouped_applyinpandas,
+#     b21_python_udtf).  The remaining 31 r6-latest entries queue for r12:
+#     q22_dormant_customers, b07_grouping_sets, b21_pandas_udf_scalar,
+#     b21_grouped_applyinpandas, b21_python_udtf, b08_rank_battery,
+#     b08_lag_lead, b08_rolling_frames, b08_range_frame, a19_group_count,
+#     a20_distinct_sort, a21_export, a26_format_truncate,
+#     q1_pricing_summary, b06_agg_battery, b02_join_revenue_per_nation,
+#     b04_interval_join_keyed, b04_interval_join_colocated, b05_asof_join,
+#     b07_rollup, b07_cube, b09_topk_global, b09_topk_per_group,
+#     b10_set_ops, b11_scalar_battery, b06_multires_rollup,
+#     b10_union_schema_evolution, b16_ppm_roundtrip, b15_repetition_filter,
+#     b24_curation_pipeline, b22_zorder_key.
+_R11_WINDOW = [
+    # --- new in r11, never checked ---
+    "b06_quantile_refined",
+    "b15_bm25_topk",
+    "b26_communities_lpa",
+    # --- rewritten in r11 (REWRITTEN_IN_ROUND) ---
+    "b01_python_stream_sink",
+    "b13_record_linkage_planted",
+    # --- all 26 r5-latest oracle-bearing entries (oldest tail) ---
+    "a22_having",
+    "flagship_minute_flag_counts",
+    "a06_box_select_pixel",
+    "b25_gap_fill_interpolate",
+    "b25_m4_downsample",
+    "b25_time_weighted_avg",
+    "b26_funnel",
+    "b26_retention_cohorts",
+    "b25_trend_per_series",
+    "b05_asof_tolerance",
+    "b08_ratio_to_report",
+    "b13_minhash_portable",
+    "b22_stratified_sample_hash",
+    "b13_simhash_portable",
+    "b13_dedup_pipeline_verified",
+    "b13_incremental_dedup",
+    "b01_orc_roundtrip_lineitem",
+    "b13_dedup_survivors_quality",
+    "b14_embedding_dedup_survivors",
+    "b15_pii_scrub",
+    "b01_xml_roundtrip",
+    "b16_binary_ingest",
+    "b13_containment_pairs",
+    "b15_vocab_coverage",
+    "b22_table_profile",
+    "b23_snapshot_diff",
+    # --- 19 oldest r6-latest oracle-bearing re-confirms (registration
+    # order; the last 5 of the verdict's 24 displaced to r12 by the
+    # new/rewritten entries above) ---
+    "b13_ngram_jaccard",
+    "b14_topk_cosine",
+    "b14_ann_lsh",
+    "b15_lang_id_quality",
+    "b16_multimodal_meta",
+    "b16_multimodal_features",
+    "b16_resize",
+    "b14_ann_ivf",
+    "b13_dedup_clusters",
+    "b13_dedup_survivors",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_supplier",
+]
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
 # r9 window, kept for the ledger (superseded by _R10_WINDOW above):
 _R9_WINDOW = [
@@ -403,8 +508,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R10_WINDOW]
-_order = _R10_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R11_WINDOW]
+_order = _R11_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -9500,6 +9500,20 @@ def b13_record_linkage_planted(spark, sf_dir):
         "c_acctbal",
         F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("cd"),
     )
+    # ADVICE r10: the separation proof below (precision == 1.0 at
+    # thresholds 23-24) requires every perturbation position 1-4 to land
+    # in the 9-digit zero PADDING, i.e. c_custkey < 10^5 (TPC-H SF < 2/3).
+    # At larger SF position 4 becomes a real digit and block-mates 10^5
+    # apart can form levenshtein-1 cross pairs scoring 24 — refuse loudly
+    # instead of silently shipping a broken calibration truth.  The probe
+    # is one column-pruned min/max scan of the dimension table.
+    mx = c.agg(F.max("c_custkey")).first()[0]
+    if mx is not None and mx >= 100_000:
+        raise ValueError(
+            "b13_record_linkage_planted: planted-twin separation requires "
+            f"c_custkey < 10^5, got max {mx}; widen the pad and rescale the "
+            "levenshtein score band to support this scale factor"
+        )
     twins = c.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("src"),
         F.lit(True).alias("is_twin"),
@@ -9686,6 +9700,208 @@ def b06_quantile_histogram(spark, sf_dir):
 
 
 @query(
+    "b06_quantile_refined",
+    oracle="""
+    WITH h AS (
+        SELECT least(greatest(CAST(floor(value / 4) AS BIGINT), 0), 255)
+                   AS bucket,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+    hot AS (
+        SELECT h.bucket FROM h, t WHERE h.cnt * 100 >= t.total
+    ),
+    fh AS (
+        SELECT hot.bucket AS bucket,
+               least(greatest(CAST(floor((ev.value - hot.bucket * 4) * 64)
+                                   AS BIGINT), 0), 255) AS fine,
+               count(*) AS cnt
+        FROM events ev JOIN hot
+          ON least(greatest(CAST(floor(ev.value / 4) AS BIGINT), 0), 255)
+             = hot.bucket
+        GROUP BY 1, 2
+    ),
+    fc AS (
+        SELECT bucket, fine,
+               sum(cnt) OVER (PARTITION BY bucket ORDER BY fine) AS fcum
+        FROM fh
+    ),
+    q AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS q_pct),
+    pick AS (
+        SELECT q.q_pct, t.total, min(c.bucket) AS bucket
+        FROM q CROSS JOIN t JOIN c ON c.cum * 100 >= q.q_pct * t.total
+        GROUP BY q.q_pct, t.total
+    ),
+    pickc AS (
+        SELECT p.q_pct, p.total, p.bucket, c.cum - c.cnt AS below
+        FROM pick p JOIN c ON c.bucket = p.bucket
+    ),
+    fine_pick AS (
+        SELECT p.q_pct, min(fc.fine) AS fine
+        FROM pickc p JOIN fc
+          ON fc.bucket = p.bucket
+         AND (p.below + fc.fcum) * 100 >= p.q_pct * p.total
+        GROUP BY p.q_pct
+    ),
+    e2 AS (
+        SELECT p.q_pct, p.total,
+               CASE WHEN f.fine IS NOT NULL
+                    THEN CAST(p.bucket * 4 AS DOUBLE)
+                         + CAST(f.fine + 1 AS DOUBLE) / 64
+                    ELSE CAST((p.bucket + 1) * 4 AS DOUBLE) END AS est,
+               CASE WHEN f.fine IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS refined
+        FROM pickc p LEFT JOIN fine_pick f ON f.q_pct = p.q_pct
+    )
+    SELECT e2.q_pct AS q_pct, e2.est AS est, e2.refined AS refined,
+           CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS BIGINT)
+               AS n_le,
+           e2.total AS total,
+           abs(CAST(e2.q_pct AS DOUBLE) / 100
+               - CAST(count(CASE WHEN ev.value < e2.est THEN 1 END) AS DOUBLE)
+                 / e2.total) AS rank_err
+    FROM e2, events ev
+    GROUP BY e2.q_pct, e2.est, e2.refined, e2.total
+    """,
+    doc="B6 (r11): TWO-LEVEL REFINED QUANTILE SKETCH — the production "
+    "variant b06_quantile_histogram's docstring and the SCALE.md ladder "
+    "name: the fixed-range 256-cell coarse histogram's rank error is "
+    "bounded by the LANDING CELL's mass (measured up to 0.067 at p1, "
+    "where the data is dense relative to the 4-wide cell), so a second "
+    "256-cell histogram refines exactly the coarse cells that can "
+    "violate a 1% error budget — every cell holding >= 1% of total "
+    "mass (cnt*100 >= total, integer cross-multiplied; at most 100 "
+    "such cells by pigeonhole, so level-2 state is bounded by "
+    "CONSTRUCTION at 100 x 256 cells regardless of data size). Fine "
+    "cells are width 1/64 = a power of two: (value - bucket*4) * 64 "
+    "is exact IEEE in every engine, and the refined estimate "
+    "bucket*4 + (fine+1)/64 is a sum of exact dyadics. Rank math is "
+    "the same integer cross-multiplication as the parent at both "
+    "levels ((below + fine_cum)*100 >= q*total — no float ranks), "
+    "and the same in-query exact audit scans back so every output "
+    "row carries its TRUE rank error; tests/test_planted_signals.py "
+    "pins rank_err <= 0.01 at every grid point at every testdata SF "
+    "(the parent's worst case was 6.7x that budget). Two passes, "
+    "both mergeable by cellwise addition: at 100 TB this is two "
+    "map-side-combined aggregates — pass 1 builds the coarse sketch "
+    "and the (driver-side, <= 100-row) hot set, pass 2 sketches only "
+    "rows falling in hot cells (a broadcast semi-join filter that "
+    "prunes at the scan) — versus the exact percentile's "
+    "single-reducer global sort. The audit pass (broadcast of 7 "
+    "estimates) remains optional in serving, as in the parent.",
+)
+def b06_quantile_refined(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    hist = (
+        ev.select(value_histogram_bucket())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # <=256 rows by construction: the unpartitioned window is bounded
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("total"))
+    # Hot set: every coarse cell that could violate the 1% budget.
+    hot = (
+        hist.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 100 >= F.col("total"))
+        .select("bucket")
+    )
+    # Pass 2: fine histogram over hot cells only (broadcast semi filter).
+    fine_hist = (
+        ev.select("value", value_histogram_bucket())
+        .join(F.broadcast(hot), "bucket")
+        .select(
+            "bucket",
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value") - F.col("bucket") * 4) * 64
+                    ).cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).alias("fine"),
+        )
+        .groupBy("bucket", "fine")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wf = Window.partitionBy("bucket").orderBy("fine").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fine_cum = fine_hist.select(
+        "bucket", "fine", F.sum("cnt").over(wf).alias("fcum")
+    )
+    targets = spark.range(0, 7).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (1, 5, 25, 50, 75, 95, 99)]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q_pct")
+    )
+    pick = (
+        targets.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum.select("bucket", "cum")),
+            F.col("cum") * 100 >= F.col("q_pct") * F.col("total"),
+        )
+        .groupBy("q_pct", "total")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    pickc = pick.join(
+        F.broadcast(cum.select("bucket", (F.col("cum") - F.col("cnt")).alias("below"))),
+        "bucket",
+    )
+    fine_pick = (
+        pickc.join(
+            F.broadcast(fine_cum),
+            (fine_cum["bucket"] == pickc["bucket"])
+            & (
+                (F.col("below") + F.col("fcum")) * 100
+                >= F.col("q_pct") * F.col("total")
+            ),
+        )
+        .groupBy("q_pct")
+        .agg(F.min("fine").alias("fine"))
+    )
+    est = pickc.join(F.broadcast(fine_pick), "q_pct", "left").select(
+        "q_pct",
+        "total",
+        F.when(
+            F.col("fine").isNotNull(),
+            (F.col("bucket") * 4).cast("double")
+            + (F.col("fine") + 1).cast("double") / F.lit(64.0),
+        )
+        .otherwise(((F.col("bucket") + 1) * 4).cast("double"))
+        .alias("est"),
+        F.when(F.col("fine").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("refined"),
+    )
+    n_le = F.count(F.when(F.col("value") < F.col("est"), 1))
+    return (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "est", "refined", "total")
+        .agg(
+            n_le.cast("bigint").alias("n_le"),
+            F.abs(
+                F.col("q_pct").cast("double") / 100
+                - n_le.cast("double") / F.col("total")
+            ).alias("rank_err"),
+        )
+        .select("q_pct", "est", "refined", "n_le", "total", "rank_err")
+    )
+
+
+@query(
     "b22_benford_digits",
     oracle="""
     WITH d AS (
@@ -9779,4 +9995,269 @@ def b22_benford_digits(spark, sf_dir):
                 - F.col("expected_ppm").cast("double") / 1000000
             ).alias("dev"),
         )
+    )
+
+
+@query(
+    "b15_bm25_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS tot_len
+        FROM dl
+    ),
+    w AS (
+        SELECT * FROM (VALUES ('dup', CAST(2900 AS BIGINT)),
+                              ('vector', CAST(700 AS BIGINT)),
+                              ('scan', CAST(600 AS BIGINT))) AS w(term, w_milli)
+    ),
+    tf AS (
+        SELECT tok.doc_id, tok.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN w ON tok.term = w.term
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum((w.w_milli * 44 * corp.tot_len * tf.tf)
+                        // (20 * corp.tot_len * tf.tf + 6 * corp.tot_len
+                            + 18 * dl.dl * corp.n_docs)) AS BIGINT)
+                   AS score_milli
+        FROM tf
+        JOIN w ON tf.term = w.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corp
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT s.doc_id, dl.dl AS n_tokens, s.score_milli,
+               row_number() OVER (ORDER BY s.score_milli DESC, s.doc_id)
+                   AS rank
+        FROM scored s JOIN dl ON s.doc_id = dl.doc_id
+    )
+    SELECT doc_id, n_tokens, score_milli, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="B15 (r11): BM25 DOCUMENT RANKING (VERDICT r10 #5) — the standard "
+    "retrieval scorer the text family lacked (b15_tfidf_top_term ranks "
+    "terms within a doc; this ranks DOCS for a query): "
+    "score(D) = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*|D|/avgdl)) "
+    "with Robertson's k1=1.2, b=0.75. INTEGER-SCALED constants fold "
+    "the per-term score to one exact rational: with k1=6/5, b=3/4 and "
+    "avgdl=L/N, the saturation term is 44*L*tf / (20*L*tf + 6*L + "
+    "18*dl*N) — every quantity a corpus integer, evaluated in "
+    "fixed-point milli units with a single truncating integer "
+    "division (Spark DIV == DuckDB // for non-negative operands, the "
+    "engine-parity rule), so the summed score is an exact BIGINT and "
+    "the whole ranking hash-checks. idf enters as integer milli-"
+    "weights on the query terms (dup=2900 rare, vector=700, scan=600 "
+    "common — a serving-side term-dictionary lookup, exactly how "
+    "production rankers ship it precomputed): the transcendental ln "
+    "stays OUT of the hash-checked contract per b15_tfidf_top_term's "
+    "documented rule. Plan shape: one tokenize scan with the query "
+    "IN-list pushed to the explode (only matching terms survive the "
+    "first aggregate), corpus stats (N, L) and the 3-row dictionary "
+    "broadcast, and the final top-10 is orderBy+limit = a "
+    "TakeOrderedAndProject — per-partition heaps, no global sort "
+    "(tests/test_plans.py pins it). Ties broken by (score DESC, "
+    "doc_id ASC) total order in both engines. At 100 TB the tf "
+    "aggregate shuffles only rows containing query terms and the "
+    "top-k never materializes more than k rows per partition.",
+)
+def b15_bm25_topk(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {"dup": 2900, "vector": 700, "scan": 600}
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_len"),
+    )
+    w = F.broadcast(
+        spark.createDataFrame(list(weights.items()), "term string, w_milli bigint")
+    )
+    tf = (
+        tok.join(w.select("term"), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    scored = (
+        tf.join(w, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((w_milli * 44 * tot_len * tf) DIV "
+                "(20 * tot_len * tf + 6 * tot_len + 18 * dl * n_docs) "
+                "AS BIGINT)"
+            ).alias("part_milli"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_milli").cast("bigint").alias("score_milli"))
+    )
+    ranked = (
+        scored.join(dl, "doc_id")
+        .select("doc_id", F.col("dl").alias("n_tokens"), "score_milli")
+        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    rw = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "b26_communities_lpa",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    ed AS (
+        SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id <> b.user_id
+    ),
+    l0 AS (SELECT DISTINCT user_id AS node, user_id AS label FROM g),
+    c1 AS (
+        SELECT ed.dst AS node, l.label, count(*) AS c
+        FROM ed JOIN l0 l ON ed.src = l.node GROUP BY 1, 2
+    ),
+    v1 AS (
+        SELECT node, min(CASE WHEN c = mx THEN label END) AS label
+        FROM (SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
+              FROM c1)
+        GROUP BY node
+    ),
+    l1 AS (SELECT l0.node, coalesce(v1.label, l0.label) AS label
+           FROM l0 LEFT JOIN v1 ON v1.node = l0.node),
+    c2 AS (
+        SELECT ed.dst AS node, l.label, count(*) AS c
+        FROM ed JOIN l1 l ON ed.src = l.node GROUP BY 1, 2
+    ),
+    v2 AS (
+        SELECT node, min(CASE WHEN c = mx THEN label END) AS label
+        FROM (SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
+              FROM c2)
+        GROUP BY node
+    ),
+    l2 AS (SELECT l1.node, coalesce(v2.label, l1.label) AS label
+           FROM l1 LEFT JOIN v2 ON v2.node = l1.node),
+    c3 AS (
+        SELECT ed.dst AS node, l.label, count(*) AS c
+        FROM ed JOIN l2 l ON ed.src = l.node GROUP BY 1, 2
+    ),
+    v3 AS (
+        SELECT node, min(CASE WHEN c = mx THEN label END) AS label
+        FROM (SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
+              FROM c3)
+        GROUP BY node
+    ),
+    l3 AS (SELECT l2.node, coalesce(v3.label, l2.label) AS label
+           FROM l2 LEFT JOIN v3 ON v3.node = l2.node),
+    c4 AS (
+        SELECT ed.dst AS node, l.label, count(*) AS c
+        FROM ed JOIN l3 l ON ed.src = l.node GROUP BY 1, 2
+    ),
+    v4 AS (
+        SELECT node, min(CASE WHEN c = mx THEN label END) AS label
+        FROM (SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
+              FROM c4)
+        GROUP BY node
+    ),
+    l4 AS (SELECT l3.node, coalesce(v4.label, l3.label) AS label
+           FROM l3 LEFT JOIN v4 ON v4.node = l3.node)
+    SELECT node AS user_id, CAST(label AS BIGINT) AS community
+    FROM l4
+    """,
+    doc="B26 (r11): LABEL-PROPAGATION COMMUNITY DETECTION (VERDICT r10 #6) "
+    "— Raghavan et al.'s LPA, the classic communities primitive the "
+    "graph family lacked (components partition by CONNECTIVITY; LPA "
+    "partitions by vote DENSITY, splitting a connected graph into "
+    "dense neighborhoods), on the same shared skew-guarded "
+    "(event_type, 60-second)-cell co-occurrence edge build as "
+    "b26_bfs_levels. SYNCHRONOUS bounded-round variant for a "
+    "deterministic, oracle-checkable fixture: every node starts "
+    "labeled with its own id; each of 4 rounds every node adopts the "
+    "most frequent label among its in-neighbors, ties broken by MIN "
+    "label, isolated nodes keep their own (asynchronous random-order "
+    "LPA converges faster but is run-dependent — useless as a "
+    "hash-checked contract; min-tie-break synchronous LPA is the "
+    "standard deterministic formulation). Per round: one equi-join of "
+    "the edge list against the label relation, a (node, label) "
+    "count, argmax via a whole-partition window max consumed by the "
+    "group's own rows (the b25_cusum rule — never groupBy+join-back), "
+    "and a left-join coalesce to carry unvoted nodes. The label "
+    "relation has TWO consumers per round (next round's vote join + "
+    "its coalesce), so it is localCheckpoint()ed each round per the "
+    "measured consumer-count materialization policy (tools/"
+    "kcore_ladder.py: fan-out consumers -> checkpoint; single "
+    "consumer -> lazy), and the edge list is checkpointed once for "
+    "its 4 consumers, the triangle-count lineage pattern. The oracle "
+    "unrolls the same 4 rounds as chained CTEs. At 100 TB: state per "
+    "round is one (node, label) row per vertex, hash-partitioned on "
+    "node; edges stream through an equi-join AQE can size; ROUND "
+    "COUNT, not graph size, bounds the plan depth — and the bounded "
+    "sync-round form is exactly how LPA ships in distributed graph "
+    "systems (Pregel supersteps).",
+)
+def b26_communities_lpa(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    g = cooccurrence_cells(ev, 60)
+    ed = (
+        cooccurrence_pairs(g, directed=True)
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .distinct()
+        # consumed once per LPA round — truncate the self-join lineage
+        .localCheckpoint()
+    )
+    labels = (
+        g.select("user_id")
+        .distinct()
+        .select(F.col("user_id").alias("node"), F.col("user_id").alias("label"))
+    )
+    for _ in range(4):
+        votes = (
+            ed.join(labels, ed["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vnode")
+        arg = (
+            votes.withColumn("mx", F.max("c").over(w))
+            .groupBy("vnode")
+            .agg(
+                F.min(
+                    F.when(F.col("c") == F.col("mx"), F.col("label"))
+                ).alias("vlabel")
+            )
+        )
+        labels = (
+            labels.join(arg, labels["node"] == arg["vnode"], "left")
+            .select("node", F.coalesce("vlabel", "label").alias("label"))
+            # two consumers next round (vote join + coalesce): checkpoint
+            # per the measured consumer-count policy
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("user_id"),
+        F.col("label").cast("bigint").alias("community"),
     )

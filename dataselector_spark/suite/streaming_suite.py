@@ -741,16 +741,33 @@ def b01_python_stream_sink(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    files: list[str] = []
-    for man in sorted(globmod.glob(os.path.join(out_dir, "manifest-*.json"))):
-        with open(man) as f:
-            files += [e["path"] for e in jsonmod.load(f)]
-    committed = spark.read.schema("t string, vc bigint").json(files)
-    return committed.groupBy(F.col("t").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("vc").cast("bigint").alias("cents_sum"),
-    )
+    try:
+        q.awaitTermination()
+        files: list[str] = []
+        for man in sorted(globmod.glob(os.path.join(out_dir, "manifest-*.json"))):
+            with open(man) as f:
+                files += [e["path"] for e in jsonmod.load(f)]
+        committed = spark.read.schema("t string, vc bigint").json(files)
+        # Materialize the (tiny, one-row-per-event_type) readback BEFORE the
+        # finally block deletes the part files it reads — the returned
+        # DataFrame must not depend on /tmp state (ADVICE r10: repeated
+        # bench/correctness invocations were accumulating unbounded /tmp).
+        rows = (
+            committed.groupBy(F.col("t").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("vc").cast("bigint").alias("cents_sum"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_type string, n bigint, cents_sum bigint"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
 
 
 @query(

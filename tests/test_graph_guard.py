@@ -60,6 +60,41 @@ def test_probe_verdict_cached_per_plan(spark):
     assert len(graph._CELL_PROBE_SEEN) == before + 1
 
 
+def test_probe_cache_keys_on_sample_fraction_and_is_bounded(spark):
+    """ADVICE r10: the probe-verdict cache key must include EVERY probe
+    parameter — a re-probe at a different sample_fraction is a different
+    probe, not a cache hit — and the set must stay bounded so a long-lived
+    process composing many distinct plans cannot grow it without limit."""
+    from dataselector_spark.operators import graph
+
+    hot = [("click", 1, u) for u in range(200)]
+    g = _cells(spark, hot)
+    with pytest.warns(RuntimeWarning):
+        graph.warn_hot_cells(g, frac=0.2, sample_fraction=0.001)
+    before = len(graph._CELL_PROBE_SEEN)
+    # Same plan, DIFFERENT sample_fraction: must probe (and warn) again.
+    with pytest.warns(RuntimeWarning):
+        graph.warn_hot_cells(g, frac=0.2, sample_fraction=0.5)
+    assert len(graph._CELL_PROBE_SEEN) == before + 1
+    # Bounded: a full cache evicts its oldest entry on the next insert
+    # (warn_hot_cells' own eviction path, not a test-local reimplementation).
+    old_max, old_seen = graph._CELL_PROBE_SEEN_MAX, dict(graph._CELL_PROBE_SEEN)
+    graph._CELL_PROBE_SEEN.clear()
+    graph._CELL_PROBE_SEEN_MAX = 4
+    try:
+        for i in range(4):
+            graph._CELL_PROBE_SEEN[(i, 0.0, float(i))] = None
+        oldest = next(iter(graph._CELL_PROBE_SEEN))
+        with pytest.warns(RuntimeWarning):
+            graph.warn_hot_cells(g, frac=0.2, sample_fraction=0.25)
+        assert len(graph._CELL_PROBE_SEEN) == 4
+        assert oldest not in graph._CELL_PROBE_SEEN
+    finally:
+        graph._CELL_PROBE_SEEN_MAX = old_max
+        graph._CELL_PROBE_SEEN.clear()
+        graph._CELL_PROBE_SEEN.update(old_seen)
+
+
 def test_cell_census_pair_fanout_arithmetic(spark):
     """census pair_fanout must be exactly c*(c-1)/2 per cell."""
     from dataselector_spark.operators.graph import cell_census

@@ -2082,3 +2082,22 @@ def test_record_linkage_planted_curve_separates(spark, sf_dir):
     # monotone (lowering the threshold can only add predictions)
     preds = [rows[t]["n_pred"] for t in range(12, 25)]
     assert preds == sorted(preds, reverse=True)
+
+
+def test_record_linkage_planted_guards_pad_overflow(spark, tmp_path):
+    """ADVICE r10: the separation proof assumes c_custkey < 10^5 (the
+    perturbation positions 1-4 must land in the 9-digit zero padding);
+    at TPC-H SF >= 1 keys reach 6 digits and the invariant silently
+    breaks. The entry must refuse loudly instead."""
+    import pytest
+
+    from dataselector_spark.suite import QUERIES
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(123_456, "x", 1, 0.0, "m")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    with pytest.raises(ValueError, match="c_custkey < 10\\^5"):
+        QUERIES["b13_record_linkage_planted"].fn(spark, sf_dir)

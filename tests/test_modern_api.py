@@ -363,3 +363,152 @@ def test_parallel_stream_source_task_parallelism(spark):
         assert rows == batch
         assert pids == batch // slice_rows  # every logical slice present
         assert tasks == batch // slice_rows  # ...each read by its OWN task
+
+
+def test_parallel_stream_source_checkpoint_restart_replays_slices(spark, tmp_path):
+    """VERDICT r10 #4: execute the deterministic partitions(start, end)
+    replay claim in b01_python_stream_source_parallel's docstring — kill a
+    run mid-ledger (after the batch is published, before its offset commits),
+    restart from the same checkpoint, and prove no slice was lost, duplicated,
+    or re-sliced differently.
+
+    Mechanics: the reader's available position lives in an EXTERNAL sidecar
+    file (the Kafka-broker stand-in — a fresh reader instance after restart
+    must not depend on in-memory state), advanced by the test between phases.
+    Phase 1 delivers rows [0, 1500). Phase 2 advances to 3000 and the
+    foreachBatch sink appends the batch THEN raises — published, uncommitted.
+    Phase 3 restarts from the checkpoint with the ledger at 4000: the engine
+    reconstructs the failed range from the offset WAL and calls
+    partitions({pos:1500},{pos:3000}) on a BRAND-NEW reader instance, so rows
+    [1500, 3000) append a second time with — the claim under test — the SAME
+    250-row slice assignment, then [3000, 4000) arrives once. An idempotent
+    (merge-by-gid) consumer of the append log would see effective
+    exactly-once; the append log itself shows the replay verbatim."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    slice_rows = 250
+    ledger = str(tmp_path / "ledger_pos")
+    out = str(tmp_path / "deliveries")
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed_once"
+
+    def set_pos(n):
+        with open(ledger, "w") as f:
+            f.write(str(n))
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start = start
+            self.end = end
+
+    class SidecarReader(DataSourceStreamReader):
+        """Offsets come from the sidecar file, never instance memory — the
+        restart-safety contract a real connector gets from its broker."""
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            with open(ledger) as f:
+                return {"pos": int(f.read())}
+
+        def partitions(self, start, end):
+            return [
+                RangePartition(s, min(s + slice_rows, end["pos"]))
+                for s in range(start["pos"], end["pos"], slice_rows)
+            ]
+
+        def read(self, partition):
+            for g in range(partition.start, partition.end):
+                yield (g, g // slice_rows)
+
+        def commit(self, end):
+            pass
+
+    class SidecarSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dsspark_sidecar_restart"
+
+        def schema(self):
+            return "gid bigint, pid bigint"
+
+        def streamReader(self, schema):
+            return SidecarReader()
+
+    spark.dataSource.register(SidecarSource)
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+        lo = df.agg(F.min("gid")).first()[0]
+        if lo == 1500 and not marker.exists():
+            marker.write_text("injected")
+            raise RuntimeError("injected crash: published, offset uncommitted")
+
+    def start():
+        return (
+            spark.readStream.format("dsspark_sidecar_restart")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Phase 1: rows [0, 1500) in one batch of six 250-row slices.
+    set_pos(1500)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Phase 2: advance to 3000; the sink publishes [1500, 3000) then dies.
+    set_pos(3000)
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream should have died on the injected crash")
+    except StreamingQueryException:
+        pass
+    assert marker.exists()
+
+    # Phase 3: restart from the checkpoint with the ledger at 4000.
+    set_pos(4000)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    log = spark.read.parquet(out)
+    per_gid = (
+        log.groupBy("gid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("pid").alias("n_pids"),
+        )
+        .collect()
+    )
+    seen = {r["gid"]: (r["n"], r["n_pids"]) for r in per_gid}
+    # Complete ledger, nothing lost.
+    assert set(seen) == set(range(4000))
+    for g, (n, n_pids) in seen.items():
+        # The crashed range was delivered exactly twice (failed attempt +
+        # WAL replay), everything else exactly once...
+        assert n == (2 if 1500 <= g < 3000 else 1), (g, n)
+        # ...and the replay re-sliced DETERMINISTICALLY: same gid -> same
+        # 250-row slice both times.
+        assert n_pids == 1, (g, n_pids)
+    # Slice inventory: every 250-row slice present, none fabricated.
+    pids = {r["pid"] for r in log.select("pid").distinct().collect()}
+    assert pids == set(range(4000 // slice_rows))

@@ -1109,3 +1109,16 @@ def test_knn_accuracy_clustered_broadcast_sample(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:1500]  # bounded sample
     n_scans = len(re.findall(r"Scan parquet", plan))
     assert n_scans <= 2, plan[:2000]  # corpus once + broadcast sample once
+
+
+def test_bm25_topk_take_ordered_and_broadcasts(spark):
+    """VERDICT r10 #5: the BM25 top-10 must be a TakeOrderedAndProject
+    heap under the rank window (never a global sort of all scored docs),
+    the 3-term dictionary must broadcast-hash-join, and the only
+    nested-loop is the broadcast of the 1-row corpus-stats scalar (the
+    Benford/scalar-stat shape) — never an unbroadcast CartesianProduct."""
+    df = QUERIES["b15_bm25_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]

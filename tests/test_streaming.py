@@ -573,14 +573,10 @@ def test_python_stream_sink_failure_leaves_no_manifest(spark, tmp_path):
     # some tasks may have left orphan part files...
     assert glob.glob(os.path.join(out_dir, "part-*.jsonl"))
     # ...but no manifest was published, so the committed view is EMPTY
+    # (ADVICE r10: the old second assert rebuilt `committed` from the
+    # already-asserted-empty manifest list — dead by construction)
     manifests = glob.glob(os.path.join(out_dir, "manifest-*.json"))
     assert manifests == []
-    committed = [
-        p
-        for man in manifests
-        for p in json.load(open(man))
-    ]
-    assert committed == []
 
 
 def test_bench_sets_name_real_suite_entries():
@@ -599,3 +595,20 @@ def test_bench_sets_name_real_suite_entries():
         missing = [n for n in names if n not in QUERIES]
         assert not missing, (key, missing)
         assert len(set(names)) == len(names), (key, "duplicate names")
+
+
+def test_python_stream_sink_entry_cleans_up_tmp(spark):
+    """ADVICE r10: b01_python_stream_sink must not accumulate /tmp state
+    across invocations — the JSONL copy + checkpoint dir are removed once
+    the readback aggregate is materialized, and the returned DataFrame
+    must survive the cleanup (it is an in-memory localRelation, not a
+    lazy scan of the deleted files)."""
+    import glob as g
+
+    from dataselector_spark.suite import QUERIES
+
+    before = set(g.glob("/tmp/dsspark_pysink_*"))
+    df = QUERIES["b01_python_stream_sink"].fn(spark, "/root/testdata/sf0.001")
+    assert set(g.glob("/tmp/dsspark_pysink_*")) == before
+    rows = df.collect()  # collectable AFTER the files are gone
+    assert rows and all(r["n"] > 0 for r in rows)
