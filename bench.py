@@ -222,6 +222,8 @@ HEADLINE_V7 = [
     "b06_quantile_refined",  # B6 two-level hot-set refinement sketch
     "b15_bm25_topk",  # B15 BM25 document ranking, fixed-point rationals
     "b26_communities_lpa",  # B26 4-round synchronous label propagation
+    "b26_modularity",  # B26 Newman partition-quality audit (exact core)
+    "b26_link_prediction",  # B26 common-neighbor/Jaccard top-20
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -319,20 +319,25 @@ assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 # the window is the freshness-tail retirement the r10 verdict prescribes
 # (all 26 r5-latest oracle-bearing entries + the oldest r6-latest rows),
 # minus the standing displacements:
-#   * 3 entries NEW in r11 (never-checked outranks everything):
+#   * 5 entries NEW in r11 (never-checked outranks everything):
 #     b06_quantile_refined (two-level hot-set refinement sketch, VERDICT
 #     r10 #3), b15_bm25_topk (BM25 document ranking, #5),
-#     b26_communities_lpa (bounded-round label propagation, #6);
+#     b26_communities_lpa (bounded-round label propagation, #6), plus the
+#     session-2 pair extending the communities work: b26_modularity
+#     (Newman partition-quality audit of the LPA labels, planted-clique
+#     pinned) and b26_link_prediction (common-neighbor / Jaccard top-20);
 #   * 2 entries REWRITTEN in r11 after their r10 rows (REWRITTEN_IN_ROUND):
 #     b01_python_stream_sink (readback materialized + /tmp cleanup, ADVICE
 #     r10 #3), b13_record_linkage_planted (pad-safety guard, ADVICE r10 #1);
 #   * all 26 r5-latest oracle-bearing entries (the oldest tail — after this
 #     round no oracle-bearing entry's latest row predates r6);
-#   * the 19 oldest r6-latest oracle-bearing entries in registration order
-#     (24 per the verdict target, minus 5 displaced to r12 by the five
-#     new/rewritten entries above: q22_dormant_customers,
-#     b07_grouping_sets, b21_pandas_udf_scalar, b21_grouped_applyinpandas,
-#     b21_python_udtf).  The remaining 31 r6-latest entries queue for r12:
+#   * the 17 oldest r6-latest oracle-bearing entries in registration order
+#     (24 per the verdict target, minus 7 displaced to r12 by the seven
+#     new/rewritten entries above: q20_part_promotion_suppliers,
+#     q21_waiting_supplier, q22_dormant_customers, b07_grouping_sets,
+#     b21_pandas_udf_scalar, b21_grouped_applyinpandas, b21_python_udtf).
+#     The remaining 33 r6-latest entries queue for r12:
+#     q20_part_promotion_suppliers, q21_waiting_supplier,
 #     q22_dormant_customers, b07_grouping_sets, b21_pandas_udf_scalar,
 #     b21_grouped_applyinpandas, b21_python_udtf, b08_rank_battery,
 #     b08_lag_lead, b08_rolling_frames, b08_range_frame, a19_group_count,
@@ -348,6 +353,8 @@ _R11_WINDOW = [
     "b06_quantile_refined",
     "b15_bm25_topk",
     "b26_communities_lpa",
+    "b26_modularity",
+    "b26_link_prediction",
     # --- rewritten in r11 (REWRITTEN_IN_ROUND) ---
     "b01_python_stream_sink",
     "b13_record_linkage_planted",
@@ -378,8 +385,8 @@ _R11_WINDOW = [
     "b15_vocab_coverage",
     "b22_table_profile",
     "b23_snapshot_diff",
-    # --- 19 oldest r6-latest oracle-bearing re-confirms (registration
-    # order; the last 5 of the verdict's 24 displaced to r12 by the
+    # --- 17 oldest r6-latest oracle-bearing re-confirms (registration
+    # order; the last 7 of the verdict's 24 displaced to r12 by the
     # new/rewritten entries above) ---
     "b13_ngram_jaccard",
     "b14_topk_cosine",
@@ -398,8 +405,6 @@ _R11_WINDOW = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_supplier",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 

@@ -1122,3 +1122,13 @@ def test_bm25_topk_take_ordered_and_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_link_prediction_all_equi_joins(spark):
+    """The two-hop expansion, anti-join, and degree joins must all be
+    hash equi-joins (shuffle or broadcast) — never a cartesian or
+    nested-loop fallback; the top-20 rank is a single bounded window."""
+    df = QUERIES["b26_link_prediction"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]

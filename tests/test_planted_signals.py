@@ -162,3 +162,72 @@ def test_refined_quantile_meets_error_budget_at_every_sf(spark):
         # estimates are monotone in q (sanity: the two levels compose)
         ests = [rows[q]["est"] for q in (1, 5, 25, 50, 75, 95, 99)]
         assert ests == sorted(ests), (sf, ests)
+
+
+def _write_clique_events(spark, path, cliques, events_per_cell=1):
+    """Synthetic events where each clique's users share exclusive
+    (event_type, minute) cells: users in the same clique co-occur,
+    users across cliques never do."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for ci, users in enumerate(cliques):
+        # several cells per clique so every pair co-occurs repeatedly
+        for cell in range(3):
+            ts = dt.datetime(2024, 1, 1, ci, cell * 5)  # distinct minutes
+            for u in users:
+                rows.append((eid, ts, u, f"c{ci}", 1.0, "{}"))
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(path)
+
+
+def test_modularity_flags_random_graph_and_recovers_planted_cliques(
+    spark, tmp_path
+):
+    """The b26_modularity docstring's two claims: (1) on the synthetic
+    near-uniform events corpus measured Q is ~0 — the audit correctly
+    reports NO community structure; (2) on a planted two-clique graph
+    LPA recovers the plant exactly and Q is strongly positive (the
+    theoretical two-equal-clique value is 1/2)."""
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b26_modularity"].fn
+    # (1) honest near-zero on the real testdata
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    q_real = sum(r["q_contrib"] for r in rows)  # empty graph -> 0 rows -> 0
+    assert abs(q_real) < 0.2, q_real
+    rows = fn(spark, "/root/testdata/sf0.01").collect()
+    q_real = sum(r["q_contrib"] for r in rows)
+    assert abs(q_real) < 0.2, q_real
+
+    # (2) planted two 6-cliques, disjoint cells
+    sf_dir = str(tmp_path)
+    _write_clique_events(
+        spark,
+        str(tmp_path / "events.parquet"),
+        [list(range(0, 6)), list(range(100, 106))],
+    )
+    got = fn(spark, sf_dir).collect()
+    # LPA labels each clique with its min user id
+    comms = {r["community"]: r for r in got}
+    assert set(comms) == {0, 100}, comms
+    for r in got:
+        assert r["n_nodes"] == 6
+        assert r["e_in"] == 30  # 6*5 directed within-clique edges
+        assert r["deg_sum"] == 30
+    q = sum(r["q_contrib"] for r in got)
+    assert abs(q - 0.5) < 1e-12, q  # two equal cliques: Q = 1/2 exactly
+    assert q > 0.4
+
+    # and the partition itself recovers the plant
+    labels = {
+        r["user_id"]: r["community"]
+        for r in QUERIES["b26_communities_lpa"].fn(spark, sf_dir).collect()
+    }
+    assert all(labels[u] == 0 for u in range(0, 6))
+    assert all(labels[u] == 100 for u in range(100, 106))
