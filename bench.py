@@ -11,7 +11,10 @@ keeps only a ~2 KB stdout tail — the final line must carry every headline
 number by itself (VERDICT r8 #7), and the fresh-JVM per-set walls
 (VERDICT r8 #4) are the cross-round numbers contention cannot distort.
 Env: SPARK_GRAFT_BENCH_ISOLATED=0 skips the isolation pass (quick local
-iteration); SPARK_GRAFT_BENCH_SET=v1..v5 runs one set (child mode).
+iteration); SPARK_GRAFT_BENCH_SET=v1..v8 runs one set (child mode);
+SPARK_GRAFT_BENCH_SET_RUNS=N (default 3) fresh-JVM children per set, the
+reported isolated wall is their MIN (VERDICT r11 #3 — robust to the
+measured cyclic external load; children default to reps=2 when N>1).
 
 Each query executes its FULL physical plan into a noop sink (no driver
 collect cost, no result pruning shortcuts). Timings are the median of
@@ -158,6 +161,39 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _md5_worker(_arg) -> int:
+    """One multi-core probe worker: 1M chained md5 digests (module-level so
+    multiprocessing can pickle it under any start method)."""
+    import hashlib
+
+    h = b"x"
+    for _ in range(1_000_000):
+        h = hashlib.md5(h).digest()
+    return len(h)
+
+
+def _cpu_probe_multi(workers: int = 8) -> float | None:
+    """Multi-core reference probe (VERDICT r11 #3): N parallel PROCESSES
+    each running half the single-core loop, wall of the whole batch.  The
+    single-core probe demonstrably cannot see multi-core contention (all
+    ten r11 runs: probe spreads 1.19-1.65 while no VM-local process was
+    above 1% CPU — an external tenant eating OTHER cores leaves one-core
+    md5 untouched until the scheduler rotates); a saturated batch of 8
+    slows roughly in proportion to how many cores the neighbor holds.
+    Chained small-block md5 holds the GIL, so threads cannot express
+    parallelism — processes (fork) are required."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+        t0 = time.perf_counter()
+        with ctx.Pool(workers) as pool:
+            pool.map(_md5_worker, range(workers))
+        return round(time.perf_counter() - t0, 3)
+    except Exception:  # pragma: no cover - restricted environments
+        return None
+
+
 # HEADLINE_V5: the round-9 additions, FROZEN the same way (reported as
 # `headline_v5_wall`, excluded from `value`).
 HEADLINE_V5 = [
@@ -226,6 +262,14 @@ HEADLINE_V7 = [
     "b26_link_prediction",  # B26 common-neighbor/Jaccard top-20
 ]
 
+# HEADLINE_V8: the round-12 additions, FROZEN the same way (reported as
+# `headline_v8_wall`, excluded from `value`).
+HEADLINE_V8 = [
+    "b26_link_prediction_capped",  # B26 p99 hub-degree-capped link pred
+    "b06_kmv_intersect",  # B6 KMV distinct-intersection sketch
+    "b22_group_reservoir",  # B22 deterministic per-group exact-k sampler
+]
+
 # The frozen versioned sets, addressable for per-set isolated re-runs.
 SETS = {
     "v1": HEADLINE,
@@ -235,6 +279,7 @@ SETS = {
     "v5": HEADLINE_V5,
     "v6": HEADLINE_V6,
     "v7": HEADLINE_V7,
+    "v8": HEADLINE_V8,
 }
 
 
@@ -259,41 +304,66 @@ def _time_queries(spark, names, sf_dir: str, reps: int) -> dict[str, float]:
     return timings
 
 
-def _isolated_set_runs(reps: int) -> dict[str, dict]:
+def _isolated_set_runs(reps: int, n_runs: int) -> dict[str, dict]:
     """VERDICT r8 #4: run each frozen set in its OWN fresh JVM (one child
     process per set, bench-identical method) so cross-round grading has a
     wall the 68-query shared-JVM session cannot contaminate.  The
     single-core cpu probe demonstrably cannot correct multi-core
     contention (docs/SCALE.md r8: 27% probe swing on back-to-back runs),
     and twice now isolation re-runs have overturned session walls — so the
-    isolated numbers are the cross-round comparison of record."""
+    isolated numbers are the cross-round comparison of record.
+
+    VERDICT r11 #3: each set now runs ``n_runs`` fresh-JVM children and
+    records the MIN of their walls as the cross-round number — r10/r11
+    established the external load is CYCLIC (minutes-scale waves that
+    stamped all thirteen runs contended), and a min over re-runs spaced by
+    the other sets' executions is robust to a wave the median of one
+    child's back-to-back reps is not.  Per-run walls + both probes are
+    kept in the detail for the adjudication trail."""
     import subprocess
 
     out: dict[str, dict] = {}
     for key in SETS:
         env = {**os.environ, "SPARK_GRAFT_BENCH_SET": key}
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=int(os.environ.get("SPARK_GRAFT_BENCH_SET_TIMEOUT", "1800")),
-            )
-            line = next(
-                (
-                    ln
-                    for ln in reversed(proc.stdout.splitlines())
-                    if ln.startswith("{")
-                ),
-                None,
-            )
-            if proc.returncode == 0 and line:
-                out[key] = json.loads(line)
-            else:
-                out[key] = {"error": (proc.stderr or "no output")[-500:]}
-        except subprocess.TimeoutExpired:
-            out[key] = {"error": "timeout"}
+        runs: list[dict] = []
+        for _ in range(n_runs):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=int(
+                        os.environ.get("SPARK_GRAFT_BENCH_SET_TIMEOUT", "1800")
+                    ),
+                )
+                line = next(
+                    (
+                        ln
+                        for ln in reversed(proc.stdout.splitlines())
+                        if ln.startswith("{")
+                    ),
+                    None,
+                )
+                if proc.returncode == 0 and line:
+                    runs.append(json.loads(line))
+                else:
+                    runs.append({"error": (proc.stderr or "no output")[-500:]})
+            except subprocess.TimeoutExpired:
+                runs.append({"error": "timeout"})
+        good = [r for r in runs if "wall" in r]
+        if good:
+            best = min(good, key=lambda r: r["wall"])
+            out[key] = {
+                **best,
+                "wall_runs": [r["wall"] for r in good],
+                "probe_runs": [r.get("cpu_probe_s") for r in good],
+                "multi_probe_runs": [r.get("cpu_probe_multi_s") for r in good],
+                "n_runs": len(runs),
+            }
+        else:
+            out[key] = {"error": runs[-1].get("error", "no output"),
+                        "n_runs": len(runs)}
     return out
 
 
@@ -318,6 +388,7 @@ def main() -> None:
                     "set": set_key,
                     "wall": round(sum(timings.values()), 3),
                     "cpu_probe_s": _cpu_probe(),
+                    "cpu_probe_multi_s": _cpu_probe_multi(),
                     "queries": timings,
                 }
             )
@@ -340,7 +411,8 @@ def main() -> None:
         + HEADLINE_V4
         + HEADLINE_V5
         + HEADLINE_V6
-        + HEADLINE_V7,
+        + HEADLINE_V7
+        + HEADLINE_V8,
         sf_dir,
         reps,
     )
@@ -352,15 +424,27 @@ def main() -> None:
     extra5 = round(sum(timings[n] for n in HEADLINE_V5), 3)
     extra6 = round(sum(timings[n] for n in HEADLINE_V6), 3)
     extra7 = round(sum(timings[n] for n in HEADLINE_V7), 3)
+    extra8 = round(sum(timings[n] for n in HEADLINE_V8), 3)
     probe = _cpu_probe()
+    multi_probe = _cpu_probe_multi()
     scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
 
-    # Fresh-JVM per-set isolation pass (VERDICT r8 #4). The session JVM is
-    # stopped first so children never contend with an idle 32-thread JVM.
+    # Fresh-JVM per-set isolation pass (VERDICT r8 #4), min-of-N children
+    # per set (VERDICT r11 #3). The session JVM is stopped first so
+    # children never contend with an idle 32-thread JVM.  With N > 1 the
+    # children default to reps=2 (discard + one warm) unless the caller
+    # pinned reps — the min across N spaced fresh-JVM runs replaces the
+    # within-child median as the robustness mechanism, at roughly the same
+    # total execution count.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SET_RUNS", "3"))
     isolated: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         spark.stop()
-        isolated = _isolated_set_runs(reps)
+        child_reps = reps
+        if n_runs > 1 and "SPARK_GRAFT_BENCH_REPS" not in os.environ:
+            child_reps = 2
+            os.environ["SPARK_GRAFT_BENCH_REPS"] = "2"
+        isolated = _isolated_set_runs(child_reps, n_runs)
     isolated_walls = {
         k: v.get("wall") for k, v in isolated.items() if "wall" in v
     }
@@ -375,13 +459,31 @@ def main() -> None:
     # the per-set children run back-to-back on the same box, so a >10%
     # spread across their single-core probes (incl. the parent's) means
     # another tenant moved in mid-run and the walls carry that noise.
-    all_probes = [p for p in isolated_probes.values() if p] + (
-        [probe] if probe else []
-    )
+    # VERDICT r11 #3 extends it with the MULTI-core probe batch: a
+    # neighbor saturating other cores is invisible to one-core md5 but
+    # slows the 8-process batch proportionally, so the same >10% spread
+    # rule applies to the multi probes (every child's, plus the parent's).
+    all_probes = [
+        p
+        for v in isolated.values()
+        for p in v.get("probe_runs", [])
+        if p
+    ] + ([probe] if probe else [])
     probe_spread = (
         round(max(all_probes) / min(all_probes), 3) if all_probes else None
     )
-    contended = probe_spread is not None and probe_spread > 1.10
+    all_multi = [
+        p
+        for v in isolated.values()
+        for p in v.get("multi_probe_runs", [])
+        if p
+    ] + ([multi_probe] if multi_probe else [])
+    multi_probe_spread = (
+        round(max(all_multi) / min(all_multi), 3) if all_multi else None
+    )
+    contended = (probe_spread is not None and probe_spread > 1.10) or (
+        multi_probe_spread is not None and multi_probe_spread > 1.10
+    )
 
     detail = {
         "metric": "headline_suite_wall_detail",
@@ -414,7 +516,13 @@ def main() -> None:
                 # truncated tail still carries the graded numbers.
                 "isolated_walls": isolated_walls,
                 "isolated_probes": isolated_probes,
+                # VERDICT r11 #3: isolated_walls are now min-of-N fresh-JVM
+                # children per set (robust to the measured cyclic load);
+                # per-run walls live in the detail line / BENCH_DETAIL.json
+                "isolated_method": "min_of_n_fresh_jvm",
+                "isolated_runs": n_runs,
                 "probe_spread": probe_spread,
+                "multi_probe_spread": multi_probe_spread,
                 "contended": contended,
                 "value": total,
                 "unit": "sec",
@@ -440,6 +548,8 @@ def main() -> None:
                 "headline_v6_n": len(HEADLINE_V6),
                 "headline_v7_wall": extra7,
                 "headline_v7_n": len(HEADLINE_V7),
+                "headline_v8_wall": extra8,
+                "headline_v8_n": len(HEADLINE_V8),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,
@@ -450,6 +560,10 @@ def main() -> None:
                 # seconds. Compare across rounds to separate shared-host
                 # drift from engine regressions (see _cpu_probe docstring).
                 "cpu_probe_s": probe,
+                # multi-core host probe (VERDICT r11 #3): wall of an
+                # 8-process md5 batch — sees the multi-core contention the
+                # single-core probe cannot (see _cpu_probe_multi)
+                "cpu_probe_multi_s": multi_probe,
                 # drift-normalized walls (VERDICT r7 #3): raw * (ref/probe),
                 # i.e. "this wall at r7-era host speed" — the cross-round
                 # comparison number, so verdicts stop hand-arguing drift.

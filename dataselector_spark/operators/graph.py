@@ -75,6 +75,9 @@ def warn_hot_cells(
     except Exception:  # pragma: no cover - Connect/ancient Spark
         key = None
     if key is not None and key in _CELL_PROBE_SEEN:
+        # LRU, not FIFO (ADVICE r11): a hit refreshes the entry's
+        # position so hot plans never age out of the bounded dict.
+        _CELL_PROBE_SEEN[key] = _CELL_PROBE_SEEN.pop(key)
         return
     members = cells.select("event_type", "bucket")
     sampled = members.sample(fraction=sample_fraction, seed=42)

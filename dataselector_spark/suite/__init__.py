@@ -124,6 +124,15 @@ REWRITTEN_IN_ROUND = {
     # covers the new contract directly.)
     "b01_python_stream_sink": 11,
     "b13_record_linkage_planted": 11,
+    # r12 (ADVICE r11 + VERDICT r11 #5): material post-r11-row changes.
+    # b26_link_prediction's top-20 moved from an unpartitioned row_number
+    # window (single-partition global sort of the full two-hop candidate
+    # set) to orderBy+limit = TakeOrderedAndProject, rank window over the
+    # <=20 survivors; b06_quantile_refined folded its two events scans
+    # into ONE single-pass (coarse, fine) cell-grid aggregate with both
+    # levels derived from the checkpointed grid.
+    "b26_link_prediction": 12,
+    "b06_quantile_refined": 12,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -408,6 +417,100 @@ _R11_WINDOW = [
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
+# The round-12 window (VERDICT r11 "Next round" #1, freshness hygiene):
+# CORRECTNESS_r11 was 50/50 green, so the window is the freshness-tail
+# retirement the r11 verdict prescribes — all 33 r6-latest oracle-bearing
+# entries (queued in the _R11_WINDOW comment above) + the oldest r7-latest
+# rows — minus the standing displacements:
+#   * 3 entries NEW in r12 (never-checked outranks everything):
+#     b26_link_prediction_capped (deterministic p99 hub-degree cap ahead
+#     of the two-hop expansion, VERDICT r11 #2), b06_kmv_intersect
+#     (k-minimum-values distinct-intersection sketch, #4),
+#     b22_group_reservoir (deterministic per-group exact-k A-ES sampler,
+#     #6);
+#   * 2 entries REWRITTEN in r12 after their r11 rows (REWRITTEN_IN_ROUND):
+#     b26_link_prediction (TakeOrderedAndProject top-20, ADVICE r11),
+#     b06_quantile_refined (single-pass cell grid, VERDICT r11 #5);
+#   * the 33 r6-latest oracle-bearing entries (after this round no
+#     oracle-bearing entry's latest row predates r7);
+#   * the 12 oldest r7-latest oracle-bearing entries in registration order
+#     (17 per the verdict target, minus 5 displaced to r13 by the five
+#     new/rewritten entries above: b01_orc_roundtrip, b01_text_roundtrip,
+#     a08_round_to_step, a09_clamp, a13_selection_insert).
+#     The remaining 35 r7-latest entries queue for r13:
+#     b01_orc_roundtrip, b01_text_roundtrip,
+#     a08_round_to_step, a09_clamp, a13_selection_insert,
+#     a17_retract_compound, a18_forward_index, a27_regex_replace,
+#     a11_affine_scale, b02_join_left_outer, b02_join_right_outer,
+#     b02_join_full_outer, b03_semi_join, b03_anti_join,
+#     b04_interval_join_bucketed, b10_multiset_ops, b02_lateral_topk,
+#     b06_correlation_exact_moments, b15_decontaminate, b16_pgm_roundtrip,
+#     b15_bpe_pair_counts, b02_bucketed_join, b26_rolling_dau,
+#     b05_asof_nearest, b12_dedup_normalized_text, b24_token_budget_cap,
+#     b22_zorder_key_3d, b22_zorder_write_readback,
+#     b23_streaming_upsert_sink, b23_scd2_dimension, b13_editdist_neardup,
+#     b22_zone_map_stats, b09_diversified_topk, b22_cell_sample_exact_k,
+#     b22_observe_metrics.
+_R12_WINDOW = [
+    # --- new in r12, never checked ---
+    "b26_link_prediction_capped",
+    "b06_kmv_intersect",
+    "b22_group_reservoir",
+    # --- rewritten in r12 (REWRITTEN_IN_ROUND) ---
+    "b26_link_prediction",
+    "b06_quantile_refined",
+    # --- all 33 r6-latest oracle-bearing entries (oldest tail) ---
+    "q20_part_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "b07_grouping_sets",
+    "b21_pandas_udf_scalar",
+    "b21_grouped_applyinpandas",
+    "b21_python_udtf",
+    "b08_rank_battery",
+    "b08_lag_lead",
+    "b08_rolling_frames",
+    "b08_range_frame",
+    "a19_group_count",
+    "a20_distinct_sort",
+    "a21_export",
+    "a26_format_truncate",
+    "q1_pricing_summary",
+    "b06_agg_battery",
+    "b02_join_revenue_per_nation",
+    "b04_interval_join_keyed",
+    "b04_interval_join_colocated",
+    "b05_asof_join",
+    "b07_rollup",
+    "b07_cube",
+    "b09_topk_global",
+    "b09_topk_per_group",
+    "b10_set_ops",
+    "b11_scalar_battery",
+    "b06_multires_rollup",
+    "b10_union_schema_evolution",
+    "b16_ppm_roundtrip",
+    "b15_repetition_filter",
+    "b24_curation_pipeline",
+    "b22_zorder_key",
+    # --- 12 oldest r7-latest oracle-bearing re-confirms (registration
+    # order; the last 5 of the verdict's 17 displaced to r13 by the
+    # new/rewritten entries above) ---
+    "b12_dedup_composite_key",
+    "b14_embedding_neardup",
+    "b15_text_stats",
+    "b15_fingerprint",
+    "b15_token_counts",
+    "b16_frame_sample",
+    "b15_tfidf_top_term",
+    "q12_late_shipment_priority",
+    "a29_cross_join",
+    "b01_parquet_roundtrip",
+    "b01_csv_roundtrip",
+    "b01_json_roundtrip",
+]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+
 # r9 window, kept for the ledger (superseded by _R10_WINDOW above):
 _R9_WINDOW = [
     # --- 19 new in r9, never checked ---
@@ -513,8 +616,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R11_WINDOW]
-_order = _R11_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R12_WINDOW]
+_order = _R12_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

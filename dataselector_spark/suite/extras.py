@@ -9785,24 +9785,65 @@ def b06_quantile_histogram(spark, sf_dir):
     "and the same in-query exact audit scans back so every output "
     "row carries its TRUE rank error; tests/test_planted_signals.py "
     "pins rank_err <= 0.01 at every grid point at every testdata SF "
-    "(the parent's worst case was 6.7x that budget). Two passes, "
-    "both mergeable by cellwise addition: at 100 TB this is two "
-    "map-side-combined aggregates — pass 1 builds the coarse sketch "
-    "and the (driver-side, <= 100-row) hot set, pass 2 sketches only "
-    "rows falling in hot cells (a broadcast semi-join filter that "
-    "prunes at the scan) — versus the exact percentile's "
-    "single-reducer global sort. The audit pass (broadcast of 7 "
-    "estimates) remains optional in serving, as in the parent.",
+    "(the parent's worst case was 6.7x that budget). SINGLE PASS "
+    "(rewritten r12, VERDICT r11 #5): ONE map-side-combined aggregate "
+    "builds the full (coarse, fine) cell grid — bounded by "
+    "construction at 256*256 = 65,536 cells regardless of data size, "
+    "mergeable by cellwise addition — and both levels are then "
+    "DERIVED from the grid (coarse = re-aggregate 65k->256 rows; "
+    "hot-cell fine = broadcast filter), versus the r11 shape's second "
+    "full scan whose computed-bucket semi join could never prune "
+    "Parquet row groups: at 100 TB this halves the sketch-build IO "
+    "for a fixed 65k-cell state cost, versus the exact percentile's "
+    "single-reducer global sort. The in-query exact audit (broadcast "
+    "of 7 estimates, one more scan) remains optional in serving, as "
+    "in the parent; the sketch itself is one scan, and "
+    "tests/test_plans.py pins the whole entry at two events scans.",
 )
 def b06_quantile_refined(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select("value")
-    hist = (
-        ev.select(value_histogram_bucket())
-        .groupBy("bucket")
+    # SINGLE PASS (rewritten r12, VERDICT r11 #5): one scan builds the
+    # full two-level cell grid — (coarse bucket, fine cell) counts,
+    # <= 256*256 = 65,536 cells by construction, all mergeable by
+    # cellwise addition with map-side combine. The coarse histogram is
+    # then DERIVED by re-aggregating the cells (256 rows from 65k, no
+    # second scan), and the hot-cell fine histogram is a broadcast
+    # filter over the already-built grid — the r11 shape's second full
+    # scan of events (whose computed-bucket semi join could never prune
+    # Parquet row groups) is gone entirely.
+    cells = (
+        ev.select(
+            value_histogram_bucket(),
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (
+                            F.col("value")
+                            - F.least(
+                                F.greatest(
+                                    F.floor(F.col("value") / 4).cast("bigint"),
+                                    F.lit(0),
+                                ),
+                                F.lit(255),
+                            )
+                            * 4
+                        )
+                        * 64
+                    ).cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).alias("fine"),
+        )
+        .groupBy("bucket", "fine")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # consumed twice (derived coarse hist + hot-cell fine hist):
+        # <= 65,536 rows, cheap to pin
+        .localCheckpoint()
     )
+    hist = cells.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     # <=256 rows by construction: the unpartitioned window is bounded
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
@@ -9815,24 +9856,10 @@ def b06_quantile_refined(spark, sf_dir):
         .filter(F.col("cnt") * 100 >= F.col("total"))
         .select("bucket")
     )
-    # Pass 2: fine histogram over hot cells only (broadcast semi filter).
-    fine_hist = (
-        ev.select("value", value_histogram_bucket())
-        .join(F.broadcast(hot), "bucket")
-        .select(
-            "bucket",
-            F.least(
-                F.greatest(
-                    F.floor(
-                        (F.col("value") - F.col("bucket") * 4) * 64
-                    ).cast("bigint"),
-                    F.lit(0),
-                ),
-                F.lit(255),
-            ).alias("fine"),
-        )
-        .groupBy("bucket", "fine")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Level 2: fine histogram over hot cells only — a broadcast filter
+    # over the cell grid, NOT a re-scan of events.
+    fine_hist = cells.join(F.broadcast(hot), "bucket").select(
+        "bucket", "fine", "cnt"
     )
     wf = Window.partitionBy("bucket").orderBy("fine").rowsBetween(
         Window.unboundedPreceding, 0
@@ -10068,7 +10095,16 @@ def b22_benford_digits(spark, sf_dir):
     "(tests/test_plans.py pins it). Ties broken by (score DESC, "
     "doc_id ASC) total order in both engines. At 100 TB the tf "
     "aggregate shuffles only rows containing query terms and the "
-    "top-k never materializes more than k rows per partition.",
+    "top-k never materializes more than k rows per partition. "
+    "OVERFLOW BOUNDARY (ADVICE r11, the b26_modularity D_c^2 rule): "
+    "the numerator w_milli*44*tot_len*tf peaks at 127,600*L*tf and "
+    "silently wraps int64 under ANSI-off once L*tf exceeds ~7.2e13 — "
+    "e.g. a 10^12-token corpus (low 100 TB range) with a 100-count "
+    "term in one doc. Past that, compute the saturation term in "
+    "DECIMAL(38,0) (CAST the numerator before the DIV; DuckDB's "
+    "HUGEINT // replays it exactly) — kept bigint here because the "
+    "test corpus sits ~8 orders below the boundary and bigint DIV is "
+    "the cheaper codegen path.",
 )
 def b15_bm25_topk(spark, sf_dir):
     from ..functions.text import tokens
@@ -10450,7 +10486,11 @@ def b26_modularity(spark, sf_dir):
     "(truncating div, identical in both engines) with (common DESC, "
     "a, b) tie-break — the emitted double jaccard is one exact "
     "division for readability, never an order key. Top-20 via "
-    "row_number on that total order. SCALE: the two-hop expansion is "
+    "orderBy+limit so Spark plans a TakeOrderedAndProject heap "
+    "(per-partition top-20, merged at the driver — never a single-"
+    "partition global sort of the full candidate set; ADVICE r11), "
+    "then row_number over the <=20 survivors to emit the rank "
+    "column. SCALE: the two-hop expansion is "
     "sum_v deg(v)^2 pairs — the same quadratic hot-spot law as the "
     "cell self-join, owned by the SAME guard: warn_hot_cells fires on "
     "the underlying cell build, and a production run caps hub degree "
@@ -10502,15 +10542,20 @@ def b26_link_prediction(spark, sf_dir):
             .alias("union_n"),
         )
     )
-    rw = Window.orderBy(
+    # TakeOrderedAndProject heap over the full candidate set (ADVICE
+    # r11: never an unpartitioned row_number window — that forces a
+    # single-partition global sort of sum_v deg(v)^2 candidate rows);
+    # the rank window then runs over <=20 surviving rows only.
+    order_keys = [
         F.expr("common * 1000000 DIV union_n").desc(),
         F.col("common").desc(),
         F.col("a").asc(),
         F.col("b").asc(),
-    )
+    ]
+    top20 = scored.orderBy(*order_keys).limit(20)
+    rw = Window.orderBy(*order_keys)
     return (
-        scored.withColumn("rank", F.row_number().over(rw).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+        top20.withColumn("rank", F.row_number().over(rw).cast("bigint"))
         .select(
             F.col("a").alias("user_a"),
             F.col("b").alias("user_b"),
@@ -10521,4 +10566,514 @@ def b26_link_prediction(spark, sf_dir):
             (F.col("common").cast("double") / F.col("union_n")).alias("jaccard"),
             "rank",
         )
+    )
+
+
+@query(
+    "b26_link_prediction_capped",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) AS bucket,
+               user_id
+        FROM events
+    ),
+    ed AS (
+        SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id <> b.user_id
+    ),
+    deg0 AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg0),
+    hist AS (
+        SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg0 GROUP BY 1
+    ),
+    cumh AS (SELECT deg, sum(cnt) OVER (ORDER BY deg) AS cum FROM hist),
+    cap AS (
+        SELECT CAST(min(deg) AS BIGINT) AS cap
+        FROM cumh, tot WHERE cum * 100 >= 99 * tot.n_nodes
+    ),
+    ced AS (
+        SELECT src, dst
+        FROM (SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+              FROM ed) r, cap
+        WHERE r.rn <= cap.cap
+    ),
+    deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM ced GROUP BY 1
+    ),
+    two_hop AS (
+        SELECT e1.src AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
+        FROM ced e1 JOIN ced e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT t.a, t.b, t.common
+        FROM two_hop t
+        LEFT JOIN ed ON ed.src = t.a AND ed.dst = t.b
+        WHERE ed.src IS NULL
+    ),
+    scored AS (
+        SELECT c.a, c.b, c.common,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST(da.deg + db.deg - c.common AS BIGINT) AS union_n
+        FROM cand c JOIN deg da ON da.node = c.a
+                    JOIN deg db ON db.node = c.b
+    ),
+    ranked AS (
+        SELECT a, b, common, deg_a, deg_b, union_n,
+               CAST(common AS DOUBLE) / union_n AS jaccard,
+               row_number() OVER (
+                   ORDER BY common * 1000000 // union_n DESC,
+                            common DESC, a, b) AS rank
+        FROM scored
+    )
+    SELECT a AS user_a, b AS user_b, common, deg_a, deg_b, union_n,
+           jaccard, (SELECT cap FROM cap) AS cap,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+    doc="B26 (r12): DEGREE-CAPPED LINK PREDICTION (VERDICT r11 #2) — the "
+    "production variant the uncapped b26_link_prediction's docstring and "
+    "tools/linkpred_ladder.py prescribe: the two-hop candidate stage "
+    "materializes sum_v deg(v)^2 rows into the (a, b) aggregation "
+    "shuffle, so a single hub owns a QUADRATIC share of the stage "
+    "(ladder: +62% edges via one hub -> 1562x candidate groups -> 126x "
+    "stage wall). The cap is fully DETERMINISTIC so DuckDB replays it "
+    "bit for bit: cap = the exact p99 of the out-degree relation "
+    "(integer cross-multiplied rank cum*100 >= 99*n_nodes over the "
+    "<=|distinct degrees|-row histogram — the bounded unpartitioned "
+    "window idiom), and each hub keeps its cap LOWEST-ID neighbors "
+    "(row_number over (src ORDER BY dst) <= cap; dst is unique per src "
+    "after DISTINCT, so the truncation is a total order, not a sample). "
+    "Candidates expand over the CAPPED adjacency (two-hop rows now "
+    "bounded by n*D99^2, flat in hub degree — the ladder's capped rung "
+    "holds its wall where the uncapped one cliffs) but the anti-join "
+    "rejects TRUE edges from the FULL edge set (a truncated-away edge "
+    "must still never be 'predicted'), and Jaccard scores use capped "
+    "degrees — the estimate is exact ON the capped graph, the standard "
+    "recall trade recommenders make (truncated adjacency lists). "
+    "Scoring and ranking are the uncapped entry's exactly: integer "
+    "PPM-scaled Jaccard order key, top-20 via orderBy+limit = "
+    "TakeOrderedAndProject heap, rank window over the <=20 survivors. "
+    "The cap scalar rides a 1-row broadcast (BroadcastNestedLoopJoin "
+    "Cross — the whitelisted scalar-stat shape); at the test SFs the "
+    "graph is near-uniform so cap ~= max degree and the top-20 happens "
+    "to match the audit variant — the entry's value is the EXECUTED, "
+    "oracle-replayed cap machinery, priced by the ladder.",
+)
+def b26_link_prediction_capped(spark, sf_dir):
+    from ..operators.graph import cooccurrence_cells, cooccurrence_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    g = cooccurrence_cells(ev, 60)
+    ed = (
+        cooccurrence_pairs(g, directed=True)
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .distinct()
+        # consumed 4x (degree census, rank window, anti-join, cap)
+        .localCheckpoint()
+    )
+    deg0 = ed.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    hist = deg0.groupBy("deg").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = deg0.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # <=|distinct degrees| rows: the unpartitioned window is bounded
+    wd = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+    cumh = hist.select("deg", F.sum("cnt").over(wd).alias("cum"))
+    cap = (
+        cumh.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= 99 * F.col("n_nodes"))
+        .agg(F.min("deg").cast("bigint").alias("cap"))
+    )
+    rnw = Window.partitionBy("src").orderBy("dst")
+    ced = (
+        ed.withColumn("rn", F.row_number().over(rnw))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("cap"))
+        .select("src", "dst")
+        # consumed 3x (two-hop both sides, capped degrees)
+        .localCheckpoint()
+    )
+    deg = ced.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1 = ced.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+    e2 = ced.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    two_hop = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    cand = two_hop.join(
+        ed,
+        (two_hop["a"] == ed["src"]) & (two_hop["b"] == ed["dst"]),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            .cast("bigint")
+            .alias("union_n"),
+        )
+    )
+    order_keys = [
+        F.expr("common * 1000000 DIV union_n").desc(),
+        F.col("common").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ]
+    top20 = scored.orderBy(*order_keys).limit(20)
+    rw = Window.orderBy(*order_keys)
+    return (
+        top20.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .crossJoin(F.broadcast(cap))
+        .select(
+            F.col("a").alias("user_a"),
+            F.col("b").alias("user_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            "union_n",
+            (F.col("common").cast("double") / F.col("union_n")).alias("jaccard"),
+            "cap",
+            "rank",
+        )
+    )
+
+
+def kmv_sketch(du, k):
+    """The k-minimum-values sketch of each ``yr`` scope in ``du``: the k
+    smallest distinct 60-bit md5 hashes of o_custkey (portable idiom).
+    Split out (above the decorator, per the binding rule) so the plan
+    test can pin the WindowGroupLimit on the UNCHECKPOINTED subplan —
+    b06_kmv_intersect localCheckpoints the result (3 consumers), which
+    truncates the lineage the final plan would otherwise show."""
+    rnw = Window.partitionBy("yr").orderBy("h")
+    return (
+        du.select(
+            "yr",
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") <= k)
+        .select("yr", "h")
+    )
+
+
+@query(
+    "b06_kmv_intersect",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey
+        FROM orders
+    ),
+    h AS (
+        SELECT yr,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM du
+    ),
+    rk AS (
+        SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (SELECT yr, h FROM rk WHERE rn <= 128),
+    skagg AS (
+        SELECT yr, CAST(count(*) AS BIGINT) AS n_sk,
+               CAST(max(h) AS BIGINT) AS hk
+        FROM sk GROUP BY yr
+    ),
+    pairs AS (
+        SELECT a.yr AS year_a, b.yr AS year_b
+        FROM skagg a JOIN skagg b ON b.yr = a.yr + 1
+    ),
+    m0 AS (
+        SELECT p.year_a, p.year_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.yr = p.year_a
+        UNION ALL
+        SELECT p.year_a, p.year_b, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.yr = p.year_b
+    ),
+    merged AS (
+        SELECT year_a, year_b, h,
+               CAST(max(in_a) AS BIGINT) AS in_a,
+               CAST(max(in_b) AS BIGINT) AS in_b
+        FROM m0 GROUP BY 1, 2, 3
+    ),
+    urk AS (
+        SELECT year_a, year_b, h, in_a, in_b,
+               row_number() OVER (
+                   PARTITION BY year_a, year_b ORDER BY h) AS rn
+        FROM merged
+    ),
+    usk AS (
+        SELECT year_a, year_b,
+               CAST(count(*) AS BIGINT) AS n_u,
+               CAST(max(h) AS BIGINT) AS theta,
+               CAST(sum(in_a * in_b) AS BIGINT) AS common_c
+        FROM urk WHERE rn <= 128 GROUP BY 1, 2
+    ),
+    ex AS (SELECT yr, CAST(count(*) AS BIGINT) AS exact_n FROM du GROUP BY yr),
+    exi AS (
+        SELECT a.yr AS year_a, b.yr AS year_b,
+               CAST(count(*) AS BIGINT) AS exact_intersect
+        FROM du a JOIN du b ON b.yr = a.yr + 1
+                           AND a.o_custkey = b.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT u.year_a, u.year_b, sa.n_sk AS n_sk_a, sb.n_sk AS n_sk_b,
+           u.n_u, u.theta, u.common_c,
+           CASE WHEN sa.n_sk < 128 THEN CAST(sa.n_sk AS DOUBLE)
+                ELSE 127.0e0 * 1152921504606846976.0e0 / sa.hk END AS est_a,
+           CASE WHEN sb.n_sk < 128 THEN CAST(sb.n_sk AS DOUBLE)
+                ELSE 127.0e0 * 1152921504606846976.0e0 / sb.hk END AS est_b,
+           CASE WHEN u.n_u < 128 THEN CAST(u.n_u AS DOUBLE)
+                ELSE 127.0e0 * 1152921504606846976.0e0 / u.theta END
+               AS est_union,
+           CASE WHEN u.n_u < 128 THEN CAST(u.common_c AS DOUBLE)
+                ELSE (CAST(u.common_c AS DOUBLE) *
+                      (127.0e0 * 1152921504606846976.0e0 / u.theta)) / 128 END
+               AS est_intersect,
+           ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+           COALESCE(xi.exact_intersect, 0) AS exact_intersect
+    FROM usk u
+    JOIN skagg sa ON sa.yr = u.year_a
+    JOIN skagg sb ON sb.yr = u.year_b
+    JOIN ex ea ON ea.yr = u.year_a
+    JOIN ex eb ON eb.yr = u.year_b
+    LEFT JOIN exi xi ON xi.year_a = u.year_a AND xi.year_b = u.year_b
+    """,
+    doc="B6 (r12): KMV DISTINCT-INTERSECTION SKETCH (VERDICT r11 #4) — "
+    "the k-minimum-values / theta sketch (Bar-Yossef et al. 2002; "
+    "Beyer et al. SIGMOD'07 unbiased estimator) that completes the "
+    "sketch family: HLL registers UNION cleanly but structurally "
+    "cannot INTERSECT, so cross-scope overlap ('customers active in "
+    "both adjacent order-years', the cohort-overlap question) needed "
+    "exact countDistinct until now. Sketch = the k=128 SMALLEST "
+    "distinct 60-bit md5 hashes per scope (the portable idiom: Spark "
+    "conv(substr(md5,1,15),16,10) == DuckDB ('0x'||...)::BIGINT — "
+    "fully deterministic, so unlike RNG sampling the ENTIRE sketch, "
+    "estimator arithmetic included, is hash-checked by the oracle, "
+    "and the same mixing-hash requirement as the HLL entry applies). "
+    "Estimators: n_hat = (k-1)*2^60/h_k (order statistics of "
+    "uniforms); union sketch = k smallest of the min-merged pair "
+    "(valid because the k smallest of A u B are a subset of the two "
+    "sketches' union); intersection via the theta rule c/k * "
+    "union_hat where c counts sketch-union members below theta that "
+    "lie in BOTH input sketches (h <= theta <= h_k of each side "
+    "guarantees membership is decidable from the k-sets alone). "
+    "Every float is a fixed two-rounding expression (127.0 * 2^60 is "
+    "exact — 7 significand bits; /128 is an exponent shift), never a "
+    "float SUM, per the order-dependence rule. Sets with fewer than "
+    "k distincts short-circuit to exact counts (CASE n_sk < k) — "
+    "sf0.001 exercises the exact branch (n~116-121), sf0.01/0.1 the "
+    "estimator branch, and the in-query exact audit columns carry "
+    "the true values so every row exposes its own error "
+    "(tests/test_planted_signals.py pins rel err <= 18% at every SF; "
+    "measured max 11.2% at sf0.1). SCALE: one orders scan -> one "
+    "distinct shuffle -> per-scope top-k window (rank-limit pushdown "
+    "= WindowGroupLimit, per-partition 128-row heaps, pinned in "
+    "tests/test_plans.py); everything downstream operates on "
+    "<=k*|scopes| rows. The sketch is MERGEABLE by min-merge "
+    "(partition sketches combine associatively, the 100 TB "
+    "requirement) and k is the only accuracy/state knob; the exact "
+    "audit columns are the test harness, not the serving path — at "
+    "100 TB only the sketch side runs.",
+)
+def b06_kmv_intersect(spark, sf_dir):
+    K = 128
+    M = 1152921504606846976.0  # 2^60, exact double
+    du = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "o_custkey",
+        )
+        .distinct()
+        # consumed 3x (sketch build, exact counts, exact intersection)
+        .localCheckpoint()
+    )
+    # <=k*|scopes| rows, consumed 3x (per-scope agg, both pair sides)
+    sk = kmv_sketch(du, K).localCheckpoint()
+    skagg = sk.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.max("h").cast("bigint").alias("hk"),
+    )
+    pairs = (
+        skagg.select(F.col("yr").alias("year_a"))
+        .join(
+            skagg.select((F.col("yr") - 1).alias("year_a"), F.col("yr").alias("year_b")),
+            "year_a",
+        )
+    )
+    m0 = pairs.join(sk, sk["yr"] == pairs["year_a"]).select(
+        "year_a", "year_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(
+        pairs.join(sk, sk["yr"] == pairs["year_b"]).select(
+            "year_a", "year_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        )
+    )
+    merged = m0.groupBy("year_a", "year_b", "h").agg(
+        F.max("in_a").cast("bigint").alias("in_a"),
+        F.max("in_b").cast("bigint").alias("in_b"),
+    )
+    urw = Window.partitionBy("year_a", "year_b").orderBy("h")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(urw))
+        .filter(F.col("rn") <= K)
+        .groupBy("year_a", "year_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.max("h").cast("bigint").alias("theta"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("common_c"),
+        )
+    )
+    ex = du.groupBy("yr").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    exi = (
+        du.select(F.col("yr").alias("year_a"), "o_custkey")
+        .join(
+            du.select((F.col("yr") - 1).alias("year_a"), "o_custkey"),
+            ["year_a", "o_custkey"],
+        )
+        .groupBy("year_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+    )
+    kmv_est = lambda n, hk: F.when(  # noqa: E731
+        F.col(n) < K, F.col(n).cast("double")
+    ).otherwise(F.lit(127.0) * F.lit(M) / F.col(hk))
+    est_union = F.when(F.col("n_u") < K, F.col("n_u").cast("double")).otherwise(
+        F.lit(127.0) * F.lit(M) / F.col("theta")
+    )
+    est_int = F.when(F.col("n_u") < K, F.col("common_c").cast("double")).otherwise(
+        (
+            F.col("common_c").cast("double")
+            * (F.lit(127.0) * F.lit(M) / F.col("theta"))
+        )
+        / F.lit(128)
+    )
+    return (
+        usk.join(
+            skagg.select(
+                F.col("yr").alias("year_a"),
+                F.col("n_sk").alias("n_sk_a"),
+                F.col("hk").alias("hk_a"),
+            ),
+            "year_a",
+        )
+        .join(
+            skagg.select(
+                F.col("yr").alias("year_b"),
+                F.col("n_sk").alias("n_sk_b"),
+                F.col("hk").alias("hk_b"),
+            ),
+            "year_b",
+        )
+        .join(
+            ex.select(F.col("yr").alias("year_a"), F.col("exact_n").alias("exact_a")),
+            "year_a",
+        )
+        .join(
+            ex.select(F.col("yr").alias("year_b"), F.col("exact_n").alias("exact_b")),
+            "year_b",
+        )
+        .join(exi, "year_a", "left")
+        .select(
+            "year_a",
+            "year_b",
+            "n_sk_a",
+            "n_sk_b",
+            "n_u",
+            "theta",
+            "common_c",
+            kmv_est("n_sk_a", "hk_a").alias("est_a"),
+            kmv_est("n_sk_b", "hk_b").alias("est_b"),
+            est_union.alias("est_union"),
+            est_int.alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("exact_intersect"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersect"),
+        )
+    )
+
+
+@query(
+    "b22_group_reservoir",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, event_id, user_id,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, event_id, user_id,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, event_id) AS smp_rank
+        FROM h
+    )
+    SELECT event_type, CAST(smp_rank AS BIGINT) AS smp_rank, event_id, user_id
+    FROM r WHERE smp_rank <= 8
+    """,
+    doc="B22 (r12): DETERMINISTIC PER-GROUP EXACT-k SAMPLER (VERDICT r11 "
+    "#6) — the per-group sampling primitive the curation layer lacked: "
+    "df.sampleBy is FRACTION-based (expected, not exact, group sizes) "
+    "and RNG-seeded (a retry or partition-count change resamples), so "
+    "'exactly k examples per class' — eval-set carving, per-source "
+    "inspection samples, class-balanced SFT subsets — had no entry. "
+    "This is Efraimidis-Spirakis A-ES with uniform weights: A-ES keys "
+    "each item by u^(1/w) and keeps the k largest; with w=1 that is "
+    "exactly 'k smallest of a uniform hash', and replacing the RNG u "
+    "with the portable 60-bit md5 of the UNIQUE event_id makes the "
+    "draw deterministic — same sample under retries, repartitioning, "
+    "and engine swap, which is what lets DuckDB replay the whole "
+    "sample hash-exactly (the same derandomization the "
+    "b22_stratified_sample_hash gate and the planted-twin entries "
+    "use; md5 mixes, so per-group hash order is uniform in id order). "
+    "smp_rank <= 8 over row_number(PARTITION BY event_type ORDER BY "
+    "h, event_id) — the id tiebreak makes the order total even under "
+    "(astronomically unlikely) 60-bit collisions. SCALE: the literal "
+    "rank bound lets Spark plan a WindowGroupLimit (rank-limit "
+    "pushdown, pinned in tests/test_plans.py): every partition keeps "
+    "only its local top-8 per group BEFORE the shuffle — bounded "
+    "k-per-group state per task, exactly a distributed bounded "
+    "reservoir, no global sort, no full-group materialization. At "
+    "100 TB the shuffle carries <= 8 * |groups| * |partitions| rows "
+    "upper-bounded by the partial heaps, and the final per-group "
+    "merge touches <= 8 * |partitions| rows per group.",
+)
+def b22_group_reservoir(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    h = ev.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    rnw = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        h.withColumn("smp_rank", F.row_number().over(rnw).cast("bigint"))
+        .filter(F.col("smp_rank") <= 8)
+        .select("event_type", "smp_rank", "event_id", "user_id")
     )

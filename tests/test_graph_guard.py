@@ -95,6 +95,45 @@ def test_probe_cache_keys_on_sample_fraction_and_is_bounded(spark):
         graph._CELL_PROBE_SEEN.update(old_seen)
 
 
+def test_probe_cache_hit_refreshes_lru_position(spark):
+    """ADVICE r11: the bounded cache must be LRU, not FIFO — a cache HIT
+    moves the key to the back of the eviction order, so a long-lived
+    process cycling through >max plans never re-pays probe jobs for keys
+    that are still hot."""
+    from dataselector_spark.operators import graph
+
+    hot = [("click", 1, u) for u in range(200)]
+    g = _cells(spark, hot)
+    # Prime the real key via the production path.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        graph.warn_hot_cells(g, frac=0.2, sample_fraction=0.25)
+    real_key = [k for k in graph._CELL_PROBE_SEEN if k[1] == 0.2][-1]
+    old_max, old_seen = graph._CELL_PROBE_SEEN_MAX, dict(graph._CELL_PROBE_SEEN)
+    graph._CELL_PROBE_SEEN.clear()
+    graph._CELL_PROBE_SEEN_MAX = 4
+    try:
+        # real_key is OLDEST, then three synthetic fillers.
+        graph._CELL_PROBE_SEEN[real_key] = None
+        for i in range(3):
+            graph._CELL_PROBE_SEEN[(i, 0.0, float(i))] = None
+        # A HIT on real_key must refresh it to the back...
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)  # cached, no probe
+            graph.warn_hot_cells(g, frac=0.2, sample_fraction=0.25)
+        assert next(iter(graph._CELL_PROBE_SEEN)) == (0, 0.0, 0.0)
+        # ...so the next insert evicts the synthetic filler, not real_key.
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            graph.warn_hot_cells(g, frac=0.2, sample_fraction=0.125)
+        assert real_key in graph._CELL_PROBE_SEEN
+        assert (0, 0.0, 0.0) not in graph._CELL_PROBE_SEEN
+    finally:
+        graph._CELL_PROBE_SEEN_MAX = old_max
+        graph._CELL_PROBE_SEEN.clear()
+        graph._CELL_PROBE_SEEN.update(old_seen)
+
+
 def test_cell_census_pair_fanout_arithmetic(spark):
     """census pair_fanout must be exactly c*(c-1)/2 per cell."""
     from dataselector_spark.operators.graph import cell_census

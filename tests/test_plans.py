@@ -1124,11 +1124,67 @@ def test_bm25_topk_take_ordered_and_broadcasts(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
 
 
+def test_link_prediction_capped_shape(spark):
+    """VERDICT r11 #2: the capped variant must keep the uncapped entry's
+    equi-join discipline and TakeOrderedAndProject top-20; the only
+    nested-loop is the 1-row cap scalar broadcast (the whitelisted
+    scalar-stat shape), never an unbroadcast CartesianProduct."""
+    df = QUERIES["b26_link_prediction_capped"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_kmv_sketch_window_group_limit(spark):
+    """b06_kmv_intersect's per-scope top-k must plan a WindowGroupLimit
+    (rank-limit pushdown: per-partition 128-row heaps per scope before
+    the shuffle). Pinned on the uncheckpointed sketch subplan — the
+    entry localCheckpoints it, which truncates the final plan's
+    lineage."""
+    from dataselector_spark.suite.extras import kmv_sketch
+
+    du = (
+        load_table(spark, SF, "orders")
+        .select(F.year("o_orderdate").cast("bigint").alias("yr"), "o_custkey")
+        .distinct()
+    )
+    plan = kmv_sketch(du, 128)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_group_reservoir_window_group_limit(spark):
+    """VERDICT r11 #6: the deterministic per-group exact-k sampler must
+    plan a WindowGroupLimit — per-partition top-8 heaps per group before
+    the shuffle (bounded reservoir state), never a full-group sort."""
+    df = QUERIES["b22_group_reservoir"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_refined_quantile_single_scan_sketch(spark):
+    """VERDICT r11 #5: the two-level sketch must be built in ONE events
+    scan — the (coarse, fine) cell grid is aggregated once (<=65,536
+    mergeable cells, localCheckpointed) and both levels derive from it.
+    The final plan's only parquet scan is the in-query exact-rank audit
+    (optional in serving); the r11 shape's second full scan (a
+    computed-bucket semi join that could never prune row groups) must
+    be gone."""
+    import re
+
+    df = QUERIES["b06_quantile_refined"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 1, plan[:2000]
+
+
 def test_link_prediction_all_equi_joins(spark):
     """The two-hop expansion, anti-join, and degree joins must all be
     hash equi-joins (shuffle or broadcast) — never a cartesian or
-    nested-loop fallback; the top-20 rank is a single bounded window."""
+    nested-loop fallback; the top-20 must be a TakeOrderedAndProject
+    heap (ADVICE r11: never an unpartitioned row_number window, which
+    single-partition-sorts the full two-hop candidate set)."""
     df = QUERIES["b26_link_prediction"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

@@ -43,12 +43,17 @@ def edges_for(spark, n_bg=2000, d=8, hub_deg=0):
     return und.distinct().localCheckpoint()
 
 
-def two_hop_stage(ed, cap=None):
+def two_hop_stage(ed, cap=None, mode="drop"):
     """The ENTRY's real candidate stage: two-hop expansion INTO the
     (a, b) aggregation shuffle (a bare count() underprices it ~70x —
     measured: the 50M-row expansion counts in 1.2 s but shuffles in 82 s).
-    Executed via toRdd().count() so no driver collect inflates it."""
-    if cap is not None:
+    Executed via toRdd().count() so no driver collect inflates it.
+
+    cap modes: "drop" removes hub VERTICES above the cap (the r11 rung);
+    "truncate" keeps every vertex but clips its adjacency to the cap
+    lowest-id neighbors — the deterministic machinery
+    b26_link_prediction_capped executes and oracle-replays (r12)."""
+    if cap is not None and mode == "drop":
         deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") <= cap).select("src")
         ed = (
@@ -56,6 +61,16 @@ def two_hop_stage(ed, cap=None):
             .join(
                 F.broadcast(keep.select(F.col("src").alias("dst"))), "dst"
             )
+        )
+    elif cap is not None and mode == "truncate":
+        from pyspark.sql import Window
+
+        rnw = Window.partitionBy("src").orderBy("dst")
+        ed = (
+            ed.withColumn("rn", F.row_number().over(rnw))
+            .filter(F.col("rn") <= cap)
+            .select("src", "dst")
+            .localCheckpoint()
         )
     e1 = ed.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
     e2 = ed.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
@@ -75,12 +90,20 @@ def two_hop_stage(ed, cap=None):
 def main():
     spark = get_spark("linkpred-ladder", cpus=8, shuffle_partitions=8)
     print("config | edges | candidate_groups | wall_med3_s")
-    for hub, cap in ((0, None), (2000, None), (2000, 32), (10000, None), (10000, 32)):
+    for hub, cap, mode in (
+        (0, None, "drop"),
+        (2000, None, "drop"),
+        (2000, 32, "drop"),
+        (2000, 32, "truncate"),
+        (10000, None, "drop"),
+        (10000, 32, "drop"),
+        (10000, 32, "truncate"),
+    ):
         ed = edges_for(spark, hub_deg=hub)
         n_edges = ed.count()
-        runs = sorted(two_hop_stage(ed, cap) for _ in range(3))
+        runs = sorted(two_hop_stage(ed, cap, mode) for _ in range(3))
         n, wall = runs[0][0], runs[1][1]
-        label = "uncapped" if cap is None else f"cap=p99({cap})"
+        label = "uncapped" if cap is None else f"cap=p99({cap}),{mode}"
         print(f"hub_deg={hub:5d} {label} | {n_edges} | {n} | {wall:.2f}")
 
 
