@@ -268,6 +268,8 @@ HEADLINE_V8 = [
     "b26_link_prediction_capped",  # B26 p99 hub-degree-capped link pred
     "b06_kmv_intersect",  # B6 KMV distinct-intersection sketch
     "b22_group_reservoir",  # B22 deterministic per-group exact-k sampler
+    "b13_leakage_safe_split",  # B13/B22 cluster-keyed split + leak audit
+    "b22_budgeted_split",  # B22 Hamilton-apportioned exact-budget sample
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -11077,3 +11077,245 @@ def b22_group_reservoir(spark, sf_dir):
         .filter(F.col("smp_rank") <= 8)
         .select("event_type", "smp_rank", "event_id", "user_id")
     )
+
+
+@query(
+    "b13_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE.strip()},
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    assign AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    lab AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN cm < 8 THEN 'train' WHEN cm = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN nm < 8 THEN 'train' WHEN nm = 8 THEN 'val'
+                    ELSE 'test' END AS naive_split
+        FROM (
+            SELECT doc_id, cluster_id,
+                   ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 10 AS cm,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 10 AS nm
+            FROM assign
+        )
+    ),
+    scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN a.naive_split <> b.naive_split
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS leaked_pairs_naive,
+               CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS leaked_pairs_cluster
+        FROM pairs p JOIN lab a ON a.doc_id = p.id_a
+                     JOIN lab b ON b.doc_id = p.id_b
+    )
+    SELECT l.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+           s.n_pairs, s.leaked_pairs_naive, s.leaked_pairs_cluster
+    FROM lab l, scal s
+    GROUP BY 1, 4, 5, 6
+    """,
+    doc="B13/B22 (r12): LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the curation "
+    "step that makes eval sets honest: a naive per-document hash split "
+    "puts near-duplicate documents on BOTH sides of the train/eval "
+    "boundary (the classic contamination path — the model 'memorizes' "
+    "the training twin and the eval score is fiction), so the split "
+    "unit must be the near-dup CLUSTER, not the document. Clusters = "
+    "the b13_dedup_clusters machinery verbatim (trigram-shingle exact "
+    "Jaccard >= 0.5 pairs -> connected components, min-id label); "
+    "singleton docs are their own cluster (COALESCE to doc_id). Split "
+    "= the 60-bit md5 of the CLUSTER id mod 10 (8/1/1 train/val/test) "
+    "— deterministic, so members of a cluster land together by "
+    "construction, and the whole assignment is hash-checked by the "
+    "oracle. The entry AUDITS the claim in-query, Benford-style: it "
+    "computes the same 8/1/1 split keyed on doc_id (what a naive "
+    "pipeline does) and counts near-dup pairs straddling split "
+    "boundaries under each keying — measured at sf0.01: 25 pairs, "
+    "8 leak under the naive split (~ the 1 - sum p_i^2 = 34% theory "
+    "rate), 0 under the cluster split (pinned in pytest; the oracle "
+    "replays both counts exactly). All three pair scalars fold into "
+    "ONE aggregate over one pairs-labels join (the oracle's three "
+    "CTEs, fused). SCALE: pair evidence is the shared banded/inverted-"
+    "index build (never all-pairs), CC is the measured min-label "
+    "propagation, labels join pairs on doc_id (equi, AQE-sizable), "
+    "and the split itself is map-only hash arithmetic — the audit "
+    "scalars ride a 1-row broadcast. Cites the same decontamination "
+    "rationale as b15_decontaminate (train-vs-eval overlap), but "
+    "operates at corpus-construction time where the fix is free.",
+)
+def b13_leakage_safe_split(spark, sf_dir):
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    # consumed twice (CC rounds + the leak audit join)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).localCheckpoint()
+    comp = connected_components(pairs)
+    h10 = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+        % 10
+    )
+    split_of = lambda m: (  # noqa: E731
+        F.when(m < 8, "train").when(m == 8, "val").otherwise("test")
+    )
+    lab = (
+        d.select("doc_id")
+        .join(comp.select(F.col("id").alias("doc_id"), "comp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            split_of(h10(F.col("cluster_id"))).alias("split"),
+            split_of(h10(F.col("doc_id"))).alias("naive_split"),
+        )
+        # consumed 3x (per-split agg + both sides of the pair audit)
+        .localCheckpoint()
+    )
+    la = lab.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("sa"),
+        F.col("naive_split").alias("na"),
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("sb"),
+        F.col("naive_split").alias("nb"),
+    )
+    scal = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_pairs_naive"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_pairs_cluster"),
+        )
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_pairs",
+            "leaked_pairs_naive",
+            "leaked_pairs_cluster",
+        )
+    )
+
+
+@query(
+    "b22_budgeted_split",
+    oracle="""
+    WITH cnt AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cnt),
+    q AS (
+        SELECT lang, n_docs,
+               (100 * n_docs) // total AS floor_part,
+               (100 * n_docs) % total AS rem
+        FROM cnt, tot
+    ),
+    fl AS (SELECT CAST(sum(floor_part) AS BIGINT) AS floor_sum FROM q),
+    alloc AS (
+        SELECT lang,
+               CAST(floor_part + CASE WHEN rk <= 100 - fl.floor_sum
+                                      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM (SELECT lang, floor_part,
+                     row_number() OVER (ORDER BY rem DESC, lang) AS rk
+              FROM q), fl
+    ),
+    ranked AS (
+        SELECT d.lang, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT,
+                            d.doc_id) AS smp_rank
+        FROM documents d
+    )
+    SELECT r.lang, CAST(r.smp_rank AS BIGINT) AS smp_rank, r.doc_id, a.alloc
+    FROM ranked r JOIN alloc a ON a.lang = r.lang
+    WHERE r.smp_rank <= a.alloc
+    """,
+    doc="B22 (r12): BUDGETED PROPORTIONAL SAMPLE — 'exactly 100 eval "
+    "documents, allocated proportionally across languages, reproducibly' "
+    "— the composition of two existing exact primitives that no single "
+    "entry gave: Hamilton largest-remainder apportionment "
+    "(b22_proportional_allocation's algorithm: integer floor quotas "
+    "B*n_g DIV total, leftover seats to the largest remainders with the "
+    "(rem DESC, lang) total order — sum(alloc) == B EXACTLY, no "
+    "float-rounding drift) allocates the budget, then the deterministic "
+    "hash-rank sampler (b22_group_reservoir's A-ES derandomization: "
+    "60-bit md5 of doc_id, (h, doc_id) total order) draws EXACTLY "
+    "alloc_g uniform documents per stratum. Every step is integer "
+    "arithmetic on corpus counts, so the oracle replays the full 100-row "
+    "sample hash-exactly; sum == 100 at every SF is pinned in pytest "
+    "alongside the apportionment-vs-true-proportion bound (|alloc - "
+    "100*n_g/total| < 1 by the largest-remainder construction, Hare "
+    "quota). SCALE: one scan -> one ~|strata|-row count aggregate (the "
+    "apportionment is driver-scale arithmetic on it, broadcast back), "
+    "one per-stratum rank window; the rank bound is a per-group COLUMN "
+    "(alloc), so like the capped link-pred this is a full linear window "
+    "rather than a WindowGroupLimit — the price of a data-dependent "
+    "quota; with a literal per-group k it degrades to the "
+    "group-reservoir plan. At 100 TB the apportionment input is "
+    "|strata| rows regardless of corpus size and the sample shuffle "
+    "carries only the winning rows.",
+)
+def b22_budgeted_split(spark, sf_dir):
+    B = 100
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    q = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({B} * n_docs) DIV total").alias("floor_part"),
+        F.expr(f"({B} * n_docs) % total").alias("rem"),
+    )
+    fl = q.agg(F.sum("floor_part").cast("bigint").alias("floor_sum"))
+    # <=|strata| rows: the unpartitioned window is bounded
+    rw = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    alloc = (
+        q.withColumn("rk", F.row_number().over(rw))
+        .crossJoin(F.broadcast(fl))
+        .select(
+            "lang",
+            (
+                F.col("floor_part")
+                + F.when(F.col("rk") <= F.lit(B) - F.col("floor_sum"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+    rnw = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = d.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+    ).withColumn("smp_rank", F.row_number().over(rnw).cast("bigint"))
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("smp_rank") <= F.col("alloc"))
+        .select("lang", "smp_rank", "doc_id", "alloc")
+    )

@@ -188,6 +188,55 @@ def test_kmv_intersect_accuracy_at_every_sf(spark):
                 assert r["n_sk_a"] == 128, (sf, r)
 
 
+def test_leakage_safe_split_zero_cluster_leaks(spark):
+    """The split's reason to exist: near-dup pairs must NEVER straddle a
+    split boundary under cluster keying (0 by construction, replayed by
+    the oracle), while the naive doc-keyed split measurably leaks
+    (~1 - sum p_i^2 = 34% of pairs in expectation for an 8/1/1 split).
+    Checked at both SFs with real pair evidence (n_pairs > 0)."""
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b13_leakage_safe_split"].fn
+    for sf in ("0.01", "0.1"):
+        rows = fn(spark, f"/root/testdata/sf{sf}").collect()
+        assert {r["split"] for r in rows} == {"train", "val", "test"}, (sf, rows)
+        r0 = rows[0]
+        assert r0["n_pairs"] > 0, (sf, r0)
+        assert r0["leaked_pairs_cluster"] == 0, (sf, r0)
+        assert r0["leaked_pairs_naive"] > 0, (sf, r0)
+
+
+def test_budgeted_split_exact_budget_and_hare_quota(spark):
+    """Hamilton apportionment + hash-rank draw: exactly 100 sampled rows
+    at every SF, per-stratum counts equal the allocation column, and
+    every allocation is within 1 of the true proportional quota
+    100*n_g/total (the largest-remainder/Hare-quota guarantee)."""
+    from collections import Counter
+
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b22_budgeted_split"].fn
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = fn(spark, f"/root/testdata/sf{sf}").collect()
+        assert len(rows) == 100, (sf, len(rows))
+        per = Counter(r["lang"] for r in rows)
+        alloc = {r["lang"]: r["alloc"] for r in rows}
+        assert per == alloc, (sf, per, alloc)
+        # recompute true quotas from the table
+        import duckdb
+
+        con = duckdb.connect()
+        n = dict(
+            con.execute(
+                f"SELECT lang, count(*) FROM "
+                f"'/root/testdata/sf{sf}/documents.parquet' GROUP BY 1"
+            ).fetchall()
+        )
+        total = sum(n.values())
+        for lang, a in alloc.items():
+            assert abs(a - 100 * n[lang] / total) <= 1, (sf, lang, a, n[lang])
+
+
 def _write_clique_events(spark, path, cliques, events_per_cell=1):
     """Synthetic events where each clique's users share exclusive
     (event_type, minute) cells: users in the same clique co-occur,
