@@ -270,6 +270,7 @@ HEADLINE_V8 = [
     "b22_group_reservoir",  # B22 deterministic per-group exact-k sampler
     "b13_leakage_safe_split",  # B13/B22 cluster-keyed split + leak audit
     "b22_budgeted_split",  # B22 Hamilton-apportioned exact-budget sample
+    "b06_kmv_merge",  # B6 KMV min-merge rollup (__ALL__ from k-sets)
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -422,28 +422,31 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # retirement the r11 verdict prescribes — all 33 r6-latest oracle-bearing
 # entries (queued in the _R11_WINDOW comment above) + the oldest r7-latest
 # rows — minus the standing displacements:
-#   * 5 entries NEW in r12 (never-checked outranks everything):
+#   * 6 entries NEW in r12 (never-checked outranks everything):
 #     b26_link_prediction_capped (deterministic p99 hub-degree cap ahead
 #     of the two-hop expansion, VERDICT r11 #2), b06_kmv_intersect
 #     (k-minimum-values distinct-intersection sketch, #4),
 #     b22_group_reservoir (deterministic per-group exact-k A-ES sampler,
 #     #6), plus the session-2 curation pair: b13_leakage_safe_split
 #     (cluster-keyed 8/1/1 split with the in-query naive-vs-cluster
-#     leak audit) and b22_budgeted_split (Hamilton apportionment +
-#     hash-rank exact-budget proportional sample);
+#     leak audit), b22_budgeted_split (Hamilton apportionment +
+#     hash-rank exact-budget proportional sample) and b06_kmv_merge
+#     (the min-merge mergeability claim executed: per-scope k-sets
+#     min-merged into an __ALL__ sketch, accuracy pinned);
 #   * 2 entries REWRITTEN in r12 after their r11 rows (REWRITTEN_IN_ROUND):
 #     b26_link_prediction (TakeOrderedAndProject top-20, ADVICE r11),
 #     b06_quantile_refined (single-pass cell grid, VERDICT r11 #5);
 #   * the 33 r6-latest oracle-bearing entries (after this round no
 #     oracle-bearing entry's latest row predates r7);
-#   * the 10 oldest r7-latest oracle-bearing entries in registration order
-#     (17 per the verdict target, minus 7 displaced to r13 by the five
-#     session-1 new/rewritten entries plus the session-2 pair
-#     b13_leakage_safe_split / b22_budgeted_split: b01_csv_roundtrip,
+#   * the 9 oldest r7-latest oracle-bearing entries in registration order
+#     (17 per the verdict target, minus 8 displaced to r13 by the five
+#     session-1 new/rewritten entries plus the session-2 trio
+#     b13_leakage_safe_split / b22_budgeted_split / b06_kmv_merge:
+#     b01_parquet_roundtrip, b01_csv_roundtrip,
 #     b01_json_roundtrip, b01_orc_roundtrip, b01_text_roundtrip,
 #     a08_round_to_step, a09_clamp, a13_selection_insert).
-#     The remaining 37 r7-latest entries queue for r13:
-#     b01_csv_roundtrip, b01_json_roundtrip,
+#     The remaining 38 r7-latest entries queue for r13:
+#     b01_parquet_roundtrip, b01_csv_roundtrip, b01_json_roundtrip,
 #     b01_orc_roundtrip, b01_text_roundtrip,
 #     a08_round_to_step, a09_clamp, a13_selection_insert,
 #     a17_retract_compound, a18_forward_index, a27_regex_replace,
@@ -466,6 +469,7 @@ _R12_WINDOW = [
     "b22_group_reservoir",
     "b13_leakage_safe_split",
     "b22_budgeted_split",
+    "b06_kmv_merge",
     # --- rewritten in r12 (REWRITTEN_IN_ROUND) ---
     "b26_link_prediction",
     "b06_quantile_refined",
@@ -515,7 +519,6 @@ _R12_WINDOW = [
     "b15_tfidf_top_term",
     "q12_late_shipment_priority",
     "a29_cross_join",
-    "b01_parquet_roundtrip",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 

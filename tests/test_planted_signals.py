@@ -188,6 +188,26 @@ def test_kmv_intersect_accuracy_at_every_sf(spark):
                 assert r["n_sk_a"] == 128, (sf, r)
 
 
+def test_kmv_merge_accuracy_at_every_sf(spark):
+    """The min-merge claim executed: the '__ALL__' sketch (k smallest of
+    the per-scope k-sets' distinct union — never a re-scan) must estimate
+    the true global distinct within 20% at every SF (theory ~8.8% 1-sigma
+    at k=128; measured max 17.4%), and every per-scope row must satisfy
+    the same bound with the exact short-circuit firing where n_sk < k."""
+    from dataselector_spark.suite import QUERIES
+
+    fn = QUERIES["b06_kmv_merge"].fn
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = fn(spark, f"/root/testdata/sf{sf}").collect()
+        scopes = {r["scope"] for r in rows}
+        assert "__ALL__" in scopes and len(scopes) == 8, (sf, scopes)
+        for r in rows:
+            rel = abs(r["est"] - r["exact_n"]) / r["exact_n"]
+            assert rel <= 0.2, (sf, r, rel)
+            if r["n_sk"] < 128:
+                assert r["est"] == r["exact_n"], (sf, r)
+
+
 def test_leakage_safe_split_zero_cluster_leaks(spark):
     """The split's reason to exist: near-dup pairs must NEVER straddle a
     split boundary under cluster keying (0 by construction, replayed by
