@@ -11,7 +11,7 @@ keeps only a ~2 KB stdout tail — the final line must carry every headline
 number by itself (VERDICT r8 #7), and the fresh-JVM per-set walls
 (VERDICT r8 #4) are the cross-round numbers contention cannot distort.
 Env: SPARK_GRAFT_BENCH_ISOLATED=0 skips the isolation pass (quick local
-iteration); SPARK_GRAFT_BENCH_SET=v1..v8 runs one set (child mode);
+iteration); SPARK_GRAFT_BENCH_SET=v1..v9 runs one set (child mode);
 SPARK_GRAFT_BENCH_SET_RUNS=N (default 3) fresh-JVM children per set, the
 reported isolated wall is their MIN (VERDICT r11 #3 — robust to the
 measured cyclic external load; children default to reps=2 when N>1).
@@ -273,6 +273,13 @@ HEADLINE_V8 = [
     "b06_kmv_merge",  # B6 KMV min-merge rollup (__ALL__ from k-sets)
 ]
 
+# HEADLINE_V9: the round-12 session-3 additions, FROZEN the same way
+# (reported as `headline_v9_wall`, excluded from `value`).
+HEADLINE_V9 = [
+    "b15_surprisal_tertiles",  # B15 unigram-LM surprisal tertile buckets
+    "b14_rrf_hybrid",  # B14/B15 reciprocal-rank-fusion hybrid retrieval
+]
+
 # The frozen versioned sets, addressable for per-set isolated re-runs.
 SETS = {
     "v1": HEADLINE,
@@ -283,6 +290,7 @@ SETS = {
     "v6": HEADLINE_V6,
     "v7": HEADLINE_V7,
     "v8": HEADLINE_V8,
+    "v9": HEADLINE_V9,
 }
 
 
@@ -415,7 +423,8 @@ def main() -> None:
         + HEADLINE_V5
         + HEADLINE_V6
         + HEADLINE_V7
-        + HEADLINE_V8,
+        + HEADLINE_V8
+        + HEADLINE_V9,
         sf_dir,
         reps,
     )
@@ -428,6 +437,7 @@ def main() -> None:
     extra6 = round(sum(timings[n] for n in HEADLINE_V6), 3)
     extra7 = round(sum(timings[n] for n in HEADLINE_V7), 3)
     extra8 = round(sum(timings[n] for n in HEADLINE_V8), 3)
+    extra9 = round(sum(timings[n] for n in HEADLINE_V9), 3)
     probe = _cpu_probe()
     multi_probe = _cpu_probe_multi()
     scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
@@ -553,6 +563,8 @@ def main() -> None:
                 "headline_v7_n": len(HEADLINE_V7),
                 "headline_v8_wall": extra8,
                 "headline_v8_n": len(HEADLINE_V8),
+                "headline_v9_wall": extra9,
+                "headline_v9_n": len(HEADLINE_V9),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,

@@ -11439,3 +11439,364 @@ def b06_kmv_merge(spark, sf_dir):
     return agg.join(ex, "scope").select(
         "scope", "n_sk", "hk", est.alias("est"), "exact_n"
     )
+
+
+@query(
+    "b15_surprisal_tertiles",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ),
+    corp AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    bits AS (
+        SELECT term, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits
+        FROM vocab CROSS JOIN corp
+    ),
+    docsc AS (
+        SELECT tf.doc_id,
+               CAST((1000 * sum(tf.tf * b.bits)) // sum(tf.tf) AS BIGINT)
+                   AS score_milli
+        FROM tf JOIN bits b ON tf.term = b.term
+        GROUP BY tf.doc_id
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docsc),
+    hist AS (
+        SELECT score_milli, CAST(count(*) AS BIGINT) AS c
+        FROM docsc GROUP BY 1
+    ),
+    cum AS (
+        SELECT score_milli,
+               sum(c) OVER (ORDER BY score_milli
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= n THEN score_milli END) AS c1,
+               min(CASE WHEN cum * 3 >= 2 * n THEN score_milli END) AS c2
+        FROM cum CROSS JOIN nd
+    )
+    SELECT CASE WHEN score_milli <= c1 THEN 'head'
+                WHEN score_milli <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(min(score_milli) AS BIGINT) AS lo_milli,
+           CAST(max(score_milli) AS BIGINT) AS hi_milli,
+           CAST(sum(score_milli * c) AS BIGINT) AS sum_milli
+    FROM hist CROSS JOIN cuts
+    GROUP BY 1
+    ORDER BY lo_milli
+    """,
+    doc="B15 (r12): UNIGRAM-LM SURPRISAL TERTILES — the CCNet-style "
+    "perplexity bucketing the text-quality family lacked (CCNet trains a "
+    "language model on the corpus, scores every document in bits/token, "
+    "then splits head/middle/tail at the score tertiles; head = most "
+    "fluent, the slice usually kept for LLM pretraining). The 'model' is "
+    "the corpus's own unigram distribution, and the per-token surprisal "
+    "is quantized to WHOLE BITS so the entire contract stays integer: "
+    "bits(term) = floor(log2(total_tokens / cnt_term)) computed EXACTLY "
+    "in both engines as length(bin(total DIV cnt)) - 1 — no "
+    "transcendental ever enters the hash contract (the "
+    "b15_tfidf_top_term / b15_bm25_topk rule; floor(log2(x)) == "
+    "floor(log2(floor(x))) for x >= 1 because any power of two <= x is "
+    "an integer <= floor(x), so the integer DIV loses nothing). "
+    "doc score = (1000 * sum_t tf_t * bits_t) DIV doc_len, in "
+    "milli-bits/token. Tertile cutoffs come from a bounded score "
+    "HISTOGRAM, never a global doc sort: score_milli <= 1000*63 by "
+    "construction (bigint bin length), so the cumulative window runs "
+    "over <= 63k cells and the cutoff c_j is the smallest score with "
+    "cum*3 >= j*n — ties at a cutoff land in the lower bucket wholesale, "
+    "so bucket sizes deviate from n/3 only by cutoff-cell mass (the "
+    "deterministic alternative to rank-splitting ties; pytest pins the "
+    "bound — and the alternative would be a rank over the cutoff cell, "
+    "which at 100 TB can be 95% of the corpus in one hot partition). "
+    "MEASURED DEGENERACY, reported not hidden: at sf0.1 the synthetic "
+    "background vocabulary is near-uniform (the 25 common terms all sit "
+    "at 4.88-4.93 bits — verified via exact log2 — so 4,750 of 5,000 "
+    "docs share the single whole-bit cell 4000 and the cutoff rule "
+    "lands them wholesale in head; middle is EMPTY and the entry emits "
+    "2 buckets). That is the truth about a degenerate distribution — "
+    "even deci-bit quantization would split this corpus barely, and a "
+    "tertile line drawn inside a 95% blob is noise, not signal. "
+    "Per-bucket stats are then re-aggregated from the SAME "
+    "histogram, so the corpus is scanned once per level: tokenize -> "
+    "(doc,term) tf aggregate (localCheckpointed — the train-then-score "
+    "shape consumes it for BOTH the vocab counts and the doc scores, the "
+    "shared-intermediate rule from the LPA/KMV entries) -> doc scores -> "
+    "63k-cell histogram; everything downstream of the histogram is "
+    "driver-free arithmetic on bounded relations with broadcast "
+    "scalars. At 100 TB: two keyed shuffles (term, doc_id) over the tf "
+    "relation plus bounded-state tails — no unpartitioned window ever "
+    "sees more than the 63k histogram cells.",
+)
+def b15_surprisal_tertiles(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # Consumed twice (vocab counts + doc scoring): materialize once.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    corp = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    bits = vocab.crossJoin(F.broadcast(corp)).select(
+        "term",
+        F.expr("CAST(length(bin(total DIV cnt)) - 1 AS BIGINT)").alias("bits"),
+    )
+    docsc = (
+        tf.join(bits, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("bits")).cast("bigint").alias("sum_bits"),
+            F.sum("tf").cast("bigint").alias("dl"),
+        )
+        .select(
+            F.expr("CAST((1000 * sum_bits) DIV dl AS BIGINT)").alias(
+                "score_milli"
+            )
+        )
+    )
+    # <= 63,000 cells by construction (milli-bits of a bigint ratio):
+    # consumed twice (cutoffs + per-bucket stats), bounded, cheap.
+    hist = (
+        docsc.groupBy("score_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    nd = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    cw = Window.orderBy("score_milli").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("score_milli", F.sum("c").over(cw).alias("cum"))
+    cuts = cum.crossJoin(F.broadcast(nd)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("score_milli"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("score_milli"))
+        ).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("score_milli") <= F.col("c1"), F.lit("head"))
+        .when(F.col("score_milli") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        hist.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.min("score_milli").cast("bigint").alias("lo_milli"),
+            F.max("score_milli").cast("bigint").alias("hi_milli"),
+            F.sum(F.col("score_milli") * F.col("c"))
+            .cast("bigint")
+            .alias("sum_milli"),
+        )
+        .orderBy("lo_milli")
+    )
+
+
+# DuckDB twin of the exact double cosine fold (accumulation order identical
+# to functions/vectors.py dot_product) — same text as llm_pipeline's
+# _SQL_COSINE_FOLD, restated here because suite modules do not import each
+# other's private SQL fragments across registration boundaries.
+_RRF_COSINE_FOLD = """
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+            (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)))
+"""
+
+
+@query(
+    "b14_rrf_hybrid",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS tot_len
+        FROM dl
+    ),
+    w AS (
+        SELECT * FROM (VALUES ('dup', CAST(2900 AS BIGINT)),
+                              ('vector', CAST(700 AS BIGINT)),
+                              ('scan', CAST(600 AS BIGINT))) AS w(term, w_milli)
+    ),
+    tfq AS (
+        SELECT tok.doc_id, tok.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN w ON tok.term = w.term
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tfq.doc_id,
+               CAST(sum((w.w_milli * 44 * corp.tot_len * tfq.tf)
+                        // (20 * corp.tot_len * tfq.tf + 6 * corp.tot_len
+                            + 18 * dl.dl * corp.n_docs)) AS BIGINT)
+                   AS score_milli
+        FROM tfq
+        JOIN w ON tfq.term = w.term
+        JOIN dl ON tfq.doc_id = dl.doc_id
+        CROSS JOIN corp
+        GROUP BY tfq.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_milli DESC, doc_id)
+                       AS r_lex
+            FROM scored
+        ) WHERE r_lex <= 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+        SELECT vec_id AS doc_id, r_vec FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_vec
+            FROM (SELECT e.vec_id, {_RRF_COSINE_FOLD} AS cosine
+                  FROM embeddings e, q)
+        ) WHERE r_vec <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               CAST(coalesce(l.r_lex, 0) AS BIGINT) AS rank_lex,
+               CAST(coalesce(v.r_vec, 0) AS BIGINT) AS rank_vec,
+               CAST(coalesce(1000000 // (60 + l.r_lex), 0)
+                  + coalesce(1000000 // (60 + v.r_vec), 0) AS BIGINT)
+                   AS rrf_ppm
+        FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_ppm,
+           CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fused
+    ORDER BY rank LIMIT 10
+    """,
+    doc="B14/B15 (r12): RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL — the "
+    "standard way production search fuses a lexical ranker with a vector "
+    "ranker (Cormack/Clarke/Buettcher 2009: RRF(d) = sum_r 1/(k + "
+    "rank_r(d)), k = 60), and the op the retrieval family lacked: "
+    "b15_bm25_topk ranks lexically, b14_topk_cosine ranks by embedding, "
+    "nothing combined them. List 1 = the BM25 top-20 for the fixed "
+    "3-term query under the exact integer fixed-point contract (the "
+    "machinery deliberately MIRRORS b15_bm25_topk rather than refactor "
+    "it — that entry's driver row stays untouched per the freshness-"
+    "window displacement rule; same k1=6/5, b=3/4 rational, same milli "
+    "dictionary, same DIV parity, same ~7.2e13 L*tf int64 boundary "
+    "documented there). List 2 = exact cosine top-20 against the "
+    "vec_id=0 query vector (operators/similarity.topk_cosine; the "
+    "oracle replays the identical sequential double fold). Fusion is "
+    "pure integers: rrf_ppm = sum over the two lists of 10^6 DIV "
+    "(60 + rank), absent-from-list contributes 0 (rank_lex/rank_vec "
+    "emitted as 0 — at sf0.1 the corpus has 5,000 docs but only 2,000 "
+    "embeddings, so lexical-only membership is a real, documented "
+    "state, not an error). Plan shape: each list is a "
+    "TakeOrderedAndProject heap (per-partition top-k, no global sort), "
+    "the full-outer fusion join touches <= 40 rows total (full-outer "
+    "cannot broadcast, but a 40-row sort-merge is nothing), and the "
+    "final rank window runs over <= 40 rows. At 100 TB both feeder "
+    "rankings stay heap-bounded end-to-end; the fusion cost is O(k).",
+)
+def b14_rrf_hybrid(spark, sf_dir):
+    from ..functions.text import tokens
+    from ..operators.similarity import topk_cosine
+    from .llm_pipeline import _query_vector
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {"dup": 2900, "vector": 700, "scan": 600}
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_len"),
+    )
+    w = F.broadcast(
+        spark.createDataFrame(
+            list(weights.items()), "term string, w_milli bigint"
+        )
+    )
+    tfq = (
+        tok.join(w.select("term"), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    scored = (
+        tfq.join(w, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((w_milli * 44 * tot_len * tf) DIV "
+                "(20 * tot_len * tf + 6 * tot_len + 18 * dl * n_docs) "
+                "AS BIGINT)"
+            ).alias("part_milli"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_milli").cast("bigint").alias("score_milli"))
+    )
+    lw = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+    lex = (
+        scored.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.row_number().over(lw).alias("r_lex"))
+    )
+    qv = _query_vector(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    vw = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    vec = (
+        topk_cosine(e, qv, k=20)
+        .select("vec_id", "cosine")
+        .select(
+            F.col("vec_id").alias("v_doc_id"),
+            F.row_number().over(vw).alias("r_vec"),
+        )
+    )
+    fused = (
+        lex.join(vec, lex["doc_id"] == vec["v_doc_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("v_doc_id")).alias("doc_id"),
+            F.coalesce(F.col("r_lex"), F.lit(0)).cast("bigint").alias(
+                "rank_lex"
+            ),
+            F.coalesce(F.col("r_vec"), F.lit(0)).cast("bigint").alias(
+                "rank_vec"
+            ),
+            F.expr(
+                "CAST(coalesce(1000000 DIV (60 + r_lex), 0) "
+                "+ coalesce(1000000 DIV (60 + r_vec), 0) AS BIGINT)"
+            ).alias("rrf_ppm"),
+        )
+    )
+    rw = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn(
+            "rank", F.row_number().over(rw).cast("bigint")
+        )
+        .orderBy("rank")
+        .limit(10)
+    )

@@ -1188,3 +1188,60 @@ def test_link_prediction_all_equi_joins(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_surprisal_tertiles_bounded_windows_and_one_tokenize(spark):
+    """r12: the tertile machinery must never sort documents globally —
+    the only unpartitioned window runs over the <=63k-cell score
+    HISTOGRAM (which sits behind a localCheckpoint, so the final plan
+    contains no Sort of a document-cardinality relation at all), the
+    corpus-total scalar and the 2-value cutoff row enter as broadcast
+    nested loops (the whitelisted 1-row scalar-stat shape), and nothing
+    plans an unbroadcast CartesianProduct."""
+    df = QUERIES["b15_surprisal_tertiles"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # the per-bucket reaggregation consumes the checkpointed histogram:
+    # no parquet rescan of documents may appear downstream
+    import re
+
+    assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
+
+
+def test_surprisal_tertiles_tf_feeder_shape(spark):
+    """The tf feeder (the part ahead of the checkpoint) must read the
+    documents parquet ONCE with the text/doc_id columns only, and
+    aggregate map-side (partial_count) before the (doc_id, term)
+    shuffle."""
+    from dataselector_spark.functions.text import tokens
+
+    d = load_table(spark, SF, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    import re
+
+    plan = tf._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan[:2000]
+    schemas = read_schemas(tf)
+    assert schemas and "lang" not in schemas[0], schemas
+    assert "partial_count" in plan, plan[:2000]
+
+
+def test_rrf_hybrid_two_heaps_no_cartesian(spark):
+    """r12: both RRF feeder rankings must be TakeOrderedAndProject heaps
+    (lexical top-20 and cosine top-20 — never a global sort of scored
+    docs or of the embedding corpus), the 3-term dictionary must
+    broadcast, and the fusion's full-outer join over <=40 rows must be
+    an equi-join (SortMergeJoin/ShuffledHashJoin), never an unbroadcast
+    CartesianProduct."""
+    import re
+
+    df = QUERIES["b14_rrf_hybrid"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "FullOuter" in plan, plan[:1500]
