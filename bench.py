@@ -278,6 +278,10 @@ HEADLINE_V8 = [
 HEADLINE_V9 = [
     "b15_surprisal_tertiles",  # B15 unigram-LM surprisal tertile buckets
     "b14_rrf_hybrid",  # B14/B15 reciprocal-rank-fusion hybrid retrieval
+    # extended same-session, before v9's first recorded reading — the
+    # freeze starts with the first cross-round artifact that carries it
+    "b22_target_mixture",  # B22 capped target-mix waterfall allocation
+    "b13_minhash_shard_merge",  # B13 per-shard MinHash min-merge audit
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -590,3 +590,55 @@ def fuzzy_dedup_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def minhash_signatures_portable_sharded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    shards: int = 2,
+) -> DataFrame:
+    """Per-shard portable MinHash signatures min-merged into the per-doc
+    signature — the incremental/sharded-ingest dataflow: each shard (here
+    a deterministic ``h % shards`` split of the shingle relation,
+    simulating partial arrival of a document's content) keeps only its
+    own ``num_hashes`` bigints of bounded state, and the merge is an
+    element-wise MIN.  min over a union is the min of per-part mins, so
+    the merged signature equals the direct whole-corpus signature of
+    `minhash_signatures_portable` exactly — the MinHash analogue of the
+    KMV min-merge lemma, here EXECUTED as a two-level aggregate rather
+    than assumed.  Same portable hash family (polynomial shingle hash +
+    affine permutations mod 1e9+7), so the whole two-phase dataflow is
+    value-checkable by an external SQL engine."""
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+    def poly_hash(s):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
+        )
+
+    shingles = _fan_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id",
+        F.explode(F.transform(word_ngrams(text_col, n), poly_hash)).alias("h"),
+    )
+    batched = shingles.withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(shards)).cast("bigint")
+    )
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(MINHASH_MOD)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    per_shard = batched.groupBy("id", "shard").agg(*mins)
+    merged = per_shard.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return merged

@@ -11800,3 +11800,270 @@ def b14_rrf_hybrid(spark, sf_dir):
         .orderBy("rank")
         .limit(10)
     )
+
+
+@query(
+    "b22_target_mixture",
+    oracle="""
+    WITH tgt AS (
+        SELECT * FROM (VALUES ('fr', CAST(400000 AS BIGINT)),
+                              ('en', CAST(150000 AS BIGINT)),
+                              ('de', CAST(150000 AS BIGINT)),
+                              ('es', CAST(150000 AS BIGINT)),
+                              ('zh', CAST(150000 AS BIGINT)))
+            AS t(lang, target_ppm)
+    ),
+    avail AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS avail
+        FROM documents GROUP BY lang
+    ),
+    base AS (
+        SELECT t.lang, t.target_ppm, coalesce(a.avail, 0) AS avail,
+               (400 * t.target_ppm) // 1000000 AS fl,
+               (400 * t.target_ppm) % 1000000 AS rem
+        FROM tgt t LEFT JOIN avail a ON t.lang = a.lang
+    ),
+    quota AS (
+        SELECT lang, target_ppm, avail,
+               CAST(fl + CASE WHEN row_number()
+                                   OVER (ORDER BY rem DESC, lang)
+                              <= 400 - (SELECT sum(fl) FROM base)
+                         THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM base
+    ),
+    r1 AS (
+        SELECT lang, target_ppm, avail, quota,
+               least(quota, avail) AS alloc1,
+               greatest(avail - quota, CAST(0 AS BIGINT)) AS capacity
+        FROM quota
+    ),
+    surplus AS (SELECT CAST(sum(quota - alloc1) AS BIGINT) AS s FROM r1),
+    wf AS (
+        SELECT lang, target_ppm, avail, quota, alloc1, capacity,
+               coalesce(sum(capacity)
+                            OVER (ORDER BY target_ppm DESC, lang
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING),
+                        CAST(0 AS BIGINT)) AS cap_before
+        FROM r1
+    )
+    SELECT lang, target_ppm, avail, quota,
+           CAST(alloc1 AS BIGINT) AS alloc1,
+           CAST(least(greatest(s - cap_before, CAST(0 AS BIGINT)), capacity)
+                AS BIGINT) AS spill,
+           CAST(alloc1 + least(greatest(s - cap_before, CAST(0 AS BIGINT)),
+                               capacity) AS BIGINT) AS alloc
+    FROM wf CROSS JOIN surplus
+    ORDER BY lang
+    """,
+    doc="B22 (r12): TARGET-MIXTURE ALLOCATION WITH AVAILABILITY CAPS — "
+    "b22_budgeted_split apportions a budget PROPORTIONALLY to the data; "
+    "real training-mix specs are the opposite ('40% fr, 15% each of the "
+    "rest, 400 docs total') and must survive a stratum that cannot fill "
+    "its quota. Three closed-form, all-integer stages: (1) Hamilton "
+    "largest-remainder quotas of budget*target_ppm (floor + (rem DESC, "
+    "lang)-ordered bumps, sum == budget exactly); (2) cap each stratum "
+    "at its availability; (3) spill the total surplus by a GREEDY "
+    "WATERFALL over the uncapped strata in (target_ppm DESC, lang) "
+    "order: spill_g = clamp(S - cum_capacity_before_g, 0, capacity_g) — "
+    "a single cumulative-capacity window over the <=|langs| allocation "
+    "relation, so the waterfall is one closed-form pass, never an "
+    "iterative redistribution loop (a proportional re-apportionment can "
+    "cascade: round-2 quotas can re-exceed a newly-funded stratum's "
+    "availability; the greedy fill by construction cannot). The "
+    "sf-ladder exercises all three regimes: sf0.001 caps fr at 82/160 "
+    "(spill 78 -> de 11, en 67), sf0.01 caps fr at 64 (spill 96 -> "
+    "de 10, en 86), sf0.1 binds nothing. sum(alloc) == min(budget, "
+    "total_avail) is an invariant (pinned in pytest). At 100 TB the "
+    "only corpus-scale work is one scan + one lang-keyed count shuffle; "
+    "every window runs over the bounded language dimension.",
+)
+def b22_target_mixture(spark, sf_dir):
+    BUDGET = 400
+    d = load_table(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        [
+            ("fr", 400000),
+            ("en", 150000),
+            ("de", 150000),
+            ("es", 150000),
+            ("zh", 150000),
+        ],
+        "lang string, target_ppm bigint",
+    )
+    avail = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("avail")
+    )
+    # <=|langs| rows; consumed twice (floor-sum scalar + quota rows)
+    base = (
+        tgt.join(avail, "lang", "left")
+        .select(
+            "lang",
+            "target_ppm",
+            F.coalesce(F.col("avail"), F.lit(0).cast("bigint")).alias(
+                "avail"
+            ),
+            F.expr(f"({BUDGET} * target_ppm) DIV 1000000").alias("fl"),
+            F.expr(f"({BUDGET} * target_ppm) % 1000000").alias("rem"),
+        )
+        .localCheckpoint()
+    )
+    flsum = base.agg(F.sum("fl").cast("bigint").alias("flsum"))
+    rw = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    quota = base.crossJoin(F.broadcast(flsum)).select(
+        "lang",
+        "target_ppm",
+        "avail",
+        (
+            F.col("fl")
+            + F.when(
+                F.row_number().over(rw) <= F.lit(BUDGET) - F.col("flsum"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    # <=|langs| rows; consumed twice (surplus scalar + waterfall rows)
+    r1 = quota.select(
+        "lang",
+        "target_ppm",
+        "avail",
+        "quota",
+        F.least("quota", "avail").cast("bigint").alias("alloc1"),
+        F.greatest(
+            F.col("avail") - F.col("quota"), F.lit(0).cast("bigint")
+        ).alias("capacity"),
+    ).localCheckpoint()
+    surplus = r1.agg(
+        F.sum(F.col("quota") - F.col("alloc1")).cast("bigint").alias("s")
+    )
+    ww = Window.orderBy(
+        F.col("target_ppm").desc(), F.col("lang").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    wf = r1.withColumn(
+        "cap_before",
+        F.coalesce(F.sum("capacity").over(ww), F.lit(0).cast("bigint")),
+    )
+    spill = F.least(
+        F.greatest(F.col("s") - F.col("cap_before"), F.lit(0).cast("bigint")),
+        F.col("capacity"),
+    )
+    return (
+        wf.crossJoin(F.broadcast(surplus))
+        .select(
+            "lang",
+            "target_ppm",
+            "avail",
+            "quota",
+            "alloc1",
+            spill.cast("bigint").alias("spill"),
+            (F.col("alloc1") + spill).cast("bigint").alias("alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _minhash_shard_merge_oracle(num_hashes: int = 8, shards: int = 2) -> str:
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..operators.dedup import _PORT_A, _PORT_B, MINHASH_MOD
+
+    per = ",\n               ".join(
+        f"min(({_PORT_A[i]} * h + {_PORT_B[i]}) % {MINHASH_MOD}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    merged = ",\n           ".join(
+        f"CAST(min(h{i}) AS BIGINT) AS h{i}" for i in range(num_hashes)
+    )
+    direct = ",\n               ".join(
+        f"min(({_PORT_A[i]} * h + {_PORT_B[i]}) % {MINHASH_MOD}) AS f{i}"
+        for i in range(num_hashes)
+    )
+    eq = " AND ".join(f"m.h{i} = d.f{i}" for i in range(num_hashes))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                   (h, c) -> (h * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}) AS h
+        FROM sh
+    ),
+    per_shard AS (
+        SELECT doc_id, h % {shards} AS shard,
+               {per}
+        FROM hashed GROUP BY doc_id, h % {shards}
+    ),
+    merged AS (
+        SELECT doc_id,
+           {merged}
+        FROM per_shard GROUP BY doc_id
+    ),
+    direct AS (
+        SELECT doc_id,
+               {direct}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.h0, m.h1, m.h2, m.h3, m.h4, m.h5, m.h6, m.h7,
+           ({eq}) AS matches_full
+    FROM merged m JOIN direct d ON m.doc_id = d.doc_id
+    """
+
+
+@query(
+    "b13_minhash_shard_merge",
+    oracle=_minhash_shard_merge_oracle(),
+    doc="B13 (r12): MINHASH SHARD-MERGE EXECUTED — the b06_kmv_merge "
+    "pattern for the MinHash family: a corpus signature maintained "
+    "incrementally (per ingest shard, per stream batch) must equal the "
+    "signature computed over the whole corpus at once, because min over "
+    "a union is the min of per-part mins. Here the shingle relation is "
+    "split into 2 deterministic 'arrival batches' (h % 2 — partitioning "
+    "the SHINGLE SET, the level at which MinHash state actually merges; "
+    "splitting raw text would lose boundary n-grams and is exactly the "
+    "mistake this entry documents against), each batch keeps only 8 "
+    "bigints of state per doc, and the element-wise min-merge is a "
+    "second tiny aggregate over <=2 rows/doc. The in-query audit "
+    "(matches_full) recomputes the direct single-phase signature from "
+    "its own scan BY DESIGN — audit-grade evidence costs a second pass "
+    "here; production keeps only the per-shard sketches — and the "
+    "portable hash family (b13_minhash_portable's polynomial + affine "
+    "permutations mod 1e9+7) lets DuckDB replay both phases and the "
+    "equality itself, so 'always true' is hash-checked, not asserted. "
+    "At 100 TB: per-shard signatures are map-side-combinable bounded "
+    "state (8 bigints per doc per shard); the merge shuffles "
+    "shards*|docs| tiny rows, never shingles.",
+)
+def b13_minhash_shard_merge(spark, sf_dir):
+    from ..operators.dedup import (
+        minhash_signatures_portable,
+        minhash_signatures_portable_sharded,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merged = minhash_signatures_portable_sharded(
+        d, n=3, num_hashes=8, shards=2
+    )
+    direct = minhash_signatures_portable(d, n=3, num_hashes=8).select(
+        F.col("id").alias("did"),
+        *[F.col(f"h{i}").alias(f"f{i}") for i in range(8)],
+    )
+    eq = F.lit(True)
+    for i in range(8):
+        eq = eq & (F.col(f"h{i}") == F.col(f"f{i}"))
+    return (
+        merged.join(direct, merged["id"] == direct["did"])
+        .select(
+            F.col("id").alias("doc_id"),
+            *[f"h{i}" for i in range(8)],
+            eq.alias("matches_full"),
+        )
+    )

@@ -1245,3 +1245,28 @@ def test_rrf_hybrid_two_heaps_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "FullOuter" in plan, plan[:1500]
+
+
+def test_target_mixture_bounded_tail(spark):
+    """r12: downstream of the lang-count aggregate everything operates on
+    the checkpointed <=|langs| relation — the final plan must contain no
+    parquet scan (the corpus-scale work happened exactly once, ahead of
+    the checkpoint) and no unbroadcast CartesianProduct (the surplus
+    scalar enters as the whitelisted 1-row broadcast)."""
+    import re
+
+    df = QUERIES["b22_target_mixture"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
+
+
+def test_minhash_shard_merge_two_level_aggregate(spark):
+    """r12: the shard-merge must be a genuine two-level aggregate — the
+    per-shard mins partial-aggregate map-side (partial_min before the
+    (id, shard) exchange), the merge is a second hash aggregate, the
+    audit join is an equi-join, and nothing plans a CartesianProduct."""
+    df = QUERIES["b13_minhash_shard_merge"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "partial_min" in plan, plan[:2000]

@@ -433,3 +433,55 @@ def test_rrf_hybrid_fusion_structure(spark):
     assert single_best <= 1000000 // 61
     for r in both:
         assert r.rrf_ppm >= 2 * (1000000 // 80) > single_best
+
+
+def test_target_mixture_invariants_and_waterfall(spark):
+    """Allocation contract at sf0.001 (the cap-binding regime): budget
+    conservation, availability respected, capped strata fully funded at
+    their availability, and the greedy waterfall funds strictly by
+    (target desc, lang) priority — a stratum receives spill only if
+    every higher-priority stratum's capacity is exhausted first."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b22_target_mixture"].fn(spark, SF).collect()
+    by = {r.lang: r for r in rows}
+    assert set(by) == {"en", "de", "es", "fr", "zh"}
+    assert sum(r.alloc for r in rows) == 400
+    for r in rows:
+        assert 0 <= r.alloc <= r.avail
+        assert r.alloc1 == min(r.quota, r.avail)
+        assert r.alloc == r.alloc1 + r.spill
+    # sf0.001 closed-form: fr quota 160 capped at avail 82, surplus 78
+    # spills de 11 (to capacity) then en 67; es/zh get nothing.
+    assert (by["fr"].quota, by["fr"].alloc) == (160, 82)
+    assert by["de"].spill == 11 and by["de"].alloc == by["de"].avail
+    assert by["en"].spill == 67
+    assert by["es"].spill == 0 and by["zh"].spill == 0
+    # waterfall priority: if a stratum received spill below its capacity,
+    # no lower-priority stratum may have received any
+    order = sorted(rows, key=lambda r: (-r.target_ppm, r.lang))
+    seen_partial = False
+    for r in order:
+        capacity = max(r.avail - r.quota, 0)
+        if seen_partial:
+            assert r.spill == 0, r
+        if r.spill < capacity:
+            seen_partial = True
+
+
+def test_minhash_shard_merge_equals_direct(spark):
+    """The executed min-merge lemma: every merged signature must equal
+    the direct whole-corpus signature (matches_full True on every row),
+    and the merged columns must be byte-identical to the standalone
+    b13_minhash_portable entry's output."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b13_minhash_shard_merge"].fn(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r.matches_full for r in rows)
+    direct = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(8))
+        for r in QUERIES["b13_minhash_portable"].fn(spark, SF).collect()
+    }
+    for r in rows:
+        assert tuple(r[f"h{i}"] for i in range(8)) == direct[r.doc_id]
