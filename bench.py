@@ -282,6 +282,7 @@ HEADLINE_V9 = [
     # freeze starts with the first cross-round artifact that carries it
     "b22_target_mixture",  # B22 capped target-mix waterfall allocation
     "b13_minhash_shard_merge",  # B13 per-shard MinHash min-merge audit
+    "b15_packing_efficiency",  # B15 batch-padding waste audit, 3 strategies
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

@@ -1270,3 +1270,16 @@ def test_minhash_shard_merge_two_level_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "partial_min" in plan, plan[:2000]
+
+
+def test_packing_efficiency_bounded_tail(spark):
+    """r12: both strategy branches must consume the checkpointed length
+    relation — no parquet rescan in the final plan, no CartesianProduct,
+    and the batch/length aggregates partial-aggregate map-side."""
+    import re
+
+    df = QUERIES["b15_packing_efficiency"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
+    assert "partial_" in plan, plan[:2000]

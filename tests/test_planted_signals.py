@@ -485,3 +485,33 @@ def test_minhash_shard_merge_equals_direct(spark):
     }
     for r in rows:
         assert tuple(r[f"h{i}"] for i in range(8)) == direct[r.doc_id]
+
+
+def test_packing_efficiency_invariants(spark):
+    """Cross-strategy contract: identical real token mass, padded >= real
+    always, exact-length is the zero-waste bound but pays in batch count,
+    bucket16 strictly beats fifo on waste, and every batch count is at
+    least ceil(n_docs/32)."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = {
+        r.strategy: r
+        for r in QUERIES["b15_packing_efficiency"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"fifo_dynamic", "bucket16_boundary", "exact_length"}
+    reals = {r.real_tokens for r in rows.values()}
+    assert len(reals) == 1  # same corpus mass under every strategy
+    for r in rows.values():
+        assert r.padded_tokens >= r.real_tokens
+        assert r.n_batches >= (500 + 31) // 32
+        assert (
+            r.waste_ppm
+            == (r.padded_tokens - r.real_tokens) * 1000000 // r.padded_tokens
+        )
+    assert rows["exact_length"].waste_ppm == 0
+    assert rows["exact_length"].padded_tokens == rows["exact_length"].real_tokens
+    assert (
+        rows["bucket16_boundary"].waste_ppm < rows["fifo_dynamic"].waste_ppm
+    )
+    # the fragmentation cost of zero waste
+    assert rows["exact_length"].n_batches > rows["bucket16_boundary"].n_batches
