@@ -283,6 +283,7 @@ HEADLINE_V9 = [
     "b22_target_mixture",  # B22 capped target-mix waterfall allocation
     "b13_minhash_shard_merge",  # B13 per-shard MinHash min-merge audit
     "b15_packing_efficiency",  # B15 batch-padding waste audit, 3 strategies
+    "b26_funnel_exclusion",  # B26 negation funnel, zero joins, one shuffle
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

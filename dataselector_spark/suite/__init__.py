@@ -438,19 +438,19 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     b06_quantile_refined (single-pass cell grid, VERDICT r11 #5);
 #   * the 33 r6-latest oracle-bearing entries (after this round no
 #     oracle-bearing entry's latest row predates r7);
-#   * the 4 oldest r7-latest oracle-bearing entries in registration order
-#     (17 per the verdict target, minus 13 displaced to r13 by the five
+#   * the 3 oldest r7-latest oracle-bearing entries in registration order
+#     (17 per the verdict target, minus 14 displaced to r13 by the five
 #     session-1 new/rewritten entries, the session-2 trio
 #     b13_leakage_safe_split / b22_budgeted_split / b06_kmv_merge, and the
 #     session-3 additions b15_surprisal_tertiles / b14_rrf_hybrid /
 #     b22_target_mixture / b13_minhash_shard_merge /
-#     b15_packing_efficiency:
+#     b15_packing_efficiency / b26_funnel_exclusion:
 #     b01_parquet_roundtrip, b01_csv_roundtrip,
 #     b01_json_roundtrip, b01_orc_roundtrip, b01_text_roundtrip,
 #     a08_round_to_step, a09_clamp, a13_selection_insert,
 #     q12_late_shipment_priority, a29_cross_join, b16_frame_sample,
-#     b15_tfidf_top_term, b15_token_counts).
-#     The remaining 43 r7-latest entries queue for r13:
+#     b15_tfidf_top_term, b15_token_counts, b15_fingerprint).
+#     The remaining 44 r7-latest entries queue for r13:
 #     b01_parquet_roundtrip, b01_csv_roundtrip, b01_json_roundtrip,
 #     b01_orc_roundtrip, b01_text_roundtrip,
 #     a08_round_to_step, a09_clamp, a13_selection_insert,
@@ -465,7 +465,8 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     b23_streaming_upsert_sink, b23_scd2_dimension, b13_editdist_neardup,
 #     b22_zone_map_stats, b09_diversified_topk, b22_cell_sample_exact_k,
 #     b22_observe_metrics, q12_late_shipment_priority, a29_cross_join,
-#     b16_frame_sample, b15_tfidf_top_term, b15_token_counts.
+#     b16_frame_sample, b15_tfidf_top_term, b15_token_counts,
+#     b15_fingerprint.
 _R12_WINDOW = [
     # --- new in r12, never checked (the session-2 trio displaced
     # b01_csv_roundtrip / b01_json_roundtrip / a13_selection_insert's
@@ -482,6 +483,7 @@ _R12_WINDOW = [
     "b22_target_mixture",
     "b13_minhash_shard_merge",
     "b15_packing_efficiency",
+    "b26_funnel_exclusion",
     # --- rewritten in r12 (REWRITTEN_IN_ROUND) ---
     "b26_link_prediction",
     "b06_quantile_refined",
@@ -519,13 +521,12 @@ _R12_WINDOW = [
     "b15_repetition_filter",
     "b24_curation_pipeline",
     "b22_zorder_key",
-    # --- 4 oldest r7-latest oracle-bearing re-confirms (registration
-    # order; 13 of the verdict's 17 displaced to r13 by the new/rewritten
+    # --- 3 oldest r7-latest oracle-bearing re-confirms (registration
+    # order; 14 of the verdict's 17 displaced to r13 by the new/rewritten
     # entries above) ---
     "b12_dedup_composite_key",
     "b14_embedding_neardup",
     "b15_text_stats",
-    "b15_fingerprint",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 

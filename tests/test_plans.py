@@ -1283,3 +1283,16 @@ def test_packing_efficiency_bounded_tail(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
     assert "partial_" in plan, plan[:2000]
+
+
+def test_funnel_exclusion_zero_joins(spark):
+    """r12: the negation-constrained funnel must plan ZERO joins — one
+    events scan, one user-keyed exchange, window + aggregate. Any join
+    operator appearing means the candidate-pair formulation snuck back."""
+    import re
+
+    df = QUERIES["b26_funnel_exclusion"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan[:2000]
+    assert "Window" in plan, plan[:1500]

@@ -515,3 +515,24 @@ def test_packing_efficiency_invariants(spark):
     )
     # the fragmentation cost of zero waste
     assert rows["exact_length"].n_batches > rows["bucket16_boundary"].n_batches
+
+
+def test_funnel_exclusion_totals_and_partition(spark):
+    """The three click states must partition every user's clicks, and the
+    sf0.01 corpus exercises all three (545/147/1314 over 2006 — measured,
+    pinned so a semantics change cannot silently zero the blocked path)."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = (
+        QUERIES["b26_funnel_exclusion"].fn(spark, "/root/testdata/sf0.01")
+    ).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert r.n_clicks == r.n_converted + r.n_blocked + r.n_expired
+    tot = (
+        sum(r.n_clicks for r in rows),
+        sum(r.n_converted for r in rows),
+        sum(r.n_blocked for r in rows),
+        sum(r.n_expired for r in rows),
+    )
+    assert tot == (2006, 545, 147, 1314), tot
