@@ -136,8 +136,10 @@ def asof_join_nearest(
     Same merge-asof plan as `asof_join` — one union, ONE hash shuffle on the
     key, one per-key sort — with TWO window frames over that single sort:
     ``last(payload) ignorenulls`` over UNBOUNDED PRECEDING..CURRENT (the
-    backward candidate) and ``first(payload) ignorenulls`` over
-    CURRENT..UNBOUNDED FOLLOWING (the forward candidate), then a row-local
+    backward candidate) and the same running ``last`` in REVERSE time
+    order (the forward candidate — identical semantics to first() over
+    CURRENT..UNBOUNDED FOLLOWING, but a running frame instead of the
+    O(n^2)-per-key shrinking frame; see the inline note), then a row-local
     CASE picks the closer. An exactly-simultaneous right row sorts BEFORE
     the left row, so it is the backward candidate at distance 0 — which
     always wins — making the forward frame's blindness to equal timestamps
@@ -192,17 +194,30 @@ def asof_join_nearest(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The forward candidate is a RUNNING last() in REVERSE time order, NOT
+    # first() over (CURRENT ROW, UNBOUNDED FOLLOWING): Spark evaluates a
+    # running (UNBOUNDED PRECEDING..CURRENT) frame in one accumulating pass
+    # per partition, but re-scans any UNBOUNDED FOLLOWING frame from every
+    # row to the partition end — O(n^2) per join key (measured: 0.94 s ->
+    # 13.99 s for first() as rows/partition grow 400 -> 6451 on a fixed
+    # 400k-row input, while this formulation holds 0.22 s flat with
+    # identical values; see docs/SCALE.md, the r12 window-frame law).
+    # Semantics are unchanged: under (__ts DESC, __side DESC) a frame
+    # ending at the current left row contains exactly the rows with
+    # ts' > ts — an equal-timestamp right row (side 0) sorts AFTER the
+    # left row (side 1) in this order, preserving the forward frame's
+    # documented blindness to simultaneous rows.
     w_fwd = (
         Window.partitionBy("__k")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *left.columns,
         F.col(left_ts).alias("__lts"),
         F.col("__side"),
         F.last("__p", ignorenulls=True).over(w_back).alias("__b"),
-        F.first("__p", ignorenulls=True).over(w_fwd).alias("__f"),
+        F.last("__p", ignorenulls=True).over(w_fwd).alias("__f"),
     ).filter(F.col("__side") == 1)
 
     # Distance algebra: exact micros for timestamps, plain subtraction for

@@ -133,6 +133,13 @@ REWRITTEN_IN_ROUND = {
     # levels derived from the checkpointed grid.
     "b26_link_prediction": 12,
     "b06_quantile_refined": 12,
+    # r12 session 3 (the window-frame law, tools/funnel_ladder.py +
+    # docs/SCALE.md): asof_join_nearest's forward candidate moved from
+    # first() over (CURRENT ROW, UNBOUNDED FOLLOWING) — O(n^2) per join
+    # key, measured 0.94 -> 13.99 s as rows/partition grew 400 -> 6451 —
+    # to the semantics-identical reverse-order running last() (flat
+    # 0.22 s). Oracle re-verified at all three SFs after the rewrite.
+    "b05_asof_nearest": 12,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -438,8 +445,8 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     b06_quantile_refined (single-pass cell grid, VERDICT r11 #5);
 #   * the 33 r6-latest oracle-bearing entries (after this round no
 #     oracle-bearing entry's latest row predates r7);
-#   * the 3 oldest r7-latest oracle-bearing entries in registration order
-#     (17 per the verdict target, minus 14 displaced to r13 by the five
+#   * the 2 oldest r7-latest oracle-bearing entries in registration order
+#     (17 per the verdict target, minus 15 displaced to r13 by the five
 #     session-1 new/rewritten entries, the session-2 trio
 #     b13_leakage_safe_split / b22_budgeted_split / b06_kmv_merge, and the
 #     session-3 additions b15_surprisal_tertiles / b14_rrf_hybrid /
@@ -449,8 +456,10 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     b01_json_roundtrip, b01_orc_roundtrip, b01_text_roundtrip,
 #     a08_round_to_step, a09_clamp, a13_selection_insert,
 #     q12_late_shipment_priority, a29_cross_join, b16_frame_sample,
-#     b15_tfidf_top_term, b15_token_counts, b15_fingerprint).
-#     The remaining 44 r7-latest entries queue for r13:
+#     b15_tfidf_top_term, b15_token_counts, b15_fingerprint,
+#     b15_text_stats; b05_asof_nearest leaves the queue — rewritten in
+#     session 3, it re-enters the window as a REWRITTEN_IN_ROUND slot).
+#     The remaining 44 entries queue for r13:
 #     b01_parquet_roundtrip, b01_csv_roundtrip, b01_json_roundtrip,
 #     b01_orc_roundtrip, b01_text_roundtrip,
 #     a08_round_to_step, a09_clamp, a13_selection_insert,
@@ -460,13 +469,13 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     b04_interval_join_bucketed, b10_multiset_ops, b02_lateral_topk,
 #     b06_correlation_exact_moments, b15_decontaminate, b16_pgm_roundtrip,
 #     b15_bpe_pair_counts, b02_bucketed_join, b26_rolling_dau,
-#     b05_asof_nearest, b12_dedup_normalized_text, b24_token_budget_cap,
+#     b12_dedup_normalized_text, b24_token_budget_cap,
 #     b22_zorder_key_3d, b22_zorder_write_readback,
 #     b23_streaming_upsert_sink, b23_scd2_dimension, b13_editdist_neardup,
 #     b22_zone_map_stats, b09_diversified_topk, b22_cell_sample_exact_k,
 #     b22_observe_metrics, q12_late_shipment_priority, a29_cross_join,
 #     b16_frame_sample, b15_tfidf_top_term, b15_token_counts,
-#     b15_fingerprint.
+#     b15_fingerprint, b15_text_stats.
 _R12_WINDOW = [
     # --- new in r12, never checked (the session-2 trio displaced
     # b01_csv_roundtrip / b01_json_roundtrip / a13_selection_insert's
@@ -484,6 +493,7 @@ _R12_WINDOW = [
     "b13_minhash_shard_merge",
     "b15_packing_efficiency",
     "b26_funnel_exclusion",
+    "b05_asof_nearest",
     # --- rewritten in r12 (REWRITTEN_IN_ROUND) ---
     "b26_link_prediction",
     "b06_quantile_refined",
@@ -521,12 +531,11 @@ _R12_WINDOW = [
     "b15_repetition_filter",
     "b24_curation_pipeline",
     "b22_zorder_key",
-    # --- 3 oldest r7-latest oracle-bearing re-confirms (registration
-    # order; 14 of the verdict's 17 displaced to r13 by the new/rewritten
+    # --- 2 oldest r7-latest oracle-bearing re-confirms (registration
+    # order; 15 of the verdict's 17 displaced to r13 by the new/rewritten
     # entries above) ---
     "b12_dedup_composite_key",
     "b14_embedding_neardup",
-    "b15_text_stats",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 
