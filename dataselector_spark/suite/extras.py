@@ -11652,8 +11652,10 @@ _RRF_COSINE_FOLD = """
     ),
     scored AS (
         SELECT tfq.doc_id,
-               CAST(sum((w.w_milli * 44 * corp.tot_len * tfq.tf)
-                        // (20 * corp.tot_len * tfq.tf + 6 * corp.tot_len
+               CAST(sum((CAST(w.w_milli AS HUGEINT) * 44 * corp.tot_len
+                         * tfq.tf)
+                        // (CAST(20 AS HUGEINT) * corp.tot_len * tfq.tf
+                            + 6 * corp.tot_len
                             + 18 * dl.dl * corp.n_docs)) AS BIGINT)
                    AS score_milli
         FROM tfq
@@ -11702,10 +11704,17 @@ _RRF_COSINE_FOLD = """
     "nothing combined them. List 1 = the BM25 top-20 for the fixed "
     "3-term query under the exact integer fixed-point contract (the "
     "machinery deliberately MIRRORS b15_bm25_topk rather than refactor "
-    "it — that entry's driver row stays untouched per the freshness-"
+    "it — that entry's plan stays untouched per the freshness-"
     "window displacement rule; same k1=6/5, b=3/4 rational, same milli "
-    "dictionary, same DIV parity, same ~7.2e13 L*tf int64 boundary "
-    "documented there). List 2 = exact cosine top-20 against the "
+    "dictionary, same truncating-DIV parity — but the saturation "
+    "quotient here is computed in DECIMAL(38,0) (Spark) // HUGEINT "
+    "(DuckDB), ADVICE r12: the bigint numerator w_milli*44*L*tf wraps "
+    "once L*tf exceeds ~7.2e13, i.e. BELOW the 100 TB posture this "
+    "entry claims; the 128-bit quotient is exact to L*tf ~ 7.8e32 "
+    "(both engines truncate toward zero on non-negative operands, so "
+    "the BIGINT result is bit-identical where both are defined — "
+    "b15_bm25_topk keeps the cheaper bigint codegen path with its "
+    "boundary documented in-entry). List 2 = exact cosine top-20 against the "
     "vec_id=0 query vector (operators/similarity.topk_cosine; the "
     "oracle replays the identical sequential double fold). Fusion is "
     "pure integers: rrf_ppm = sum over the two lists of 10^6 DIV "
@@ -11751,9 +11760,9 @@ def b14_rrf_hybrid(spark, sf_dir):
         .select(
             "doc_id",
             F.expr(
-                "CAST((w_milli * 44 * tot_len * tf) DIV "
-                "(20 * tot_len * tf + 6 * tot_len + 18 * dl * n_docs) "
-                "AS BIGINT)"
+                "CAST((CAST(w_milli AS DECIMAL(38,0)) * 44 * tot_len * tf)"
+                " DIV (CAST(20 AS DECIMAL(38,0)) * tot_len * tf"
+                " + 6 * tot_len + 18 * dl * n_docs) AS BIGINT)"
             ).alias("part_milli"),
         )
         .groupBy("doc_id")
