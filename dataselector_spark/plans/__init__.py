@@ -52,3 +52,141 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (the scale currency)."""
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", physical_plan(df)))
+
+
+# --- bounded-unpartitioned-window audit (VERDICT r12 #2) -------------------
+#
+# The frame law (docs/SCALE.md) killed the O(n^2) shrinking-frame class;
+# the remaining window hazard is structural: a Window.orderBy with NO
+# partitionBy moves the ENTIRE input to one partition (Spark warns "No
+# Partition Defined for Window operation"). Every such site in the suite is
+# individually argued bounded (a <=65k-cell histogram, a <=20-row top-k
+# heap, a <=|langs| allocation relation) -- but an argument per site does
+# not stop entry #287 from dropping a corpus-scale unpartitioned window in
+# unnoticed. This audit mechanizes the contract: walk the physical plan
+# tree, find every WindowExec whose partitionSpec is empty, and prove its
+# input bounded by structure:
+#
+#   bounded(node) :=
+#     Limit family (TakeOrderedAndProject / GlobalLimit / LocalLimit /
+#       CollectLimit)                                    -> True
+#     RDDScan / LocalTableScan (localCheckpointed bounded aggregate, or a
+#       driver-literal relation)                         -> True
+#     Aggregate (Hash/Sort/ObjectHash) with NO grouping keys -> True (a
+#       scalar: <=1 row by construction).
+#     Aggregate with grouping keys -> True only when the caller passes
+#       allow_aggregate=True: group-key-domain boundedness is a per-entry
+#       ARGUMENT (histogram cells, language codes), so callers must
+#       whitelist the entry by name and state the bound.
+#     Generate / Expand / Project / Filter / Sort / Window / Exchange /
+#       other unary                                      -> bounded(child)
+#     Join / Union / multi-child                         -> all children
+#     file scans and anything else                       -> False
+#
+# Global SortExec nodes are counted but NOT gated: a global sort is
+# range-partitioned (distributed, no single-partition collapse), and every
+# suite entry's final orderBy exists for oracle output parity.
+# Scalar-subquery plans are not traversed (no Window hides in one today;
+# the sweep would catch it the round it appears in a main plan).
+
+_BOUNDED_LEAVES = {"RDDScanExec", "LocalTableScanExec", "EmptyRelationExec"}
+_LIMIT_NODES = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+}
+_AGG_NODES = {"HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"}
+
+
+def _plan_children(p):
+    cls = p.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return [p.initialPlan()]
+    if cls.endswith("QueryStageExec"):
+        return [p.plan()]
+    if cls == "ReusedExchangeExec":
+        return [p.child()]
+    return [p.children().apply(i) for i in range(p.children().length())]
+
+
+def _bounded(p, allow_aggregate: bool) -> bool:
+    cls = p.getClass().getSimpleName()
+    if cls in _LIMIT_NODES or cls in _BOUNDED_LEAVES:
+        return True
+    if cls in _AGG_NODES:
+        # a global aggregate (no grouping keys) is a scalar: <=1 row,
+        # bounded regardless of whitelist
+        if p.groupingExpressions().isEmpty():
+            return True
+        return allow_aggregate
+    kids = _plan_children(p)
+    if not kids:
+        return False  # file scan or unknown leaf: corpus-scale
+    return all(_bounded(k, allow_aggregate) for k in kids)
+
+
+def unpartitioned_window_audit(
+    df: DataFrame, allow_aggregate: bool = False
+) -> tuple[list[str], int]:
+    """(violations, global_sort_count) for df's executed plan.
+
+    Each violation is the simpleString of an unpartitioned WindowExec whose
+    input subtree could not be proven bounded under the rules above.
+    """
+    violations: list[str] = []
+    global_sorts = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        p = stack.pop()
+        cls = p.getClass().getSimpleName()
+        if cls == "SortExec" and getattr(p, "global")():
+            global_sorts += 1
+        if cls == "WindowExec" and p.partitionSpec().isEmpty():
+            child = _plan_children(p)[0]
+            if not _bounded(child, allow_aggregate):
+                violations.append(p.simpleString(120))
+        stack.extend(_plan_children(p))
+    return violations, global_sorts
+
+
+# Entries whose unpartitioned windows ride above AGGREGATES whose group-key
+# domain is bounded by construction -- the boundedness is an argument about
+# the key domain, not plan structure, so each entry is whitelisted BY NAME
+# with its bound. The audit still requires the aggregate to be present;
+# an unpartitioned window over raw corpus rows fails even for these.
+BOUNDED_WINDOW_AGG_OK = {
+    "b26_link_prediction_capped": "degree-histogram cumulative rank: "
+    "<=|distinct degrees| rows (aggregate of the bounded degree domain)",
+    "b22_budgeted_split": "Hamilton quota windows over the <=|strata| "
+    "allocation relation",
+    "b22_proportional_allocation": "Hamilton quota windows over the "
+    "<=|strata| allocation relation",
+    "b06_quantile_refined": "<=65,536-cell (coarse,fine) grid aggregate",
+    "b06_quantile_histogram": "<=256-row cumulative sketch relation",
+    "b22_drift_ks": "running_sums offset window over <=|shuffle "
+    "partitions| per-pid totals (operators/prefixsum.py)",
+    "b06_equidepth_histogram": "running_sums offset window over "
+    "<=|shuffle partitions| per-pid totals (operators/prefixsum.py)",
+}
+
+# fn() runs a real stream / writes tables / reads checkpoints: plan audits
+# skip these (execution cost dominates; their plans are pinned by dedicated
+# streaming/bucketing tests instead).
+EFFECTFUL_ENTRIES = {
+    "b17_stream_tumbling", "b17_stream_sliding", "b18_stream_session",
+    "b19_stream_watermark", "b20_stream_dedup", "b20_stream_toggle",
+    "b20_stream_stream_join", "b17_stream_static_enrich",
+    "b23_streaming_upsert_sink", "b20_state_store_read",
+    "b01_python_stream_source", "b01_python_stream_source_parallel",
+    "b01_python_stream_sink", "b17_stream_quantile_sketch",
+    "b02_bucketed_join",
+    "b04_interval_join_colocated", "b02_bloom_filter_join",
+    "b22_zorder_write_readback", "b22_compaction_readback",
+    "b16_binary_ingest", "b01_parquet_roundtrip", "b01_csv_roundtrip",
+    "b01_json_roundtrip", "b01_orc_roundtrip", "b01_text_roundtrip",
+    "b01_orc_roundtrip_lineitem", "b01_xml_roundtrip",
+    "b01_partitioned_write_pruning", "b01_merge_schema",
+    "b01_ignore_corrupt_files", "b22_observe_metrics",
+    "b20_stream_stream_left_outer", "b19_lateness_profile",
+}

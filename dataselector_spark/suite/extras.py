@@ -1312,19 +1312,54 @@ def b25_trend_per_series(spark, sf_dir):
     """,
     doc="B6: equi-DEPTH histogram (10 buckets of equal row count) — the "
     "quantile-sketch companion to b06_histogram's equi-width bins and the "
-    "statistic CBO planners actually store. ntile over a deterministic "
-    "total order (value, event_id) makes bucket assignment engine-exact. "
-    "The local form is a global-sort window; at 100 TB the same statistic "
-    "comes from approx_percentile's t-digest boundaries — this exact form "
-    "is the oracle-parity variant.",
+    "statistic CBO planners actually store. REWRITTEN r13: the original "
+    "ntile(10) OVER (ORDER BY value, event_id) was an unpartitioned "
+    "window — the whole events table collapses to ONE partition (the "
+    "first violation the r13 bounded-window plan audit flagged; its own "
+    "docstring had conceded the 100 TB case to approx_percentile). The "
+    "distributed-exact form keeps ntile SEMANTICS bit-identical while "
+    "never serializing the corpus: the 1-based global index is a "
+    "distributed prefix sum of 1 over the ntile order key "
+    "(operators/prefixsum.py running_sums — the same two-level "
+    "range-partition + local window + <=|partitions| broadcast-offset "
+    "machinery b22_drift_ks already uses for its CDF; the offset window "
+    "is the plan's only unpartitioned one, bounded by the pid-domain "
+    "aggregate and audit-whitelisted; both offset and index consumers "
+    "stay in ONE query so Catalyst REUSES the exchanges and "
+    "spark_partition_id cannot diverge between them — a localCheckpoint "
+    "would fork a second job whose AQE coalescing resamples the layout, "
+    "observed as 11-bucket garbage; ReusedExchange is pinned in "
+    "tests/test_plans.py), and ntile's bucket is closed-form in "
+    "(global_idx, n): the first n%10 buckets take n DIV 10 + 1 rows, "
+    "the rest n DIV 10 — all-integer, replayed by DuckDB's NATIVE ntile "
+    "in the oracle, so the hash match proves formula == engine ntile at "
+    "every SF. Scale: two corpus shuffles (range + pid-hash, each "
+    "O(n/P) per task) replace the single-partition sort; the "
+    "oracle-parity output is unchanged.",
 )
 def b06_equidepth_histogram(spark, sf_dir):
-    from pyspark.sql import Window as W
+    from ..operators.prefixsum import running_sums
 
-    e = load_table(spark, sf_dir, "events").filter(F.col("value") != -999.99)
-    w = W.orderBy("value", "event_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") != -999.99)
+        .select("value", "event_id", F.lit(1).alias("one"))
+    )
+    idx = running_sums(e, order_by=["value", "event_id"], sum_cols=["one"])
+    # scan-only count (no shuffle): the ntile denominator
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    # ntile(10) closed-form over the 1-based global index i: the first
+    # n%10 buckets hold n DIV 10 + 1 rows each, the remainder n DIV 10
+    bucket = F.expr(
+        "CAST(CASE WHEN i <= (n_tot % 10) * (n_tot DIV 10 + 1) "
+        "THEN (i + (n_tot DIV 10)) DIV (n_tot DIV 10 + 1) "
+        "ELSE (n_tot % 10) + (i - (n_tot % 10) * (n_tot DIV 10 + 1) "
+        "+ (n_tot DIV 10) - 1) DIV (n_tot DIV 10) END AS INT)"
+    )
     return (
-        e.select("value", F.ntile(10).over(w).alias("bucket"))
+        idx.crossJoin(F.broadcast(tot))
+        .select("value", F.col("cum_one").alias("i"), "n_tot")
+        .select("value", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2341,12 +2376,23 @@ def b15_repetition_filter(spark, sf_dir):
     """,
     doc="B15 (tokenizer training prep): vocabulary coverage curve — tokens "
     "ranked by corpus frequency with cumulative share, answering 'how many "
-    "vocab entries cover X% of the corpus'. The corpus-sized explode+count "
-    "is fully partial-aggregated (map-side combine absorbs the Zipf head); "
-    "only the AGGREGATED vocabulary (|distinct tokens| << corpus) passes "
-    "through the global-order window, and the bigint/bigint -> double "
-    "division is a single correctly-rounded op, so the curve is "
-    "engine-exact. Deterministic (count DESC, token ASC) tie-break.",
+    "vocab entries cover X% of the corpus'. REWRITTEN r13 (the bounded-"
+    "window plan audit's second catch): the original ran rank + cumulative "
+    "sum as unpartitioned windows over the ENTIRE vocabulary — 'aggregated "
+    "vocab << corpus' was the argument, but distinct tokens scale with the "
+    "corpus (typos, numbers, URLs: billions at 100 TB), so that window is "
+    "a single-partition cliff, not a bounded relation. The fix exploits "
+    "prefix-sum locality: cum_n at rank r depends only on rows ABOVE r, so "
+    "the top-100 curve needs only the top-100 rows — orderBy+limit plans a "
+    "TakeOrderedAndProject (per-partition 100-row heaps, no global sort), "
+    "rank and cum_n run over the 100-row post-limit relation (the audit "
+    "proves boundedness structurally from the GlobalLimit — no whitelist), "
+    "and total_n enters as a broadcast scalar off the SAME token-count "
+    "aggregate (exchange-reused, one tokenize pass). The corpus-sized "
+    "explode+count stays fully map-side combined; the bigint/bigint -> "
+    "double division is one correctly-rounded op, so the curve is "
+    "engine-exact. Deterministic (count DESC, token ASC) tie-break; "
+    "output identical to the r4 form, oracle untouched.",
 )
 def b15_vocab_coverage(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -2355,25 +2401,22 @@ def b15_vocab_coverage(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_n"))
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    ranked = counts.select(
-        "token",
-        "n",
-        F.row_number().over(w).alias("rank"),
-        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
-        F.sum("n").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total_n"),
-    )
-    return ranked.filter(F.col("rank") <= 100).select(
-        "rank",
-        "token",
-        "n",
-        (F.col("cum_n").cast("double") / F.col("total_n").cast("double")).alias(
-            "cum_share"
-        ),
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            (
+                F.sum("n")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("total_n").cast("double")
+            ).alias("cum_share"),
+        )
     )
 
 
@@ -11441,6 +11484,44 @@ def b06_kmv_merge(spark, sf_dir):
     )
 
 
+def _surprisal_doc_scores(d):
+    """(doc_id, score_milli): whole-bit unigram surprisal per document —
+    the shared scorer of b15_surprisal_tertiles (raw corpus) and
+    b15_surprisal_planted (planted heavy-tail corpus), split out r13 per
+    the _pmi_top20 twin rule. ``d`` needs (doc_id, text). The (doc,term)
+    tf relation is consumed twice (vocab counts + doc scoring) and
+    localCheckpointed here."""
+    from ..functions.text import tokens
+
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    corp = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    bits = vocab.crossJoin(F.broadcast(corp)).select(
+        "term",
+        F.expr("CAST(length(bin(total DIV cnt)) - 1 AS BIGINT)").alias("bits"),
+    )
+    return (
+        tf.join(bits, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("bits")).cast("bigint").alias("sum_bits"),
+            F.sum("tf").cast("bigint").alias("dl"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST((1000 * sum_bits) DIV dl AS BIGINT)").alias(
+                "score_milli"
+            ),
+        )
+    )
+
+
+
 @query(
     "b15_surprisal_tertiles",
     oracle="""
@@ -11538,35 +11619,8 @@ def b06_kmv_merge(spark, sf_dir):
     "sees more than the 63k histogram cells.",
 )
 def b15_surprisal_tertiles(spark, sf_dir):
-    from ..functions.text import tokens
-
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    # Consumed twice (vocab counts + doc scoring): materialize once.
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
-    )
-    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
-    corp = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
-    bits = vocab.crossJoin(F.broadcast(corp)).select(
-        "term",
-        F.expr("CAST(length(bin(total DIV cnt)) - 1 AS BIGINT)").alias("bits"),
-    )
-    docsc = (
-        tf.join(bits, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("tf") * F.col("bits")).cast("bigint").alias("sum_bits"),
-            F.sum("tf").cast("bigint").alias("dl"),
-        )
-        .select(
-            F.expr("CAST((1000 * sum_bits) DIV dl AS BIGINT)").alias(
-                "score_milli"
-            )
-        )
-    )
+    docsc = _surprisal_doc_scores(d).select("score_milli")
     # <= 63,000 cells by construction (milli-bits of a bigint ratio):
     # consumed twice (cutoffs + per-bucket stats), bounded, cheap.
     hist = (
@@ -12336,4 +12390,169 @@ def b26_funnel_exclusion(spark, sf_dir):
         F.sum(F.when(F.col("status") == "expired", 1).otherwise(0))
         .cast("bigint")
         .alias("n_expired"),
+    )
+
+
+@query(
+    "b15_surprisal_planted",
+    oracle="""
+    WITH pd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'pc pc pc pc pc pc'
+                    WHEN doc_id % 3 = 1 THEN 'pc pc pc '
+                         || 'm' || CAST(doc_id % 8 AS VARCHAR) || ' '
+                         || 'm' || CAST(doc_id % 8 AS VARCHAR) || ' '
+                         || 'm' || CAST(doc_id % 8 AS VARCHAR)
+                    ELSE 'pc pc pc '
+                         || 'r' || CAST(doc_id AS VARCHAR) || ' '
+                         || 'r' || CAST(doc_id AS VARCHAR) || ' '
+                         || 'r' || CAST(doc_id AS VARCHAR)
+               END AS text,
+               CASE WHEN doc_id % 3 = 0 THEN 'common'
+                    WHEN doc_id % 3 = 1 THEN 'mid'
+                    ELSE 'rare' END AS planted_class
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, t.term
+        FROM pd, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ),
+    corp AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    bits AS (
+        SELECT term, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits
+        FROM vocab CROSS JOIN corp
+    ),
+    docsc AS (
+        SELECT tf.doc_id,
+               CAST((1000 * sum(tf.tf * b.bits)) // sum(tf.tf) AS BIGINT)
+                   AS score_milli
+        FROM tf JOIN bits b ON tf.term = b.term
+        GROUP BY tf.doc_id
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docsc),
+    hist AS (
+        SELECT score_milli, CAST(count(*) AS BIGINT) AS c
+        FROM docsc GROUP BY 1
+    ),
+    cum AS (
+        SELECT score_milli,
+               sum(c) OVER (ORDER BY score_milli
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= n THEN score_milli END) AS c1,
+               min(CASE WHEN cum * 3 >= 2 * n THEN score_milli END) AS c2
+        FROM cum CROSS JOIN nd
+    )
+    SELECT p.planted_class,
+           CASE WHEN s.score_milli <= c.c1 THEN 'head'
+                WHEN s.score_milli <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(s.score_milli) AS BIGINT) AS lo_milli,
+           CAST(max(s.score_milli) AS BIGINT) AS hi_milli
+    FROM docsc s
+    JOIN pd p ON p.doc_id = s.doc_id
+    CROSS JOIN cuts c
+    GROUP BY 1, 2
+    ORDER BY planted_class, bucket
+    """,
+    doc="B15 (r13): SURPRISAL TERTILES WITH A PLANTED HEAVY-TAIL VOCAB "
+    "(VERDICT r12 #3) — the demonstration twin of b15_surprisal_tertiles, "
+    "whose honest docstring concedes the generator corpus is degenerate "
+    "at sf0.1 (95% of docs share one histogram cell; the middle tertile "
+    "is empty). This twin derives a corpus IN-QUERY (the _pmi_top20 twin "
+    "rule: a deterministic CASE both engines replay exactly) with a "
+    "three-stratum vocabulary engineered so the whole-bit surprisal "
+    "separates with guaranteed margins at every SF: class 'common' "
+    "(doc_id%3=0) = six copies of the head token pc (corpus share 2/3 -> "
+    "ratio total DIV cnt = 1 -> 0 bits); class 'mid' (%3=1) = three pc + "
+    "three copies of one of EIGHT mid tokens m0..m7 (per-token count "
+    "~n/8 of the stratum -> ratio ~48, comfortably inside [32,64) -> 5 "
+    "bits for any n >= ~100); class 'rare' (%3=2) = three pc + three "
+    "copies of a PER-DOC token r<doc_id> (count 3 -> ratio 2n -> "
+    "floor(log2(2n)) bits: 9 at n=500, 13 at n=5000). Per-doc scores "
+    "collapse to exactly three values (0 / 2500 / 1000*(3*rare_bits) DIV "
+    "6), the tertile cutoffs land on c1=0, c2=2500 for ANY near-equal "
+    "3-split (doc_id is dense from 0, so each residue class holds "
+    "ceil/floor(n/3) docs and cum*3>=n fires on the correct cell), and "
+    "the recovered assignment is the exact bijection common->head, "
+    "mid->middle, rare->tail — the discrimination b15_surprisal_tertiles "
+    "could not demonstrate, now oracle-hash-checked end to end. "
+    "tests/test_planted_signals.py pins the bijection, the per-class "
+    "counts, and the closed-form scores. Plan shape: shared "
+    "_surprisal_doc_scores scorer (one tokenize scan, checkpointed tf, "
+    "63k-cell histogram ceiling), the per-doc score relation "
+    "localCheckpointed once (|docs| rows, consumed by histogram + "
+    "class join), cutoffs broadcast — no corpus-scale unpartitioned "
+    "window (the r13 audit passes structurally).",
+)
+def b15_surprisal_planted(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    mid = F.concat(F.lit("m"), (F.col("doc_id") % 8).cast("string"))
+    rare = F.concat(F.lit("r"), F.col("doc_id").cast("string"))
+    planted_text = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("pc pc pc pc pc pc"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("pc pc pc "), mid, F.lit(" "), mid, F.lit(" "), mid
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("pc pc pc "), rare, F.lit(" "), rare, F.lit(" "), rare
+            )
+        )
+    )
+    cls = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("common"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("mid"))
+        .otherwise(F.lit("rare"))
+    )
+    pd_corpus = d.select("doc_id", planted_text.alias("text"))
+    # |docs| rows, consumed twice (histogram for cutoffs + class join)
+    docsc = _surprisal_doc_scores(pd_corpus).localCheckpoint()
+    hist = (
+        docsc.groupBy("score_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    nd = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    cw = Window.orderBy("score_milli").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("score_milli", F.sum("c").over(cw).alias("cum"))
+    cuts = cum.crossJoin(F.broadcast(nd)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("score_milli"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("score_milli"))
+        ).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("score_milli") <= F.col("c1"), F.lit("head"))
+        .when(F.col("score_milli") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        docsc.join(d.select("doc_id", cls.alias("planted_class")), "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .groupBy("planted_class", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score_milli").cast("bigint").alias("lo_milli"),
+            F.max("score_milli").cast("bigint").alias("hi_milli"),
+        )
+        .orderBy("planted_class", "bucket")
     )

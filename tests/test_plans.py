@@ -1307,3 +1307,42 @@ def test_asof_nearest_no_unbounded_following_frame(spark):
     df = QUERIES["b05_asof_nearest"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "unboundedfollowing" not in plan, plan[:2000]
+
+
+def test_equidepth_distributed_index_reuses_range_exchange(spark):
+    """r13 (the bounded-window audit's first catch): equi-depth ntile must
+    NEVER plan an unpartitioned window over the events table — the
+    distributed form range-partitions on the ntile order key, assigns
+    per-partition row numbers under a pid-partitioned window, and stitches
+    the global index with <=|partitions| offsets. Two structural pins:
+    (1) the per-row window is partitioned (audit passes with the
+    offset-aggregate whitelist only), and (2) after execution the pid-hash
+    exchange is REUSED between the offset branch and the index branch —
+    one materialized layout, so spark_partition_id cannot diverge between
+    the two consumers (the bug the first draft shipped: a localCheckpoint
+    forked a second job whose AQE coalescing resampled the layout)."""
+    import re
+
+    from dataselector_spark.plans import unpartitioned_window_audit
+
+    df = QUERIES["b06_equidepth_histogram"].fn(spark, "/root/testdata/sf0.001")
+    violations, _ = unpartitioned_window_audit(df, allow_aggregate=True)
+    assert not violations, violations
+    df.collect()
+    # AdaptiveSparkPlan's string repeats the pre-AQE tree under
+    # "== Initial Plan ==" — assert on the final section only.
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in plan, plan[:2000]
+    # exactly one MATERIALIZED range exchange (a ReusedExchange line names
+    # its target, so filter those out before counting)
+    range_nodes = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(range_nodes) == 1, plan[:2000]

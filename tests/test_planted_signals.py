@@ -536,3 +536,25 @@ def test_funnel_exclusion_totals_and_partition(spark):
         sum(r.n_expired for r in rows),
     )
     assert tot == (2006, 545, 147, 1314), tot
+
+
+def test_surprisal_planted_recovers_strata_bijection(spark):
+    """r13 (VERDICT r12 #3): the planted three-stratum vocabulary must be
+    recovered as the exact bijection common->head, mid->middle,
+    rare->tail, with the closed-form scores the plant predicts (0 /
+    2500 / 1000*3*floor(log2(2n)) DIV 6 milli-bits) and near-equal
+    ceil/floor(n/3) class sizes — the tertile discrimination the raw
+    corpus (degenerate at sf0.1) cannot demonstrate."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b15_surprisal_planted"].fn(spark, SF).collect()
+    assert [(r.planted_class, r.bucket) for r in rows] == [
+        ("common", "head"),
+        ("mid", "middle"),
+        ("rare", "tail"),
+    ]
+    # each class collapses to a single score cell
+    assert all(r.lo_milli == r.hi_milli for r in rows)
+    assert [r.lo_milli for r in rows] == [0, 2500, 4500]  # n=500 -> 9 bits
+    n = sum(r.n_docs for r in rows)
+    assert all(abs(r.n_docs - n / 3) < 1 for r in rows)

@@ -27,6 +27,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dataselector_spark.plans import (
+    BOUNDED_WINDOW_AGG_OK,
+    unpartitioned_window_audit,
+)
 from dataselector_spark.session import get_spark
 from dataselector_spark.suite import QUERIES
 
@@ -109,6 +113,17 @@ def main():
             flags.append("BroadcastNestedLoopJoin")
         if re.search(r"BatchEvalPython(?!UDTF)", plan):
             flags.append("row-at-a-time PythonUDF")
+        # VERDICT r12 #2: every unpartitioned Window must sit above a
+        # structurally bounded relation (limit / localCheckpointed RDD),
+        # or above a bounded-domain aggregate for the whitelisted entries
+        try:
+            wv, _ = unpartitioned_window_audit(
+                df, allow_aggregate=name in BOUNDED_WINDOW_AGG_OK
+            )
+            if wv:
+                flags.append("unbounded-unpartitioned-window")
+        except Exception as ex:  # noqa: BLE001
+            flags.append(f"window-audit-EXC {ex}"[:80])
         if flags:
             violations.append((name, ",".join(flags)))
         else:
