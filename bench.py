@@ -11,7 +11,7 @@ keeps only a ~2 KB stdout tail — the final line must carry every headline
 number by itself (VERDICT r8 #7), and the fresh-JVM per-set walls
 (VERDICT r8 #4) are the cross-round numbers contention cannot distort.
 Env: SPARK_GRAFT_BENCH_ISOLATED=0 skips the isolation pass (quick local
-iteration); SPARK_GRAFT_BENCH_SET=v1..v9 runs one set (child mode);
+iteration); SPARK_GRAFT_BENCH_SET=v1..v10 runs one set (child mode);
 SPARK_GRAFT_BENCH_SET_RUNS=N (default 3) fresh-JVM children per set, the
 reported isolated wall is their MIN (VERDICT r11 #3 — robust to the
 measured cyclic external load; children default to reps=2 when N>1).
@@ -286,6 +286,14 @@ HEADLINE_V9 = [
     "b26_funnel_exclusion",  # B26 negation funnel, zero joins, one shuffle
 ]
 
+# HEADLINE_V10: the round-13 additions, FROZEN the same way (reported as
+# `headline_v10_wall`, excluded from `value`).
+HEADLINE_V10 = [
+    "b15_surprisal_planted",  # B15 planted heavy-tail tertile recovery
+    "b14_rrf_fusion_gain",  # B14 RRF recall gain on disjoint relevance
+    "b13_kmv_source_similarity",  # B13/B6 constant-state source Jaccard
+]
+
 # The frozen versioned sets, addressable for per-set isolated re-runs.
 SETS = {
     "v1": HEADLINE,
@@ -297,6 +305,7 @@ SETS = {
     "v7": HEADLINE_V7,
     "v8": HEADLINE_V8,
     "v9": HEADLINE_V9,
+    "v10": HEADLINE_V10,
 }
 
 
@@ -430,7 +439,8 @@ def main() -> None:
         + HEADLINE_V6
         + HEADLINE_V7
         + HEADLINE_V8
-        + HEADLINE_V9,
+        + HEADLINE_V9
+        + HEADLINE_V10,
         sf_dir,
         reps,
     )
@@ -444,6 +454,7 @@ def main() -> None:
     extra7 = round(sum(timings[n] for n in HEADLINE_V7), 3)
     extra8 = round(sum(timings[n] for n in HEADLINE_V8), 3)
     extra9 = round(sum(timings[n] for n in HEADLINE_V9), 3)
+    extra10 = round(sum(timings[n] for n in HEADLINE_V10), 3)
     probe = _cpu_probe()
     multi_probe = _cpu_probe_multi()
     scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
@@ -571,6 +582,8 @@ def main() -> None:
                 "headline_v8_n": len(HEADLINE_V8),
                 "headline_v9_wall": extra9,
                 "headline_v9_n": len(HEADLINE_V9),
+                "headline_v10_wall": extra10,
+                "headline_v10_n": len(HEADLINE_V10),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,

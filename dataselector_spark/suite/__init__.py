@@ -140,6 +140,18 @@ REWRITTEN_IN_ROUND = {
     # to the semantics-identical reverse-order running last() (flat
     # 0.22 s). Oracle re-verified at all three SFs after the rewrite.
     "b05_asof_nearest": 12,
+    # r13 (ADVICE r12 + the bounded-window plan audit, VERDICT r12 #2):
+    # b14_rrf_hybrid's BM25 saturation quotient widened to DECIMAL(38,0)
+    # (Spark) // HUGEINT (DuckDB) — identical values at suite scale, but
+    # the oracle text and expression changed; b06_equidepth_histogram's
+    # single-partition ntile(10) window rewritten onto the distributed
+    # running_sums prefix-sum with a closed-form ntile bucket;
+    # b15_vocab_coverage's full-vocabulary rank/cumsum windows rewritten
+    # onto a TakeOrdered-100 heap + broadcast scalar total. All three
+    # oracle-reverified at sf0.001/0.01/0.1 + hostile-TZ after rewrite.
+    "b14_rrf_hybrid": 13,
+    "b06_equidepth_histogram": 13,
+    "b15_vocab_coverage": 13,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -476,6 +488,78 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     b22_observe_metrics, q12_late_shipment_priority, a29_cross_join,
 #     b16_frame_sample, b15_tfidf_top_term, b15_token_counts,
 #     b15_fingerprint, b15_text_stats.
+# The round-13 window (VERDICT r12 "Next round" #1, freshness hygiene):
+#   * 3 entries NEW in r13, never driver-checked (outrank everything):
+#     b15_surprisal_planted (planted heavy-tail tertile recovery,
+#     VERDICT r12 #3), b14_rrf_fusion_gain (RRF recall gain on planted
+#     disjoint relevance, VERDICT r12 #4), b13_kmv_source_similarity
+#     (constant-state KMV-Jaccard source matrix, VERDICT r12 #6);
+#   * 3 entries REWRITTEN in r13 after their r12/earlier rows
+#     (REWRITTEN_IN_ROUND): b14_rrf_hybrid (DECIMAL38 quotient, ADVICE
+#     r12), b06_equidepth_histogram and b15_vocab_coverage (the two
+#     scale bugs the new bounded-window plan audit caught);
+#   * all 44 r7-latest oracle-bearing entries from the r13 queue — after
+#     this round no oracle-bearing entry's latest driver row predates r8.
+#   Zero re-confirm slots remain (3 + 3 + 44 = 50); the 46 r8-latest
+#   entries queue for r14.
+_R13_WINDOW = [
+    # --- new in r13, never checked ---
+    "b15_surprisal_planted",
+    "b14_rrf_fusion_gain",
+    "b13_kmv_source_similarity",
+    # --- rewritten in r13 (REWRITTEN_IN_ROUND) ---
+    "b14_rrf_hybrid",
+    "b06_equidepth_histogram",
+    "b15_vocab_coverage",
+    # --- all 44 r7-latest oracle-bearing entries (the r12 queue) ---
+    "b01_parquet_roundtrip",
+    "b01_csv_roundtrip",
+    "b01_json_roundtrip",
+    "b01_orc_roundtrip",
+    "b01_text_roundtrip",
+    "a08_round_to_step",
+    "a09_clamp",
+    "a13_selection_insert",
+    "a17_retract_compound",
+    "a18_forward_index",
+    "a27_regex_replace",
+    "a11_affine_scale",
+    "b02_join_left_outer",
+    "b02_join_right_outer",
+    "b02_join_full_outer",
+    "b03_semi_join",
+    "b03_anti_join",
+    "b04_interval_join_bucketed",
+    "b10_multiset_ops",
+    "b02_lateral_topk",
+    "b06_correlation_exact_moments",
+    "b15_decontaminate",
+    "b16_pgm_roundtrip",
+    "b15_bpe_pair_counts",
+    "b02_bucketed_join",
+    "b26_rolling_dau",
+    "b12_dedup_normalized_text",
+    "b24_token_budget_cap",
+    "b22_zorder_key_3d",
+    "b22_zorder_write_readback",
+    "b23_streaming_upsert_sink",
+    "b23_scd2_dimension",
+    "b13_editdist_neardup",
+    "b22_zone_map_stats",
+    "b09_diversified_topk",
+    "b22_cell_sample_exact_k",
+    "b22_observe_metrics",
+    "q12_late_shipment_priority",
+    "a29_cross_join",
+    "b16_frame_sample",
+    "b15_tfidf_top_term",
+    "b15_token_counts",
+    "b15_fingerprint",
+    "b15_text_stats",
+]
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+
+# r12 window, kept for the ledger (superseded by _R13_WINDOW above):
 _R12_WINDOW = [
     # --- new in r12, never checked (the session-2 trio displaced
     # b01_csv_roundtrip / b01_json_roundtrip / a13_selection_insert's
@@ -644,8 +728,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R12_WINDOW]
-_order = _R12_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R13_WINDOW]
+_order = _R13_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

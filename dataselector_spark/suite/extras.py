@@ -11679,6 +11679,51 @@ _RRF_COSINE_FOLD = """
 """
 
 
+def _rrf_bm25_scores(spark, d, weights):
+    """(doc_id, score_milli): the exact-rational BM25 scorer shared by
+    b14_rrf_hybrid (raw corpus, corpus query terms) and
+    b14_rrf_fusion_gain (planted corpus, novel zq_ query terms) — k1=6/5,
+    b=3/4 folded to the all-integer saturation quotient, computed in
+    DECIMAL(38,0) per the ADVICE r12 contract (DuckDB replays it with
+    HUGEINT //). ``d`` needs (doc_id, text); ``weights`` is the
+    term -> idf-milli dictionary."""
+    from ..functions.text import tokens
+
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_len"),
+    )
+    w = F.broadcast(
+        spark.createDataFrame(
+            list(weights.items()), "term string, w_milli bigint"
+        )
+    )
+    tfq = (
+        tok.join(w.select("term"), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return (
+        tfq.join(w, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((CAST(w_milli AS DECIMAL(38,0)) * 44 * tot_len * tf)"
+                " DIV (CAST(20 AS DECIMAL(38,0)) * tot_len * tf"
+                " + 6 * tot_len + 18 * dl * n_docs) AS BIGINT)"
+            ).alias("part_milli"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_milli").cast("bigint").alias("score_milli"))
+    )
+
+
 @query(
     "b14_rrf_hybrid",
     oracle=f"""
@@ -11783,44 +11828,12 @@ _RRF_COSINE_FOLD = """
     "rankings stay heap-bounded end-to-end; the fusion cost is O(k).",
 )
 def b14_rrf_hybrid(spark, sf_dir):
-    from ..functions.text import tokens
     from ..operators.similarity import topk_cosine
     from .llm_pipeline import _query_vector
 
     d = load_table(spark, sf_dir, "documents")
-    weights = {"dup": 2900, "vector": 700, "scan": 600}
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
-    )
-    corp = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("tot_len"),
-    )
-    w = F.broadcast(
-        spark.createDataFrame(
-            list(weights.items()), "term string, w_milli bigint"
-        )
-    )
-    tfq = (
-        tok.join(w.select("term"), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    scored = (
-        tfq.join(w, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corp))
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST((CAST(w_milli AS DECIMAL(38,0)) * 44 * tot_len * tf)"
-                " DIV (CAST(20 AS DECIMAL(38,0)) * tot_len * tf"
-                " + 6 * tot_len + 18 * dl * n_docs) AS BIGINT)"
-            ).alias("part_milli"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part_milli").cast("bigint").alias("score_milli"))
+    scored = _rrf_bm25_scores(
+        spark, d, {"dup": 2900, "vector": 700, "scan": 600}
     )
     lw = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
     lex = (
@@ -12555,4 +12568,435 @@ def b15_surprisal_planted(spark, sf_dir):
             F.max("score_milli").cast("bigint").alias("hi_milli"),
         )
         .orderBy("planted_class", "bucket")
+    )
+
+
+# Planted relevance for b14_rrf_fusion_gain: two DISJOINT 5-doc sets, both
+# inside the embeddings vec_id domain at every SF (ids <= 30 < 500), doc 0
+# excluded everywhere (it is the query vector).
+_FUSION_LEX_REL = [3, 9, 15, 21, 27]
+_FUSION_VEC_REL = [6, 12, 18, 24, 30]
+
+
+@query(
+    "b14_rrf_fusion_gain",
+    oracle=f"""
+    WITH pd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id IN (3, 9, 15, 21, 27)
+                    THEN text || ' zq_alpha zq_beta zq_gamma'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, t.term
+        FROM pd, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS tot_len
+        FROM dl
+    ),
+    w AS (
+        SELECT * FROM (VALUES ('zq_alpha', CAST(2900 AS BIGINT)),
+                              ('zq_beta', CAST(700 AS BIGINT)),
+                              ('zq_gamma', CAST(600 AS BIGINT)))
+            AS w(term, w_milli)
+    ),
+    tfq AS (
+        SELECT tok.doc_id, tok.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN w ON tok.term = w.term
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tfq.doc_id,
+               CAST(sum((CAST(w.w_milli AS HUGEINT) * 44 * corp.tot_len
+                         * tfq.tf)
+                        // (CAST(20 AS HUGEINT) * corp.tot_len * tfq.tf
+                            + 6 * corp.tot_len
+                            + 18 * dl.dl * corp.n_docs)) AS BIGINT)
+                   AS score_milli
+        FROM tfq
+        JOIN w ON tfq.term = w.term
+        JOIN dl ON tfq.doc_id = dl.doc_id
+        CROSS JOIN corp
+        GROUP BY tfq.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_milli DESC, doc_id)
+                       AS r_lex
+            FROM scored
+        ) WHERE r_lex <= 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    e2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id IN (6, 12, 18, 24, 30)
+                    THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                    ELSE embedding END AS embedding
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id, r_vec FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_vec
+            FROM (SELECT e.vec_id, {_RRF_COSINE_FOLD} AS cosine
+                  FROM e2 e, q)
+        ) WHERE r_vec <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               CAST(coalesce(1000000 // (60 + l.r_lex), 0)
+                  + coalesce(1000000 // (60 + v.r_vec), 0) AS BIGINT)
+                   AS rrf_ppm
+        FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    ),
+    rrf10 AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS r
+            FROM fused
+        ) WHERE r <= 10
+    ),
+    truth AS (
+        SELECT unnest([3, 9, 15, 21, 27, 6, 12, 18, 24, 30]) AS doc_id
+    ),
+    res AS (
+        SELECT 'lexical' AS ranker,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM (SELECT doc_id FROM lex WHERE r_lex <= 10) x
+        JOIN truth USING (doc_id)
+        UNION ALL
+        SELECT 'rrf', CAST(count(*) AS BIGINT)
+        FROM rrf10 JOIN truth USING (doc_id)
+        UNION ALL
+        SELECT 'vector', CAST(count(*) AS BIGINT)
+        FROM (SELECT doc_id FROM vec WHERE r_vec <= 10) x
+        JOIN truth USING (doc_id)
+    )
+    SELECT ranker, CAST(10 AS BIGINT) AS n_rel, n_hits,
+           CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm
+    FROM res ORDER BY ranker
+    """,
+    doc="B14 (r13): RRF FUSION GAIN ON PLANTED DISJOINT RELEVANCE "
+    "(VERDICT r12 #4) — the demonstration twin of b14_rrf_hybrid, which "
+    "fuses correctly but ran lexical-only where docs lack embeddings and "
+    "so never demonstrated the claim RRF exists to make. Here the claim "
+    "is constructed to be falsifiable: 10 relevant docs, split into two "
+    "DISJOINT planted sets that each feeder can only half-find. The five "
+    "_FUSION_LEX_REL docs get the novel query terms zq_alpha/beta/gamma "
+    "appended in-query (the zq_ prefix is absent from the corpus "
+    "vocabulary per the b15_pmi_planted verification, so the lexical "
+    "feeder retrieves EXACTLY these five — BM25 scores only docs "
+    "containing a query term); the five _FUSION_VEC_REL docs get their "
+    "embeddings replaced in-query by the query vector (vec_id 0, itself "
+    "excluded from the candidate list as the query), so the vector "
+    "feeder puts exactly these five at cosine 1.0 ranks 1-5 while their "
+    "text stays query-term-free. Each feeder's recall@10 is therefore "
+    "<= 5/10 + whatever its noise tail accidentally hits; RRF's "
+    "1e6 DIV (60+rank) fusion puts both planted fives at "
+    "16393..15384 ppm, above every single-list noise doc (rank >= 6 "
+    "-> <= 15151), so the fused top-10 is exactly the 10 planted docs "
+    "and rrf_recall = 1.0 > max(feeder recalls) — "
+    "tests/test_planted_signals.py pins the inequality and the exact "
+    "counts. Machinery: shared _rrf_bm25_scores (DECIMAL38 quotient), "
+    "operators/similarity.topk_cosine, the same heap-bounded plan shape "
+    "as the parent (TakeOrderedAndProject feeders, <=40-row fusion "
+    "join, <=40-row rank windows) — audit-clean structurally.",
+)
+def b14_rrf_fusion_gain(spark, sf_dir):
+    from ..operators.similarity import topk_cosine
+    from .llm_pipeline import _query_vector
+
+    d = load_table(spark, sf_dir, "documents")
+    planted_text = F.when(
+        F.col("doc_id").isin(_FUSION_LEX_REL),
+        F.concat(F.col("text"), F.lit(" zq_alpha zq_beta zq_gamma")),
+    ).otherwise(F.col("text"))
+    pd_corpus = d.select("doc_id", planted_text.alias("text"))
+    scored = _rrf_bm25_scores(
+        spark, pd_corpus, {"zq_alpha": 2900, "zq_beta": 700, "zq_gamma": 600}
+    )
+    lw = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+    lex = (
+        scored.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.row_number().over(lw).alias("r_lex"))
+    )
+    qv = _query_vector(spark, sf_dir)
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    e2 = e.select(
+        "vec_id",
+        F.when(F.col("vec_id").isin(_FUSION_VEC_REL), qv_lit)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    vw = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    vec = topk_cosine(e2, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(vw).alias("r_vec"),
+    )
+    fused = lex.join(
+        vec.withColumnRenamed("doc_id", "v_doc_id"),
+        lex["doc_id"] == F.col("v_doc_id"),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("v_doc_id")).alias("doc_id"),
+        F.expr(
+            "CAST(coalesce(1000000 DIV (60 + r_lex), 0) "
+            "+ coalesce(1000000 DIV (60 + r_vec), 0) AS BIGINT)"
+        ).alias("rrf_ppm"),
+    )
+    rw = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+    rrf10 = (
+        fused.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.row_number().over(rw).alias("r"))
+    )
+    truth = _FUSION_LEX_REL + _FUSION_VEC_REL
+    hit = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c).isin(truth), 1).otherwise(0)
+    ).cast("bigint")
+    res = (
+        lex.filter(F.col("r_lex") <= 10)
+        .agg(F.lit("lexical").alias("ranker"), hit("doc_id").alias("n_hits"))
+        .unionAll(
+            rrf10.agg(
+                F.lit("rrf").alias("ranker"), hit("doc_id").alias("n_hits")
+            )
+        )
+        .unionAll(
+            vec.filter(F.col("r_vec") <= 10).agg(
+                F.lit("vector").alias("ranker"), hit("doc_id").alias("n_hits")
+            )
+        )
+    )
+    return res.select(
+        "ranker",
+        F.lit(10).cast("bigint").alias("n_rel"),
+        "n_hits",
+        F.expr("CAST(n_hits * 1000000 DIV 10 AS BIGINT)").alias("recall_ppm"),
+    ).orderBy("ranker")
+
+
+@query(
+    "b13_kmv_source_similarity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, string_split(text, ' ') AS tk FROM documents
+    ),
+    idx AS (SELECT source, tk, unnest(range(1, len(tk) - 3)) AS pos FROM tok),
+    sh AS (SELECT DISTINCT source, array_to_string(tk[pos:pos+4], ' ') AS s
+           FROM idx),
+    hs AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        FROM sh
+    ),
+    rk AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hs
+    ),
+    sk AS (SELECT source, h FROM rk WHERE rn <= 128),
+    skagg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_sk FROM sk GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM skagg a JOIN skagg b ON a.source < b.source
+    ),
+    m0 AS (
+        SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.source = p.src_b
+    ),
+    merged AS (
+        SELECT src_a, src_b, h,
+               max(in_a) AS in_a, max(in_b) AS in_b
+        FROM m0 GROUP BY 1, 2, 3
+    ),
+    urk AS (
+        SELECT src_a, src_b, h, in_a, in_b,
+               row_number() OVER (
+                   PARTITION BY src_a, src_b ORDER BY h) AS rn
+        FROM merged
+    ),
+    usk AS (
+        SELECT src_a, src_b,
+               CAST(count(*) AS BIGINT) AS n_u,
+               CAST(sum(in_a * in_b) AS BIGINT) AS common_c
+        FROM urk WHERE rn <= 128 GROUP BY 1, 2
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT u.src_a, u.src_b, u.n_u, u.common_c,
+           CASE WHEN u.n_u < 128 THEN CAST(u.common_c AS DOUBLE) / u.n_u
+                ELSE CAST(u.common_c AS DOUBLE) / 128 END AS est_jaccard,
+           CAST(coalesce(i.inter, 0) AS BIGINT) AS n_shared,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           CAST(coalesce(i.inter, 0) AS DOUBLE)
+               / (za.n + zb.n - coalesce(i.inter, 0)) AS exact_jaccard
+    FROM usk u
+    JOIN sz za ON za.source = u.src_a
+    JOIN sz zb ON zb.source = u.src_b
+    LEFT JOIN inter i ON i.src_a = u.src_a AND i.src_b = u.src_b
+    ORDER BY u.src_a, u.src_b
+    """,
+    doc="B13/B6 (r13): KMV-JACCARD SOURCE-SIMILARITY MATRIX (VERDICT r12 "
+    "#6) — closes the loop the KMV family opened: b13_source_overlap "
+    "answers 'how much of source A is already in source B' EXACTLY by "
+    "joining every shared 5-gram shingle into pair space (fine at suite "
+    "scale, corpus-sized intermediate at 100 TB); b06_kmv_intersect "
+    "proved the k-minimum-values sketch intersects where HLL cannot. "
+    "This entry answers the SAME curation question in constant state "
+    "per source: each source's sketch is its k=128 smallest distinct "
+    "60-bit md5 shingle hashes (the portable Spark conv == DuckDB "
+    "('0x'||..)::BIGINT idiom; WindowGroupLimit rank-limit pushdown "
+    "per the kmv_sketch plan pin), every pair's union sketch is the k "
+    "smallest of the min-merge, and the Jaccard estimator is the theta "
+    "rule c/k over sketch-union members present in BOTH k-sets "
+    "(Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07), collapsing to "
+    "the EXACT c/n_u when the union fits under k (n_u < k implies "
+    "neither input sketch truncated; at suite SFs every source holds "
+    ">> k shingles so the ESTIMATOR branch is the one exercised here — "
+    "measured max|est-exact| 0.019/0.019/0.025 at the three SFs — "
+    "while the structurally identical exact branch executes in "
+    "b06_kmv_intersect's sf0.001 rung). The ONLY floats are two fixed "
+    "single divisions (est and the exact-audit jaccard), so the whole "
+    "190-pair matrix hash-checks bit-exact. The in-query exact columns "
+    "(n_shared/n_a/n_b/exact_jaccard, the b13_source_overlap "
+    "computation restated verbatim — that entry's r7 driver row stays "
+    "untouched per the displacement rule) are the TEST HARNESS, not "
+    "the serving path: tests/test_planted_signals.py pins "
+    "max|est - exact| <= 0.13 (~3 sigma of sqrt(J(1-J)/k)) at every "
+    "SF; at 100 TB only the sketch side runs — one shingle scan, one "
+    "per-source 128-row heap, then ALL pair arithmetic on "
+    "<=|sources|^2 * k rows of bounded state, mergeable across shards "
+    "by min-merge exactly as b13_minhash_shard_merge executed.",
+)
+def b13_kmv_source_similarity(spark, sf_dir):
+    K = 128
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.split(F.col("text"), " ").alias("tk")
+    )
+    positions = F.when(
+        F.size("tk") >= 5, F.sequence(F.lit(1), F.size("tk") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    positions,
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    hs = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    rnw = Window.partitionBy("source").orderBy("h")
+    # <= |sources| * k rows, consumed 3x (per-source agg + both pair sides)
+    sk = (
+        hs.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") <= K)
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    skagg = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk")
+    )
+    a = skagg.select(F.col("source").alias("src_a"))
+    b = skagg.select(F.col("source").alias("src_b"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    m0 = pairs.join(sk, sk["source"] == pairs["src_a"]).select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(
+        pairs.join(sk, sk["source"] == pairs["src_b"]).select(
+            "src_a", "src_b", "h",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+    )
+    merged = m0.groupBy("src_a", "src_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    urw = Window.partitionBy("src_a", "src_b").orderBy("h")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(urw))
+        .filter(F.col("rn") <= K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("common_c"),
+        )
+    )
+    est = F.when(
+        F.col("n_u") < K,
+        F.col("common_c").cast("double") / F.col("n_u"),
+    ).otherwise(F.col("common_c").cast("double") / F.lit(K))
+    # exact audit (the b13_source_overlap computation, test harness only)
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col("sa.source") < F.col("sb.source")),
+        )
+        .groupBy(
+            F.col("sa.source").alias("i_src_a"),
+            F.col("sb.source").alias("i_src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    n_shared = F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        usk.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .join(
+            F.broadcast(inter),
+            (F.col("src_a") == F.col("i_src_a"))
+            & (F.col("src_b") == F.col("i_src_b")),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_u",
+            "common_c",
+            est.alias("est_jaccard"),
+            n_shared.cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                n_shared.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_shared)
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
     )

@@ -558,3 +558,37 @@ def test_surprisal_planted_recovers_strata_bijection(spark):
     assert [r.lo_milli for r in rows] == [0, 2500, 4500]  # n=500 -> 9 bits
     n = sum(r.n_docs for r in rows)
     assert all(abs(r.n_docs - n / 3) < 1 for r in rows)
+
+
+def test_rrf_fusion_gain_beats_both_feeders(spark):
+    """r13 (VERDICT r12 #4): on the planted disjoint-relevance corpus the
+    fused ranking must achieve recall@10 strictly above BOTH feeders —
+    the claim RRF exists to make — and the exact planted construction
+    pins lexical=5/10, vector=5/10, rrf=10/10."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = {
+        r.ranker: r
+        for r in QUERIES["b14_rrf_fusion_gain"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"lexical", "vector", "rrf"}
+    assert rows["lexical"].n_hits == 5 and rows["vector"].n_hits == 5
+    assert rows["rrf"].n_hits == 10
+    assert rows["rrf"].recall_ppm > max(
+        rows["lexical"].recall_ppm, rows["vector"].recall_ppm
+    )
+
+
+def test_kmv_source_similarity_accuracy(spark):
+    """r13 (VERDICT r12 #6): the constant-state KMV-Jaccard matrix must
+    track the exact shingle-level Jaccard within ~3 sigma of the k=128
+    estimator (sqrt(J(1-J)/k)): pin max|est - exact| <= 0.13 over all
+    190 source pairs (measured max 0.025 across the three SFs), the
+    full 20-source pair count, and the theta-rule invariant
+    common_c <= n_u <= 128."""
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b13_kmv_source_similarity"].fn(spark, SF).collect()
+    assert len(rows) == 190  # C(20, 2)
+    assert all(0 <= r.common_c <= r.n_u <= 128 for r in rows)
+    assert max(abs(r.est_jaccard - r.exact_jaccard) for r in rows) <= 0.13
