@@ -77,6 +77,26 @@ def main(out_dir: str = "/tmp/skewfix_r13") -> None:
         f"SELECT count(*) FROM '{out_dir}/documents.parquet'"
     ).fetchall())
 
+def make_hub1x(out_dir: str = "/tmp/skewfix_hub1x") -> None:
+    """The LONE-HUB fixture (no replication): sf0.1 events in place with
+    5% of rows reassigned to one hub user. Max degree 1500/1500 nodes,
+    median 252 — the tail-skew shape the 4x fixture turned out NOT to be.
+    Used to prove the triangle family's degree-ordered orientation is
+    hub-robust on real files (docs/SCALE.md: 6.1 s, faster than base)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"""
+    COPY (
+      SELECT event_id, ts,
+             CASE WHEN event_id % 20 = 0 THEN 999999
+                  ELSE user_id END::BIGINT AS user_id,
+             event_type, value, props
+      FROM '{SRC}/events.parquet'
+    ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+    """)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
