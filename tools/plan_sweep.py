@@ -67,6 +67,25 @@ BOUNDED_BNLJ_OK = {
     " b06_quantile_histogram, fed from the streaming sink table",
     "b22_benford_digits": "single-row total broadcast over the 9-digit"
     " expected table (digit join itself is an equi BroadcastHashJoin)",
+    # r12 additions (adjudicated in VERDICT r12: "the 1-row broadcast
+    # scalar joins plan as whitelisted BNLJ-Cross — bounded and pinned")
+    "b06_quantile_refined": "single-row grid-total + rank-probe scalars",
+    "b15_bm25_topk": "single-row corpus stats (n_docs, tot_len)",
+    "b26_modularity": "single-row edge-total scalar",
+    "b26_link_prediction_capped": "single-row p99 degree-cap scalar",
+    "b13_leakage_safe_split": "single-row split-fraction scalars",
+    "b22_budgeted_split": "single-row Hamilton floor-sum scalar",
+    "b15_surprisal_tertiles": "single-row corpus total + 2-value cutoffs",
+    "b22_target_mixture": "single-row surplus scalar over <=|langs| rows",
+    "b14_rrf_hybrid": "single-row corpus stats (BM25 feeder)",
+    # r13 additions
+    "b15_surprisal_planted": "same scalars as b15_surprisal_tertiles"
+    " (shared _surprisal_doc_scores + cutoff broadcast)",
+    "b14_rrf_fusion_gain": "single-row corpus stats (BM25 feeder)",
+    "b13_kmv_source_similarity": "20-row source-pair inequality join"
+    " (src_a < src_b over the per-source sketch aggregates)",
+    "b06_equidepth_histogram": "single-row ntile denominator scalar",
+    "b15_vocab_coverage": "single-row token-total scalar",
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: execution
