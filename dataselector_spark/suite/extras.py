@@ -12785,6 +12785,108 @@ def b14_rrf_fusion_gain(spark, sf_dir):
     ).orderBy("ranker")
 
 
+def _kmv_jaccard_matrix(sh, k=128):
+    """All-pairs KMV-Jaccard matrix over a distinct (source, s) element
+    relation: per-source k-minimum-values sketches, theta-rule estimate,
+    exact audit columns. The engine of b13_kmv_source_similarity, split
+    out (the _pmi_top20 twin rule) so tests/test_planted_signals.py can
+    drive it over a CONSTRUCTED high-overlap pair — the suite corpus
+    tops out at exact J = 0.057, which never exercises the estimator's
+    discrimination at high Jaccard."""
+    K = k
+    hs = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    rnw = Window.partitionBy("source").orderBy("h")
+    # <= |sources| * k rows, consumed 3x (per-source agg + both pair sides)
+    sk = (
+        hs.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") <= K)
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    skagg = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk")
+    )
+    a = skagg.select(F.col("source").alias("src_a"))
+    b = skagg.select(F.col("source").alias("src_b"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    m0 = pairs.join(sk, sk["source"] == pairs["src_a"]).select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(
+        pairs.join(sk, sk["source"] == pairs["src_b"]).select(
+            "src_a", "src_b", "h",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+    )
+    merged = m0.groupBy("src_a", "src_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    urw = Window.partitionBy("src_a", "src_b").orderBy("h")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(urw))
+        .filter(F.col("rn") <= K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("common_c"),
+        )
+    )
+    est = F.when(
+        F.col("n_u") < K,
+        F.col("common_c").cast("double") / F.col("n_u"),
+    ).otherwise(F.col("common_c").cast("double") / F.lit(K))
+    # exact audit (the b13_source_overlap computation, test harness only)
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col("sa.source") < F.col("sb.source")),
+        )
+        .groupBy(
+            F.col("sa.source").alias("i_src_a"),
+            F.col("sb.source").alias("i_src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    n_shared = F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        usk.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .join(
+            F.broadcast(inter),
+            (F.col("src_a") == F.col("i_src_a"))
+            & (F.col("src_b") == F.col("i_src_b")),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_u",
+            "common_c",
+            est.alias("est_jaccard"),
+            n_shared.cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                n_shared.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_shared)
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 @query(
     "b13_kmv_source_similarity",
     oracle="""
@@ -12884,13 +12986,15 @@ def b14_rrf_fusion_gain(spark, sf_dir):
     "untouched per the displacement rule) are the TEST HARNESS, not "
     "the serving path: tests/test_planted_signals.py pins "
     "max|est - exact| <= 0.13 (~3 sigma of sqrt(J(1-J)/k)) at every "
-    "SF; at 100 TB only the sketch side runs — one shingle scan, one "
+    "SF, and additionally drives the extracted _kmv_jaccard_matrix "
+    "over constructed element sets with planted J = 1/2, 1/3, 0 — the "
+    "high-Jaccard discrimination the near-orthogonal suite corpus "
+    "(max exact J 0.057) cannot exercise; at 100 TB only the sketch side runs — one shingle scan, one "
     "per-source 128-row heap, then ALL pair arithmetic on "
     "<=|sources|^2 * k rows of bounded state, mergeable across shards "
     "by min-merge exactly as b13_minhash_shard_merge executed.",
 )
 def b13_kmv_source_similarity(spark, sf_dir):
-    K = 128
     toks = load_table(spark, sf_dir, "documents").select(
         "source", F.split(F.col("text"), " ").alias("tk")
     )
@@ -12909,94 +13013,4 @@ def b13_kmv_source_similarity(spark, sf_dir):
         )
         .distinct()
     )
-    hs = sh.select(
-        "source",
-        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
-    rnw = Window.partitionBy("source").orderBy("h")
-    # <= |sources| * k rows, consumed 3x (per-source agg + both pair sides)
-    sk = (
-        hs.withColumn("rn", F.row_number().over(rnw))
-        .filter(F.col("rn") <= K)
-        .select("source", "h")
-        .localCheckpoint()
-    )
-    skagg = sk.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sk")
-    )
-    a = skagg.select(F.col("source").alias("src_a"))
-    b = skagg.select(F.col("source").alias("src_b"))
-    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
-    m0 = pairs.join(sk, sk["source"] == pairs["src_a"]).select(
-        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    ).unionAll(
-        pairs.join(sk, sk["source"] == pairs["src_b"]).select(
-            "src_a", "src_b", "h",
-            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
-        )
-    )
-    merged = m0.groupBy("src_a", "src_b", "h").agg(
-        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
-    )
-    urw = Window.partitionBy("src_a", "src_b").orderBy("h")
-    usk = (
-        merged.withColumn("rn", F.row_number().over(urw))
-        .filter(F.col("rn") <= K)
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_u"),
-            F.sum(F.col("in_a") * F.col("in_b"))
-            .cast("bigint")
-            .alias("common_c"),
-        )
-    )
-    est = F.when(
-        F.col("n_u") < K,
-        F.col("common_c").cast("double") / F.col("n_u"),
-    ).otherwise(F.col("common_c").cast("double") / F.lit(K))
-    # exact audit (the b13_source_overlap computation, test harness only)
-    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        sa.join(
-            sb,
-            (F.col("sa.s") == F.col("sb.s"))
-            & (F.col("sa.source") < F.col("sb.source")),
-        )
-        .groupBy(
-            F.col("sa.source").alias("i_src_a"),
-            F.col("sb.source").alias("i_src_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
-    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    n_shared = F.coalesce(F.col("inter"), F.lit(0))
-    return (
-        usk.join(F.broadcast(za), "src_a")
-        .join(F.broadcast(zb), "src_b")
-        .join(
-            F.broadcast(inter),
-            (F.col("src_a") == F.col("i_src_a"))
-            & (F.col("src_b") == F.col("i_src_b")),
-            "left",
-        )
-        .select(
-            "src_a",
-            "src_b",
-            "n_u",
-            "common_c",
-            est.alias("est_jaccard"),
-            n_shared.cast("bigint").alias("n_shared"),
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            (
-                n_shared.cast("double")
-                / (F.col("n_a") + F.col("n_b") - n_shared)
-            ).alias("exact_jaccard"),
-        )
-        .orderBy("src_a", "src_b")
-    )
+    return _kmv_jaccard_matrix(sh)

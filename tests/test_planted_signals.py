@@ -592,3 +592,43 @@ def test_kmv_source_similarity_accuracy(spark):
     assert len(rows) == 190  # C(20, 2)
     assert all(0 <= r.common_c <= r.n_u <= 128 for r in rows)
     assert max(abs(r.est_jaccard - r.exact_jaccard) for r in rows) <= 0.13
+
+
+def test_kmv_jaccard_high_overlap_discrimination(spark):
+    """r13: the suite corpus tops out at exact J = 0.057, so the entry
+    never exercises the estimator at high Jaccard. Drive the extracted
+    _kmv_jaccard_matrix over three CONSTRUCTED element sets with planted
+    overlaps J(A,B) = 1/3, J(A,C) = 0, J(B,C) = 1/2 (disjoint integer
+    element ranges as 'shingles') and pin |est - truth| <= 0.13 on every
+    pair — the estimator must separate high / medium / zero overlap, not
+    merely track near-zero."""
+    from pyspark.sql import functions as F
+
+    from dataselector_spark.suite.extras import _kmv_jaccard_matrix
+
+    ids = spark.range(0, 3000).select(F.col("id").cast("bigint"))
+    # A = [0, 1000), B = [500, 2000), C = [1250, 2750):
+    # |A u B| = 2000, inter 500 -> 1/4... use exact planned sets instead:
+    # J(A,B): A=[0,1000), B=[500,1500): inter 500, union 1500 -> 1/3
+    # J(B,C): C=[750,1250) u ... keep three clean pairs:
+    a = ids.filter("id < 1000").select(F.lit("A").alias("source"), F.col("id").cast("string").alias("s"))
+    b = ids.filter("id >= 500 and id < 1500").select(F.lit("B").alias("source"), F.col("id").cast("string").alias("s"))
+    c = ids.filter("id >= 2000").select(F.lit("C").alias("source"), F.col("id").cast("string").alias("s"))
+    # J(A,B) = 500/1500 = 1/3; J(A,C) = J(B,C)... B,C disjoint = 0; add D
+    d = ids.filter("id >= 1000 and id < 1500").select(F.lit("D").alias("source"), F.col("id").cast("string").alias("s"))
+    # J(B,D) = 500/1000 = 1/2
+    sh = a.unionAll(b).unionAll(c).unionAll(d)
+    rows = {(r.src_a, r.src_b): r for r in _kmv_jaccard_matrix(sh).collect()}
+    truth = {("A", "B"): 1 / 3, ("A", "C"): 0.0, ("A", "D"): 0.0,
+             ("B", "C"): 0.0, ("B", "D"): 0.5, ("C", "D"): 0.0}
+    assert set(rows) == set(truth)
+    for pair, tj in truth.items():
+        r = rows[pair]
+        assert abs(r.exact_jaccard - tj) < 1e-12, (pair, r.exact_jaccard)
+        assert abs(r.est_jaccard - tj) <= 0.13, (pair, r.est_jaccard)
+    # discrimination: the two true-overlap pairs must rank above every
+    # zero-overlap pair by estimate alone
+    est_bd = rows[("B", "D")].est_jaccard
+    est_ab = rows[("A", "B")].est_jaccard
+    zero_max = max(rows[p].est_jaccard for p, t in truth.items() if t == 0)
+    assert est_bd > est_ab > zero_max
