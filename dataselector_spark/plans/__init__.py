@@ -86,8 +86,8 @@ def shuffle_count(df: DataFrame) -> int:
 # Global SortExec nodes are counted but NOT gated: a global sort is
 # range-partitioned (distributed, no single-partition collapse), and every
 # suite entry's final orderBy exists for oracle output parity.
-# Scalar-subquery plans are not traversed (no Window hides in one today;
-# the sweep would catch it the round it appears in a main plan).
+# Subquery plans (scalar / IN) are traversed too, so a Window hidden in
+# one is gated exactly like the main tree.
 
 _BOUNDED_LEAVES = {"RDDScanExec", "LocalTableScanExec", "EmptyRelationExec"}
 _LIMIT_NODES = {
@@ -147,6 +147,11 @@ def unpartitioned_window_audit(
             if not _bounded(child, allow_aggregate):
                 violations.append(p.simpleString(120))
         stack.extend(_plan_children(p))
+        # a Window hidden inside a scalar/IN-subquery plan is just as
+        # gated as one in the main tree (r13 follow-up: the first cut
+        # documented this as a hole)
+        sq = p.subqueries()
+        stack.extend(sq.apply(i) for i in range(sq.length()))
     return violations, global_sorts
 
 
