@@ -11,7 +11,7 @@ keeps only a ~2 KB stdout tail — the final line must carry every headline
 number by itself (VERDICT r8 #7), and the fresh-JVM per-set walls
 (VERDICT r8 #4) are the cross-round numbers contention cannot distort.
 Env: SPARK_GRAFT_BENCH_ISOLATED=0 skips the isolation pass (quick local
-iteration); SPARK_GRAFT_BENCH_SET=v1..v10 runs one set (child mode);
+iteration); SPARK_GRAFT_BENCH_SET=v1..v11 runs one set (child mode);
 SPARK_GRAFT_BENCH_SET_RUNS=N (default 3) fresh-JVM children per set, the
 reported isolated wall is their MIN (VERDICT r11 #3 — robust to the
 measured cyclic external load; children default to reps=2 when N>1).
@@ -294,6 +294,12 @@ HEADLINE_V10 = [
     "b13_kmv_source_similarity",  # B13/B6 constant-state source Jaccard
 ]
 
+# HEADLINE_V11: the late-r13 addition, FROZEN the same way (reported as
+# `headline_v11_wall`, excluded from `value`).
+HEADLINE_V11 = [
+    "b06_kmv_difference",  # B6 KMV set-difference (churn) sketch
+]
+
 # The frozen versioned sets, addressable for per-set isolated re-runs.
 SETS = {
     "v1": HEADLINE,
@@ -306,6 +312,7 @@ SETS = {
     "v8": HEADLINE_V8,
     "v9": HEADLINE_V9,
     "v10": HEADLINE_V10,
+    "v11": HEADLINE_V11,
 }
 
 
@@ -440,7 +447,8 @@ def main() -> None:
         + HEADLINE_V7
         + HEADLINE_V8
         + HEADLINE_V9
-        + HEADLINE_V10,
+        + HEADLINE_V10
+        + HEADLINE_V11,
         sf_dir,
         reps,
     )
@@ -455,6 +463,7 @@ def main() -> None:
     extra8 = round(sum(timings[n] for n in HEADLINE_V8), 3)
     extra9 = round(sum(timings[n] for n in HEADLINE_V9), 3)
     extra10 = round(sum(timings[n] for n in HEADLINE_V10), 3)
+    extra11 = round(sum(timings[n] for n in HEADLINE_V11), 3)
     probe = _cpu_probe()
     multi_probe = _cpu_probe_multi()
     scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
@@ -584,6 +593,8 @@ def main() -> None:
                 "headline_v9_n": len(HEADLINE_V9),
                 "headline_v10_wall": extra10,
                 "headline_v10_n": len(HEADLINE_V10),
+                "headline_v11_wall": extra11,
+                "headline_v11_n": len(HEADLINE_V11),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,

@@ -16,6 +16,16 @@ ORDER BY does — instead of a serial global window. Results are identical to
 the single-partition form for ANY partition boundaries (prefix sums over a
 total order don't depend on where the cuts land), which keeps oracle checks
 stable.
+
+LAYOUT-FORK HAZARD (r13, found rebuilding b06_equidepth_histogram on this
+operator): the totals branch and the pass-through branch both read the
+range exchange, and correctness requires them to see the SAME partition
+layout — guaranteed in one query by Catalyst exchange reuse. Do NOT
+localCheckpoint an intermediate between them: the checkpoint runs as its
+own job, AQE re-coalesces the forked execution independently, and
+spark_partition_id diverges between branches (observed: 11-bucket ntile
+garbage). Callers composing on top of running_sums inherit the same rule;
+pin ReusedExchange in a plan test when it matters (tests/test_plans.py).
 """
 
 from __future__ import annotations

@@ -498,15 +498,18 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 #     (REWRITTEN_IN_ROUND): b14_rrf_hybrid (DECIMAL38 quotient, ADVICE
 #     r12), b06_equidepth_histogram and b15_vocab_coverage (the two
 #     scale bugs the new bounded-window plan audit caught);
-#   * all 44 r7-latest oracle-bearing entries from the r13 queue — after
-#     this round no oracle-bearing entry's latest driver row predates r8.
-#   Zero re-confirm slots remain (3 + 3 + 44 = 50); the 46 r8-latest
-#   entries queue for r14.
+#   * 43 of the 44 r7-latest oracle-bearing entries from the r13 queue
+#     (the late-r13 addition b06_kmv_difference — never-checked outranks
+#     re-confirm, the tripwire enforced the swap — displaces the last
+#     re-confirm b15_text_stats to the FRONT of the r14 queue; after a
+#     green r13 exactly ONE oracle-bearing entry's driver row predates
+#     r8).  r14 queue: b15_text_stats, then the 46 r8-latest entries.
 _R13_WINDOW = [
     # --- new in r13, never checked ---
     "b15_surprisal_planted",
     "b14_rrf_fusion_gain",
     "b13_kmv_source_similarity",
+    "b06_kmv_difference",
     # --- rewritten in r13 (REWRITTEN_IN_ROUND) ---
     "b14_rrf_hybrid",
     "b06_equidepth_histogram",
@@ -555,7 +558,6 @@ _R13_WINDOW = [
     "b15_tfidf_top_term",
     "b15_token_counts",
     "b15_fingerprint",
-    "b15_text_stats",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 

@@ -13014,3 +13014,206 @@ def b13_kmv_source_similarity(spark, sf_dir):
         .distinct()
     )
     return _kmv_jaccard_matrix(sh)
+
+
+@query(
+    "b06_kmv_difference",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey
+        FROM orders
+    ),
+    h AS (
+        SELECT yr,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM du
+    ),
+    rk AS (
+        SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (SELECT yr, h FROM rk WHERE rn <= 128),
+    years AS (SELECT DISTINCT yr FROM sk),
+    pairs AS (
+        SELECT a.yr AS year_a, b.yr AS year_b
+        FROM years a JOIN years b ON b.yr = a.yr + 1
+    ),
+    m0 AS (
+        SELECT p.year_a, p.year_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.yr = p.year_a
+        UNION ALL
+        SELECT p.year_a, p.year_b, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.yr = p.year_b
+    ),
+    merged AS (
+        SELECT year_a, year_b, h,
+               CAST(max(in_a) AS BIGINT) AS in_a,
+               CAST(max(in_b) AS BIGINT) AS in_b
+        FROM m0 GROUP BY 1, 2, 3
+    ),
+    urk AS (
+        SELECT year_a, year_b, h, in_a, in_b,
+               row_number() OVER (
+                   PARTITION BY year_a, year_b ORDER BY h) AS rn
+        FROM merged
+    ),
+    usk AS (
+        SELECT year_a, year_b,
+               CAST(count(*) AS BIGINT) AS n_u,
+               CAST(max(h) AS BIGINT) AS theta,
+               CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS only_a_c,
+               CAST(sum((1 - in_a) * in_b) AS BIGINT) AS only_b_c,
+               CAST(sum(in_a * in_b) AS BIGINT) AS common_c
+        FROM urk WHERE rn <= 128 GROUP BY 1, 2
+    ),
+    exda AS (
+        SELECT a.yr AS year_a, CAST(count(*) AS BIGINT) AS exact_diff_a
+        FROM du a
+        WHERE NOT EXISTS (SELECT 1 FROM du b
+                          WHERE b.yr = a.yr + 1
+                            AND b.o_custkey = a.o_custkey)
+        GROUP BY 1
+    ),
+    exdb AS (
+        SELECT b.yr - 1 AS year_a, CAST(count(*) AS BIGINT) AS exact_diff_b
+        FROM du b
+        WHERE NOT EXISTS (SELECT 1 FROM du a
+                          WHERE a.yr = b.yr - 1
+                            AND a.o_custkey = b.o_custkey)
+        GROUP BY 1
+    )
+    SELECT u.year_a, u.year_b, u.n_u, u.only_a_c, u.only_b_c, u.common_c,
+           CASE WHEN u.n_u < 128 THEN CAST(u.only_a_c AS DOUBLE)
+                ELSE (CAST(u.only_a_c AS DOUBLE) *
+                      (127.0e0 * 1152921504606846976.0e0 / u.theta)) / 128 END
+               AS est_diff_a,
+           CASE WHEN u.n_u < 128 THEN CAST(u.only_b_c AS DOUBLE)
+                ELSE (CAST(u.only_b_c AS DOUBLE) *
+                      (127.0e0 * 1152921504606846976.0e0 / u.theta)) / 128 END
+               AS est_diff_b,
+           COALESCE(xa.exact_diff_a, 0) AS exact_diff_a,
+           COALESCE(xb.exact_diff_b, 0) AS exact_diff_b
+    FROM usk u
+    LEFT JOIN exda xa ON xa.year_a = u.year_a
+    LEFT JOIN exdb xb ON xb.year_a = u.year_a
+    ORDER BY u.year_a
+    """,
+    doc="B6 (r13): KMV SET-DIFFERENCE SKETCH — completes the theta-sketch "
+    "algebra: the family could UNION (min-merge, b06_kmv_merge) and "
+    "INTERSECT (b06_kmv_intersect), but the third Boolean — |A \\\\ B|, "
+    "the CHURN question ('how many year-N customers did not order in "
+    "year N+1', or 'how many docs does this crawl add that the corpus "
+    "lacks') — was missing. Same deterministic k=128 sketch "
+    "(kmv_sketch, portable md5 idiom, WindowGroupLimit heaps) and the "
+    "same theta rule, counting union-sketch members in A-ONLY and "
+    "B-ONLY instead of both: est|A\\\\B| = only_a/k * union_hat, with "
+    "the n_u < k short-circuit collapsing to the exact count (the "
+    "sketch-complete case). Every float is the intersect entry's fixed "
+    "two-rounding expression (127*2^60 exact, /128 an exponent shift), "
+    "so the whole churn table hash-checks bit-exact, and the in-query "
+    "exact anti-join audit columns expose each row's own error "
+    "(tests/test_planted_signals.py pins |est - exact| / union <= 0.18 "
+    "per the intersect entry's pinned bound — difference and intersect "
+    "share one error budget because only_a + only_b + common = n_u "
+    "partitions the union sketch). SCALE: identical to "
+    "b06_kmv_intersect — one orders scan, one distinct shuffle, "
+    "per-scope 128-row heaps, all pair arithmetic on <=k*|scopes| "
+    "rows, min-mergeable across shards; the anti-join audit is the "
+    "test harness, not the serving path.",
+)
+def b06_kmv_difference(spark, sf_dir):
+    K = 128
+    M = 1152921504606846976.0  # 2^60, exact double
+    du = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "o_custkey",
+        )
+        .distinct()
+        # consumed 3x (sketch build + both exact anti-join audits)
+        .localCheckpoint()
+    )
+    # <=k*|scopes| rows, consumed 2x (both pair sides)
+    sk = kmv_sketch(du, K).localCheckpoint()
+    years = sk.select("yr").distinct()
+    pairs = years.select(F.col("yr").alias("year_a")).join(
+        years.select((F.col("yr") - 1).alias("year_a"), F.col("yr").alias("year_b")),
+        "year_a",
+    )
+    m0 = pairs.join(sk, sk["yr"] == pairs["year_a"]).select(
+        "year_a", "year_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(
+        pairs.join(sk, sk["yr"] == pairs["year_b"]).select(
+            "year_a", "year_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        )
+    )
+    merged = m0.groupBy("year_a", "year_b", "h").agg(
+        F.max("in_a").cast("bigint").alias("in_a"),
+        F.max("in_b").cast("bigint").alias("in_b"),
+    )
+    urw = Window.partitionBy("year_a", "year_b").orderBy("h")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(urw))
+        .filter(F.col("rn") <= K)
+        .groupBy("year_a", "year_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.max("h").cast("bigint").alias("theta"),
+            F.sum(F.col("in_a") * (1 - F.col("in_b")))
+            .cast("bigint")
+            .alias("only_a_c"),
+            F.sum((1 - F.col("in_a")) * F.col("in_b"))
+            .cast("bigint")
+            .alias("only_b_c"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("common_c"),
+        )
+    )
+    union_hat = F.lit(127.0) * F.lit(M) / F.col("theta")
+    est = lambda c: F.when(  # noqa: E731
+        F.col("n_u") < K, F.col(c).cast("double")
+    ).otherwise((F.col(c).cast("double") * union_hat) / F.lit(128))
+    exda = (
+        du.select(F.col("yr").alias("year_a"), "o_custkey")
+        .join(
+            du.select((F.col("yr") - 1).alias("year_a"), "o_custkey"),
+            ["year_a", "o_custkey"],
+            "left_anti",
+        )
+        .groupBy("year_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff_a"))
+    )
+    exdb = (
+        du.select((F.col("yr") - 1).alias("year_a"), "o_custkey")
+        .join(
+            du.select(F.col("yr").alias("year_a"), "o_custkey"),
+            ["year_a", "o_custkey"],
+            "left_anti",
+        )
+        .groupBy("year_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff_b"))
+    )
+    return (
+        usk.join(F.broadcast(exda), "year_a", "left")
+        .join(F.broadcast(exdb), "year_a", "left")
+        .select(
+            "year_a",
+            "year_b",
+            "n_u",
+            "only_a_c",
+            "only_b_c",
+            "common_c",
+            est("only_a_c").alias("est_diff_a"),
+            est("only_b_c").alias("est_diff_b"),
+            F.coalesce(F.col("exact_diff_a"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_diff_a"),
+            F.coalesce(F.col("exact_diff_b"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_diff_b"),
+        )
+        .orderBy("year_a")
+    )

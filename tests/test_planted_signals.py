@@ -632,3 +632,40 @@ def test_kmv_jaccard_high_overlap_discrimination(spark):
     est_ab = rows[("A", "B")].est_jaccard
     zero_max = max(rows[p].est_jaccard for p, t in truth.items() if t == 0)
     assert est_bd > est_ab > zero_max
+
+
+def test_kmv_difference_error_within_theta_budget(spark):
+    """r13: the KMV set-difference estimator shares the union sketch's
+    theta-rule error budget (only_a + only_b + common partition the
+    union sketch), so the right pin is |est - exact| <= 0.18 *
+    |A u B|_exact per direction — the same 18% bound
+    b06_kmv_intersect pins — NOT relative error on the difference
+    itself, which explodes when the true difference is small. The
+    exact unions are recomputed here from orders directly."""
+    from pyspark.sql import functions as F
+
+    from dataselector_spark.catalog import load_table
+    from dataselector_spark.suite import QUERIES
+
+    rows = QUERIES["b06_kmv_difference"].fn(spark, SF).collect()
+    assert len(rows) == 6  # adjacent-year pairs in the 7-year span
+    du = (
+        load_table(spark, SF, "orders")
+        .select(F.year("o_orderdate").cast("bigint").alias("yr"), "o_custkey")
+        .distinct()
+    )
+    a = du.select(F.col("yr").alias("year_a"), "o_custkey")
+    b = du.select((F.col("yr") - 1).alias("year_a"), "o_custkey")
+    union = (
+        a.unionAll(b)
+        .distinct()
+        .groupBy("year_a")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    u = {r.year_a: r.u for r in union.collect()}
+    for r in rows:
+        bound = 0.18 * u[r.year_a]
+        assert abs(r.est_diff_a - r.exact_diff_a) <= bound, (r.year_a, "a")
+        assert abs(r.est_diff_b - r.exact_diff_b) <= bound, (r.year_a, "b")
+        # the union-sketch partition identity
+        assert r.only_a_c + r.only_b_c + r.common_c == r.n_u
