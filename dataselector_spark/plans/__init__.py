@@ -74,10 +74,14 @@ def shuffle_count(df: DataFrame) -> int:
 #       driver-literal relation)                         -> True
 #     Aggregate (Hash/Sort/ObjectHash) with NO grouping keys -> True (a
 #       scalar: <=1 row by construction).
-#     Aggregate with grouping keys -> True only when the caller passes
-#       allow_aggregate=True: group-key-domain boundedness is a per-entry
-#       ARGUMENT (histogram cells, language codes), so callers must
-#       whitelist the entry by name and state the bound.
+#     Aggregate with grouping keys -> True only when the caller passes the
+#       entry's whitelisted KEY NAMES (BOUNDED_WINDOW_AGG_OK[name]["keys"])
+#       AND the matched aggregate groups by exactly a subset of those
+#       names: group-key-domain boundedness is a per-entry ARGUMENT
+#       (histogram cells, language codes), so the whitelist records WHICH
+#       aggregate is trusted, not blanket-trusting every keyed aggregate
+#       in the subtree (ADVICE r13: a future unpartitioned window over a
+#       groupBy(doc_id) inside a whitelisted entry must still fail).
 #     Generate / Expand / Project / Filter / Sort / Window / Exchange /
 #       other unary                                      -> bounded(child)
 #     Join / Union / multi-child                         -> all children
@@ -110,7 +114,19 @@ def _plan_children(p):
     return [p.children().apply(i) for i in range(p.children().length())]
 
 
-def _bounded(p, allow_aggregate: bool) -> bool:
+def _grouping_names(p) -> list[str]:
+    ge = p.groupingExpressions()
+    names = []
+    for i in range(ge.length()):
+        e = ge.apply(i)
+        try:
+            names.append(e.name())
+        except Exception:  # noqa: BLE001 — non-named grouping expression
+            names.append(e.sql())
+    return names
+
+
+def _bounded(p, allowed_agg_keys) -> bool:
     cls = p.getClass().getSimpleName()
     if cls in _LIMIT_NODES or cls in _BOUNDED_LEAVES:
         return True
@@ -119,20 +135,43 @@ def _bounded(p, allow_aggregate: bool) -> bool:
         # bounded regardless of whitelist
         if p.groupingExpressions().isEmpty():
             return True
-        return allow_aggregate
+        # keyed aggregate: bounded only when the entry whitelisted these
+        # exact grouping-key names (ADVICE r13 — a groupBy(doc_id) inside
+        # a whitelisted entry must NOT inherit the entry's trust)
+        return allowed_agg_keys is not None and set(
+            _grouping_names(p)
+        ) <= set(allowed_agg_keys)
     kids = _plan_children(p)
     if not kids:
         return False  # file scan or unknown leaf: corpus-scale
-    return all(_bounded(k, allow_aggregate) for k in kids)
+    return all(_bounded(k, allowed_agg_keys) for k in kids)
+
+
+# Window-family physical nodes are gated by class-name SUBSTRING so a
+# pandas-UDF window (Spark 4's ArrowWindowPythonExec, formerly
+# WindowInPandasExec) or a future variant cannot bypass the audit
+# (ADVICE r13) — every window-evaluation node extends WindowExecBase and
+# exposes partitionSpec(). WindowGroupLimitExec is excluded: it is the
+# rank-limit PUSHDOWN optimization (bounds rows per group before the real
+# window), not a window evaluation node.
+_UNGATED_WINDOW_NODES = {"WindowGroupLimitExec"}
+
+
+def _is_gated_window(cls: str) -> bool:
+    return "Window" in cls and cls not in _UNGATED_WINDOW_NODES
 
 
 def unpartitioned_window_audit(
-    df: DataFrame, allow_aggregate: bool = False
+    df: DataFrame, allowed_agg_keys=None
 ) -> tuple[list[str], int]:
     """(violations, global_sort_count) for df's executed plan.
 
-    Each violation is the simpleString of an unpartitioned WindowExec whose
-    input subtree could not be proven bounded under the rules above.
+    Each violation is the simpleString of an unpartitioned window node
+    (WindowExec, WindowInPandasExec, ...) whose input subtree could not be
+    proven bounded under the rules above. ``allowed_agg_keys`` — an
+    iterable of grouping-key NAMES (from BOUNDED_WINDOW_AGG_OK[entry]
+    ["keys"]) — lets a keyed aggregate over exactly those keys count as
+    bounded; None forbids keyed aggregates entirely.
     """
     violations: list[str] = []
     global_sorts = 0
@@ -142,9 +181,9 @@ def unpartitioned_window_audit(
         cls = p.getClass().getSimpleName()
         if cls == "SortExec" and getattr(p, "global")():
             global_sorts += 1
-        if cls == "WindowExec" and p.partitionSpec().isEmpty():
+        if _is_gated_window(cls) and p.partitionSpec().isEmpty():
             child = _plan_children(p)[0]
-            if not _bounded(child, allow_aggregate):
+            if not _bounded(child, allowed_agg_keys):
                 violations.append(p.simpleString(120))
         stack.extend(_plan_children(p))
         # a Window hidden inside a scalar/IN-subquery plan is just as
@@ -158,21 +197,45 @@ def unpartitioned_window_audit(
 # Entries whose unpartitioned windows ride above AGGREGATES whose group-key
 # domain is bounded by construction -- the boundedness is an argument about
 # the key domain, not plan structure, so each entry is whitelisted BY NAME
-# with its bound. The audit still requires the aggregate to be present;
-# an unpartitioned window over raw corpus rows fails even for these.
+# with its bound AND the exact grouping-key names of the trusted aggregate
+# (ADVICE r13: the audit verifies the matched aggregate groups by a subset
+# of "keys"; any OTHER keyed aggregate in the subtree — e.g. a future
+# groupBy(doc_id) — still fails). An unpartitioned window over raw corpus
+# rows fails even for these.
 BOUNDED_WINDOW_AGG_OK = {
-    "b26_link_prediction_capped": "degree-histogram cumulative rank: "
-    "<=|distinct degrees| rows (aggregate of the bounded degree domain)",
-    "b22_budgeted_split": "Hamilton quota windows over the <=|strata| "
-    "allocation relation",
-    "b22_proportional_allocation": "Hamilton quota windows over the "
-    "<=|strata| allocation relation",
-    "b06_quantile_refined": "<=65,536-cell (coarse,fine) grid aggregate",
-    "b06_quantile_histogram": "<=256-row cumulative sketch relation",
-    "b22_drift_ks": "running_sums offset window over <=|shuffle "
-    "partitions| per-pid totals (operators/prefixsum.py)",
-    "b06_equidepth_histogram": "running_sums offset window over "
-    "<=|shuffle partitions| per-pid totals (operators/prefixsum.py)",
+    "b26_link_prediction_capped": {
+        "keys": frozenset({"deg"}),
+        "bound": "degree-histogram cumulative rank: <=|distinct degrees| "
+        "rows (aggregate of the bounded degree domain)",
+    },
+    "b22_budgeted_split": {
+        "keys": frozenset({"lang"}),
+        "bound": "Hamilton quota windows over the <=|strata| allocation "
+        "relation",
+    },
+    "b22_proportional_allocation": {
+        "keys": frozenset({"event_type"}),
+        "bound": "Hamilton quota windows over the <=|strata| allocation "
+        "relation",
+    },
+    "b06_quantile_refined": {
+        "keys": frozenset({"bucket"}),
+        "bound": "<=65,536-cell (coarse,fine) grid aggregate",
+    },
+    "b06_quantile_histogram": {
+        "keys": frozenset({"bucket"}),
+        "bound": "<=256-row cumulative sketch relation",
+    },
+    "b22_drift_ks": {
+        "keys": frozenset({"__pid"}),
+        "bound": "running_sums offset window over <=|shuffle partitions| "
+        "per-pid totals (operators/prefixsum.py)",
+    },
+    "b06_equidepth_histogram": {
+        "keys": frozenset({"__pid"}),
+        "bound": "running_sums offset window over <=|shuffle partitions| "
+        "per-pid totals (operators/prefixsum.py)",
+    },
 }
 
 # fn() runs a real stream / writes tables / reads checkpoints: plan audits

@@ -150,8 +150,13 @@ REWRITTEN_IN_ROUND = {
     # onto a TakeOrdered-100 heap + broadcast scalar total. All three
     # oracle-reverified at sf0.001/0.01/0.1 + hostile-TZ after rewrite.
     "b14_rrf_hybrid": 13,
-    "b06_equidepth_histogram": 13,
     "b15_vocab_coverage": 13,
+    # r14 (ADVICE r13): b06_equidepth_histogram's closed-form ntile ELSE
+    # divisor guarded with greatest(n_tot DIV 10, 1) — a correctness
+    # no-op (the WHEN arm always fires for n_tot < 10) that removes the
+    # latent 0-divisor ANSI mode would trip; the generated expression
+    # changed, so the entry re-enters the driver window.
+    "b06_equidepth_histogram": 14,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -561,6 +566,81 @@ _R13_WINDOW = [
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 
+# The round-14 window (VERDICT r13 "Next round" #1, freshness hygiene).
+# CORRECTNESS_r13 was 50/50 green, so the recomputed ledger shows exactly
+# ONE r7-latest oracle-bearing entry (b15_text_stats — its r13 slot was
+# displaced by the late b06_kmv_difference addition) and a 46-entry
+# r8-latest cohort. Slots, priority order:
+#   * 1 entry REWRITTEN in r14 after its r13 row (REWRITTEN_IN_ROUND):
+#     b06_equidepth_histogram (ADVICE r13 — the guarded ntile divisor);
+#   * b15_text_stats, the single r7-latest holdover, heads the queue;
+#   * all 46 r8-latest oracle-bearing entries (ledger recomputed from the
+#     CORRECTNESS_r*.json artifacts this round — matches the verdict's
+#     own recount);
+#   * 2 remaining slots: the first two r9-latest entries in registration
+#     order (b20_state_store_read, b01_python_stream_source) — displaced
+#     automatically if new r14 entries land (never-checked outranks
+#     re-confirm; the tripwire enforces the swap).
+# After a green r14 the oracle-bearing freshness floor rises to r8 (44
+# r9-latest entries minus the two seated here queue for r15).
+_R14_WINDOW = [
+    # --- rewritten in r14 (REWRITTEN_IN_ROUND) ---
+    "b06_equidepth_histogram",
+    # --- the r7-latest holdover ---
+    "b15_text_stats",
+    # --- all 46 r8-latest oracle-bearing entries ---
+    "b15_lang_summary",
+    "b15_sequence_packing",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "b22_quality_checks",
+    "b06_histogram",
+    "b06_percentiles",
+    "b02_join_salted",
+    "b06_unpivot",
+    "q4_order_priority",
+    "b16_wav_roundtrip",
+    "b21_pandas_udaf_grouped_agg",
+    "b14_ann_recall_report",
+    "b16_y4m_roundtrip",
+    "b23_scd2_incremental",
+    "b22_compaction_readback",
+    "b23_scd2_lookup",
+    "b08_outlier_mad",
+    "b01_parquet_merge_schema",
+    "b01_partitioned_write_pruning",
+    "b24_temperature_mixture",
+    "b15_feature_hashing",
+    "b14_pq_codes",
+    "b14_pq_adc_topk",
+    "b14_ivfpq_topk",
+    "b01_ignore_corrupt_files",
+    "b06_footer_stats_agg",
+    "b02_dynamic_partition_pruning",
+    "b11_null_semantics",
+    "b22_dataset_fingerprint",
+    "b06_heavy_hitters_tokens",
+    "b06_count_min_sketch",
+    "b14_ivf_recall_clustered",
+    "b23_incremental_agg",
+    "b16_ahash_neardup",
+    "b16_phash256_neardup",
+    "b16_image_dedup_survivors",
+    "b13_repeated_span_coverage",
+    "b13_prefix_filter_pairs",
+    "b21_map_in_arrow",
+    "b13_repeated_span_dedup",
+    "b06_nested_lineitems",
+    # --- first two r9-latest re-confirms (displaced by any new entry) ---
+    "b20_state_store_read",
+    "b01_python_stream_source",
+]
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+
 # r12 window, kept for the ledger (superseded by _R13_WINDOW above):
 _R12_WINDOW = [
     # --- new in r12, never checked (the session-2 trio displaced
@@ -730,8 +810,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R13_WINDOW]
-_order = _R13_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R14_WINDOW]
+_order = _R14_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

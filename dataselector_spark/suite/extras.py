@@ -1349,12 +1349,16 @@ def b06_equidepth_histogram(spark, sf_dir):
     # scan-only count (no shuffle): the ntile denominator
     tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
     # ntile(10) closed-form over the 1-based global index i: the first
-    # n%10 buckets hold n DIV 10 + 1 rows each, the remainder n DIV 10
+    # n%10 buckets hold n DIV 10 + 1 rows each, the remainder n DIV 10.
+    # The ELSE divisor is greatest(n_tot DIV 10, 1): when n_tot < 10 the
+    # WHEN arm always fires (i <= n_tot = n%10 * 1), so the guard is a
+    # no-op for correctness but removes the latent 0-divisor that ANSI
+    # mode (or a non-lazy expression refactor) would trip (ADVICE r13).
     bucket = F.expr(
         "CAST(CASE WHEN i <= (n_tot % 10) * (n_tot DIV 10 + 1) "
         "THEN (i + (n_tot DIV 10)) DIV (n_tot DIV 10 + 1) "
         "ELSE (n_tot % 10) + (i - (n_tot % 10) * (n_tot DIV 10 + 1) "
-        "+ (n_tot DIV 10) - 1) DIV (n_tot DIV 10) END AS INT)"
+        "+ (n_tot DIV 10) - 1) DIV greatest(n_tot DIV 10, 1) END AS INT)"
     )
     return (
         idx.crossJoin(F.broadcast(tot))

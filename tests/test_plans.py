@@ -1325,8 +1325,12 @@ def test_equidepth_distributed_index_reuses_range_exchange(spark):
 
     from dataselector_spark.plans import unpartitioned_window_audit
 
+    from dataselector_spark.plans import BOUNDED_WINDOW_AGG_OK
+
     df = QUERIES["b06_equidepth_histogram"].fn(spark, "/root/testdata/sf0.001")
-    violations, _ = unpartitioned_window_audit(df, allow_aggregate=True)
+    violations, _ = unpartitioned_window_audit(
+        df, allowed_agg_keys=BOUNDED_WINDOW_AGG_OK["b06_equidepth_histogram"]["keys"]
+    )
     assert not violations, violations
     df.collect()
     # AdaptiveSparkPlan's string repeats the pre-AQE tree under

@@ -607,16 +607,15 @@ def test_kmv_jaccard_high_overlap_discrimination(spark):
     from dataselector_spark.suite.extras import _kmv_jaccard_matrix
 
     ids = spark.range(0, 3000).select(F.col("id").cast("bigint"))
-    # A = [0, 1000), B = [500, 2000), C = [1250, 2750):
-    # |A u B| = 2000, inter 500 -> 1/4... use exact planned sets instead:
-    # J(A,B): A=[0,1000), B=[500,1500): inter 500, union 1500 -> 1/3
-    # J(B,C): C=[750,1250) u ... keep three clean pairs:
+    # Four sets over disjoint/overlapping integer ranges (elements as
+    # string 'shingles'):
+    #   A = [0, 1000)     B = [500, 1500)   C = [2000, 3000)   D = [1000, 1500)
+    # J(A,B) = 500/1500 = 1/3;  J(B,D) = 500/1000 = 1/2;
+    # every pair touching C, plus (A,D), is exactly 0.
     a = ids.filter("id < 1000").select(F.lit("A").alias("source"), F.col("id").cast("string").alias("s"))
     b = ids.filter("id >= 500 and id < 1500").select(F.lit("B").alias("source"), F.col("id").cast("string").alias("s"))
     c = ids.filter("id >= 2000").select(F.lit("C").alias("source"), F.col("id").cast("string").alias("s"))
-    # J(A,B) = 500/1500 = 1/3; J(A,C) = J(B,C)... B,C disjoint = 0; add D
     d = ids.filter("id >= 1000 and id < 1500").select(F.lit("D").alias("source"), F.col("id").cast("string").alias("s"))
-    # J(B,D) = 500/1000 = 1/2
     sh = a.unionAll(b).unionAll(c).unionAll(d)
     rows = {(r.src_a, r.src_b): r for r in _kmv_jaccard_matrix(sh).collect()}
     truth = {("A", "B"): 1 / 3, ("A", "C"): 0.0, ("A", "D"): 0.0,

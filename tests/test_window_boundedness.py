@@ -43,8 +43,9 @@ def test_every_unpartitioned_window_is_bounded(spark):
             continue
         try:
             df = q.fn(spark, SF)
+            wl = BOUNDED_WINDOW_AGG_OK.get(name)
             violations, _ = unpartitioned_window_audit(
-                df, allow_aggregate=name in BOUNDED_WINDOW_AGG_OK
+                df, allowed_agg_keys=wl["keys"] if wl else None
             )
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             failures.append((name, f"EXC {ex}"[:200]))
@@ -59,3 +60,57 @@ def test_whitelist_entries_exist():
     the whitelist shrinks with the suite instead of rotting."""
     stale = [n for n in BOUNDED_WINDOW_AGG_OK if n not in QUERIES]
     assert not stale, stale
+    # every whitelist row must state its key names and its bound
+    for n, wl in BOUNDED_WINDOW_AGG_OK.items():
+        assert wl["keys"] and wl["bound"], n
+
+
+def test_audit_rejects_aggregate_with_unlisted_keys(spark):
+    """ADVICE r13: within a whitelisted entry, a keyed aggregate whose
+    grouping keys are NOT the whitelisted names (e.g. a corpus-scale
+    groupBy(doc_id)) must still violate — the trust is per-aggregate-key,
+    not per-subtree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataselector_spark.catalog import load_table
+
+    d = load_table(spark, SF, "documents")
+    per_doc = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("doc_id")
+    df = per_doc.select("doc_id", F.row_number().over(w).alias("r"))
+    # blanket trust of a different key name must NOT cover doc_id
+    violations, _ = unpartitioned_window_audit(
+        df, allowed_agg_keys=frozenset({"bucket"})
+    )
+    assert violations, "groupBy(doc_id) passed under a {'bucket'} whitelist"
+    # the exact key name DOES cover it (the per-entry argument)
+    violations, _ = unpartitioned_window_audit(
+        df, allowed_agg_keys=frozenset({"doc_id"})
+    )
+    assert not violations, violations
+
+
+def test_audit_gates_window_in_pandas_exec(spark):
+    """ADVICE r13: WindowInPandasExec (a pandas-UDF window function) must
+    be gated exactly like WindowExec — class-name-prefix matching, not an
+    exact-name check a variant node can slip past."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from dataselector_spark.catalog import load_table
+
+    @pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    e = load_table(spark, SF, "events").select("event_id", "value")
+    w = Window.orderBy("event_id").rowsBetween(-2, 0)
+    df = e.select("event_id", pmean("value").over(w).alias("m"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the node ArrowWindowPythonExec (WindowInPandasExec in 3.x)
+    assert "WindowPython" in plan or "WindowInPandas" in plan, plan[:1500]
+    violations, _ = unpartitioned_window_audit(df)
+    assert violations, "unpartitioned pandas-UDF window over a file scan passed"

@@ -8,9 +8,12 @@ suppressed-hostile (grep -a the output). Exit code 1 on any failure so
 it can gate scripts.
 
 Usage: python tools/full_differential.py [sf_dir] [cpus] [--window N]
+                                          [--ansi]
        (defaults: /root/testdata/sf0.01, 8; --window N sweeps only the
        FIRST N registered entries — the driver's exact view, for fast
-       pre-round checks of a rotated window)
+       pre-round checks of a rotated window; --ansi runs the Spark side
+       under spark.sql.ansi.enabled=true — VERDICT r13 #2: any silently
+       wrapped int64 or lazy-CASE divide-by-zero becomes a loud failure)
 """
 
 import os
@@ -37,10 +40,19 @@ def main():
         i = argv.index("--window")
         window = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    ansi = "--ansi" in argv
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     cpus = int(args[1]) if len(args) > 1 else 8
-    spark = get_spark("full-differential", cpus=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        "full-differential",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.ansi.enabled": "true"} if ansi else None,
+    )
+    if ansi:
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        print("ANSI MODE: spark.sql.ansi.enabled=true", flush=True)
     n_pass = n_fail = 0
     t0 = time.time()
     items = list(QUERIES.items())
@@ -60,7 +72,8 @@ def main():
             print("FAIL", name, detail[:300], flush=True)
     print(
         f"TOTAL {n_pass} pass {n_fail} fail "
-        f"{round(time.time() - t0, 1)} s @ {sf_dir}",
+        f"{round(time.time() - t0, 1)} s @ {sf_dir}"
+        + (" [ANSI]" if ansi else ""),
         flush=True,
     )
     spark.stop()

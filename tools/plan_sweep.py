@@ -136,8 +136,9 @@ def main():
         # structurally bounded relation (limit / localCheckpointed RDD),
         # or above a bounded-domain aggregate for the whitelisted entries
         try:
+            _wl = BOUNDED_WINDOW_AGG_OK.get(name)
             wv, _ = unpartitioned_window_audit(
-                df, allow_aggregate=name in BOUNDED_WINDOW_AGG_OK
+                df, allowed_agg_keys=_wl["keys"] if _wl else None
             )
             if wv:
                 flags.append("unbounded-unpartitioned-window")
