@@ -173,18 +173,36 @@ def unpartitioned_window_audit(
     ["keys"]) — lets a keyed aggregate over exactly those keys count as
     bounded; None forbids keyed aggregates entirely.
     """
+    return audit_plan_tree(
+        df._jdf.queryExecution().executedPlan(), allowed_agg_keys
+    )
+
+
+def audit_plan_tree(root, allowed_agg_keys=None) -> tuple[list[str], int]:
+    """The audit walk over a raw JVM SparkPlan node — shared by the batch
+    entry point above and the streaming micro-batch audit below."""
     violations: list[str] = []
     global_sorts = 0
-    stack = [df._jdf.queryExecution().executedPlan()]
+    stack = [root]
     while stack:
         p = stack.pop()
         cls = p.getClass().getSimpleName()
         if cls == "SortExec" and getattr(p, "global")():
             global_sorts += 1
-        if _is_gated_window(cls) and p.partitionSpec().isEmpty():
-            child = _plan_children(p)[0]
-            if not _bounded(child, allowed_agg_keys):
-                violations.append(p.simpleString(120))
+        if _is_gated_window(cls):
+            # window-EVALUATION nodes all extend WindowExecBase and expose
+            # partitionSpec(); name-matched nodes without it are the
+            # streaming session-window STATE nodes
+            # (SessionWindowStateStoreSave/RestoreExec, UpdatingSessions*)
+            # — state management, not a single-partition collapse.
+            try:
+                spec_empty = p.partitionSpec().isEmpty()
+            except Exception:  # noqa: BLE001 — no partitionSpec: not a window eval
+                spec_empty = False
+            if spec_empty:
+                child = _plan_children(p)[0]
+                if not _bounded(child, allowed_agg_keys):
+                    violations.append(p.simpleString(120))
         stack.extend(_plan_children(p))
         # a Window hidden inside a scalar/IN-subquery plan is just as
         # gated as one in the main tree (r13 follow-up: the first cut
@@ -192,6 +210,58 @@ def unpartitioned_window_audit(
         sq = p.subqueries()
         stack.extend(sq.apply(i) for i in range(sq.length()))
     return violations, global_sorts
+
+
+# --- streaming micro-batch audit (VERDICT r13 #4) ---------------------------
+#
+# The batch gate above skips EFFECTFUL_ENTRIES; the streaming subset of
+# those executes real micro-batch plans the gate never saw. Every stream
+# start/await site in the package calls audit_streaming_query() right
+# after the query drains: it unwraps the StreamingQueryWrapper to the
+# MicroBatchExecution, takes lastExecution (the IncrementalExecution of
+# the final micro-batch) and runs the SAME bounded-window walk over its
+# executedPlan. Results are RECORDED (never raised) so entry behavior is
+# unchanged; tests/test_window_boundedness.py drains each streaming entry
+# and asserts every recorded audit is clean.
+
+STREAM_WINDOW_AUDITS: dict[str, list[str]] = {}
+
+
+def audit_streaming_query(q, label: str) -> list[str]:
+    """Record the bounded-window audit of a streaming query's last
+    micro-batch executed plan under ``label``. Call after the query has
+    drained (awaitTermination / processAllAvailable) and before stop()."""
+    try:
+        jq = q._jsq
+        try:
+            se = jq.streamingQuery()  # StreamingQueryWrapper -> MicroBatchExecution
+        except Exception:  # noqa: BLE001 — already the execution object
+            se = jq
+        le = se.lastExecution()
+        if le is None:
+            violations = ["NO_LAST_EXECUTION (stream ran zero batches?)"]
+        else:
+            violations, _ = audit_plan_tree(le.executedPlan())
+    except Exception as ex:  # noqa: BLE001 — audit must never kill an entry
+        violations = [f"AUDIT_EXC {ex}"[:200]]
+    STREAM_WINDOW_AUDITS[label] = violations
+    return violations
+
+
+# Suite entries that execute a real streaming query inside fn() — each of
+# their start/await sites calls audit_streaming_query, and the suite test
+# asserts one clean recorded audit per entry. A new streaming entry must
+# be added here (the test cross-checks this set against EFFECTFUL_ENTRIES
+# names containing 'stream').
+STREAMING_QUERY_ENTRIES = {
+    "b17_stream_tumbling", "b17_stream_sliding", "b18_stream_session",
+    "b19_stream_watermark", "b20_stream_dedup", "b20_stream_toggle",
+    "b20_stream_stream_join", "b17_stream_static_enrich",
+    "b20_state_store_read", "b01_python_stream_source",
+    "b20_stream_stream_left_outer", "b01_python_stream_source_parallel",
+    "b01_python_stream_sink", "b17_stream_quantile_sketch",
+    "b23_streaming_upsert_sink",
+}
 
 
 # Entries whose unpartitioned windows ride above AGGREGATES whose group-key

@@ -254,6 +254,11 @@ def run_stream_to_table(
             .start()
         )
         q.awaitTermination()
+        # record the bounded-window audit of the final micro-batch plan
+        # (VERDICT r13 #4) — never raises, the suite test asserts clean
+        from ..plans import audit_streaming_query
+
+        audit_streaming_query(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)

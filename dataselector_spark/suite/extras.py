@@ -3031,6 +3031,9 @@ def b23_streaming_upsert_sink(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    from ..plans import audit_streaming_query
+
+    audit_streaming_query(q, "b23_streaming_upsert_sink")
     return spark.read.parquet(target).select(
         "user_id",
         F.col("ts").alias("last_ts"),

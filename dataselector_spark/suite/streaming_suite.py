@@ -9,6 +9,7 @@ no rows are late relative to the watermark, which is the defined semantics).
 
 from __future__ import annotations
 
+from ..plans import audit_streaming_query
 from ..streaming import (
     run_stream_to_table,
     session_windows,
@@ -286,6 +287,7 @@ def b20_state_store_read(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        audit_streaming_query(q, "b20_state_store_read")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     state = spark.read.format("statestore").load(ckpt)
@@ -386,6 +388,7 @@ def b01_python_stream_source(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        audit_streaming_query(q, "b01_python_stream_source")
     finally:
         q.stop()
     return spark.table(name)
@@ -602,6 +605,7 @@ def b01_python_stream_source_parallel(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        audit_streaming_query(q, "b01_python_stream_source_parallel")
     finally:
         q.stop()
     return (
@@ -743,6 +747,7 @@ def b01_python_stream_sink(spark, sf_dir):
     )
     try:
         q.awaitTermination()
+        audit_streaming_query(q, "b01_python_stream_sink")
         files: list[str] = []
         for man in sorted(globmod.glob(os.path.join(out_dir, "manifest-*.json"))):
             with open(man) as f:
