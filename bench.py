@@ -300,6 +300,13 @@ HEADLINE_V11 = [
     "b06_kmv_difference",  # B6 KMV set-difference (churn) sketch
 ]
 
+# HEADLINE_V12: the round-14 additions, FROZEN the same way (reported as
+# `headline_v12_wall`, excluded from `value`).
+HEADLINE_V12 = [
+    "b14_mips_topk",  # B14 MIPS via norm-augmentation reduction
+    "b13_incremental_ingest_dedup",  # B13 batch-vs-corpus band join
+]
+
 # The frozen versioned sets, addressable for per-set isolated re-runs.
 SETS = {
     "v1": HEADLINE,
@@ -313,6 +320,7 @@ SETS = {
     "v9": HEADLINE_V9,
     "v10": HEADLINE_V10,
     "v11": HEADLINE_V11,
+    "v12": HEADLINE_V12,
 }
 
 

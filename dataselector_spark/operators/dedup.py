@@ -642,3 +642,85 @@ def minhash_signatures_portable_sharded(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
     return merged
+
+
+def incremental_minhash_candidates(
+    docs: DataFrame,
+    batch_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingest fuzzy dedup: band-join a NEW BATCH of documents
+    (rows where ``batch_pred(id)`` holds) against the EXISTING CORPUS
+    (the rest) and report, per batch document, its corpus near-dup
+    candidates — the daily-ingest pattern for a 100 TB corpus, where the
+    corpus band index is a maintained table and only the arriving batch
+    is sketched and probed. Crucially the candidate join is
+    batch x corpus only: corpus x corpus pairs (the quadratic bulk that
+    the full-dedup entries handle with banding + df caps) are never
+    formed, so ingest cost scales with |batch|, not |corpus|.
+
+    Signatures use the portable hash family (`minhash_signatures_portable`:
+    polynomial shingle hash + affine permutations mod 1e9+7, exact int64
+    arithmetic), so the entire dataflow — sketch, band keys, join,
+    aggregation — is value-checkable by an external SQL engine.
+
+    Returns one row per batch document that has at least one shingle:
+    (doc_id, n_candidates, best_match, is_dup) where best_match is the
+    smallest candidate corpus id (NULL when none) and bands of width
+    ``num_hashes // bands`` trade recall against candidate volume exactly
+    as in the full-corpus LSH entries.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures_portable(
+        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+
+    def bandify(df, out_id):
+        return df.select(
+            F.col("id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            *[
+                                F.col(f"h{b * rows + r}").alias(f"v{r}")
+                                for r in range(rows)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, "bk.*")
+
+    batch = sigs.filter(batch_pred(F.col("id")))
+    corpus = sigs.filter(~batch_pred(F.col("id")))
+    keys = ["band"] + [f"v{r}" for r in range(rows)]
+    cand = (
+        bandify(batch, "batch_id")
+        .join(bandify(corpus, "corpus_id"), keys)
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    agg = cand.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.min("corpus_id").cast("bigint").alias("best_match"),
+    )
+    return (
+        batch.select(F.col("id").alias("batch_id"))
+        .join(agg, "batch_id", "left")
+        .select(
+            F.col("batch_id").cast("bigint").alias(id_col),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.col("best_match"),
+            (F.coalesce(F.col("n_candidates"), F.lit(0)) > 0).alias("is_dup"),
+        )
+        .orderBy(id_col)
+    )

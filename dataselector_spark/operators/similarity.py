@@ -323,6 +323,64 @@ def topk_cosine_ivf(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def mips_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by MAXIMUM INNER PRODUCT via the norm-augmentation
+    reduction to unit-sphere cosine (Bachrach et al., RecSys 2014; the
+    basis of asymmetric-LSH MIPS).
+
+    MIPS is NOT cosine search: a long vector can win on <x,q> while losing
+    on angle, so none of the unit-norm ANN machinery (sign-LSH, IVF on the
+    sphere) applies directly. The reduction restores it: with
+    M = max_corpus ||x||, map
+
+        x -> x_hat = [x / M,  sqrt(1 - ||x||^2 / M^2)]   (unit norm)
+        q -> q_hat = [q / ||q||,  0]
+
+    and cos(x_hat, q_hat) = <x,q> / (M * ||q||) — a positive monotone
+    transform of the inner product, so cosine top-k over the augmented
+    vectors IS inner-product top-k, and every sphere-based index now
+    serves MIPS unchanged.
+
+    Returns (id, ip, aug_cos) for the top ``k`` by aug_cos (ties broken on
+    id) — both scores emitted so the monotone equivalence is visible in
+    the result. Plan: one scalar max-norm aggregate broadcast (a bounded
+    1-row BNLJ), one corpus pass with fold expressions, TakeOrdered heap —
+    identical cost profile to `topk_cosine` at any scale.
+    """
+    acc = 0.0
+    for x in query_vec:  # explicit left fold: bitwise-matches the SQL fold
+        acc += float(x) * float(x)
+    q_nrm = acc**0.5
+    q = _query_vec_lit(query_vec)
+    q_aug = F.array(
+        *([F.lit(float(x) / q_nrm) for x in query_vec] + [F.lit(0.0)])
+    )
+    mx = embeddings.agg(F.max(l2_norm(F.col(vec_col))).alias("m_nrm"))
+    nx = l2_norm(F.col(vec_col))
+    extra = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - (nx / F.col("m_nrm")) * (nx / F.col("m_nrm")),
+        )
+    )
+    x_aug = F.concat(
+        F.transform(F.col(vec_col), lambda e: e.cast("double") / F.col("m_nrm")),
+        F.array(extra),
+    )
+    scored = embeddings.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col),
+        dot_product(F.col(vec_col), q).alias("ip"),
+        dot_product(x_aug, q_aug).alias("aug_cos"),
+    )
+    return scored.orderBy(F.col("aug_cos").desc(), F.col(id_col).asc()).limit(k)
+
+
 def pq_codebooks(
     dim: int, m: int = 8, k: int = 8, seed: int = 100
 ) -> list[list[list[float]]]:

@@ -635,9 +635,11 @@ _R14_WINDOW = [
     "b21_map_in_arrow",
     "b13_repeated_span_dedup",
     "b06_nested_lineitems",
-    # --- first two r9-latest re-confirms (displaced by any new entry) ---
-    "b20_state_store_read",
-    "b01_python_stream_source",
+    # --- new in r14, never checked (displaced the two r9-latest
+    # re-confirm slots b20_state_store_read / b01_python_stream_source
+    # back to the r15 queue — never-checked outranks re-confirm) ---
+    "b14_mips_topk",
+    "b13_incremental_ingest_dedup",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 

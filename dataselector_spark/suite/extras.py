@@ -13224,3 +13224,168 @@ def b06_kmv_difference(spark, sf_dir):
         )
         .orderBy("year_a")
     )
+
+
+# --- r14: MIPS via norm augmentation + incremental-ingest dedup -------------
+
+
+@query(
+    "b14_mips_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    qn AS (
+        SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (a, b) -> a + b)) AS q_nrm
+        FROM q
+    ),
+    base AS (
+        SELECT vec_id, embedding,
+            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) AS nx
+        FROM embeddings
+    ),
+    m AS (SELECT max(nx) AS m_nrm FROM base),
+    scored AS (
+        SELECT e.vec_id,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(q.qv[i] AS DOUBLE))),
+                (a, b) -> a + b) AS ip,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_append(
+                    list_transform(range(1, len(e.embedding) + 1),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) / m.m_nrm)
+                             * (CAST(q.qv[i] AS DOUBLE) / qn.q_nrm)),
+                    sqrt(greatest(CAST(0 AS DOUBLE),
+                        CAST(1 AS DOUBLE)
+                        - (e.nx / m.m_nrm) * (e.nx / m.m_nrm)))
+                    * CAST(0 AS DOUBLE))),
+                (a, b) -> a + b) AS aug_cos
+        FROM base e, q, qn, m
+    )
+    SELECT vec_id, ip, aug_cos
+    FROM scored
+    ORDER BY aug_cos DESC, vec_id ASC LIMIT 10
+    """,
+    doc="B14 (r14): MAXIMUM-INNER-PRODUCT top-10 via the norm-augmentation "
+    "reduction to unit-sphere cosine (operators/similarity.py mips_topk; "
+    "Bachrach et al. RecSys'14, the basis of asymmetric-LSH MIPS). MIPS "
+    "is the retrieval mode recommender/reranker embeddings actually need "
+    "and is NOT cosine: a long vector can win on <x,q> while losing on "
+    "angle (pinned by the planted pytest where the cosine and MIPS "
+    "winners differ and the reduction picks the MIPS one). The entry "
+    "emits both scores: aug_cos = ip / (M * ||q||) with M the corpus max "
+    "norm, so ranking by augmented cosine IS inner-product ranking and "
+    "every sphere index (sign-LSH, IVF) now serves MIPS unchanged. "
+    "Exactness: every fold is a sequential IEEE-double sum replayed "
+    "identically by the oracle (the b14_topk_cosine contract), the "
+    "query-side constants are the same left-fold in driver Python. At "
+    "100 TB: one scalar max-norm aggregate (1-row broadcast, whitelisted "
+    "BNLJ), one corpus pass, TakeOrdered heap — the b14_topk_cosine cost "
+    "profile; M is corpus metadata a production system maintains "
+    "incrementally (max is min-merge-monotone like the KMV sketches).",
+)
+def b14_mips_topk(spark, sf_dir):
+    from ..operators.similarity import mips_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    return mips_topk(e, [float(x) for x in row[0]], k=10)
+
+
+def _incremental_dedup_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..operators.dedup import _PORT_A, _PORT_B, MINHASH_MOD
+
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({_PORT_A[i]} * h + {_PORT_B[i]}) % {MINHASH_MOD}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {vs} FROM sig".format(
+            b=b,
+            vs=", ".join(
+                f"h{b * rows + r} AS v{r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    on = " AND ".join(["b.band = c.band"] + [f"b.v{r} = c.v{r}" for r in range(rows)])
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                   (h, c) -> (h * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}) AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bands b JOIN bands c ON {on}
+        WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    agg AS (
+        SELECT batch_id, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(min(corpus_id) AS BIGINT) AS best_match
+        FROM cand GROUP BY batch_id
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           a.best_match,
+           COALESCE(a.n_candidates, 0) > 0 AS is_dup
+    FROM sig s LEFT JOIN agg a ON a.batch_id = s.doc_id
+    WHERE s.doc_id % 10 = 0
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "b13_incremental_ingest_dedup",
+    oracle=_incremental_dedup_oracle(),
+    doc="B13 (r14): INCREMENTAL-INGEST fuzzy dedup — the daily-arrival "
+    "pattern for a maintained 100 TB corpus (operators/dedup.py "
+    "incremental_minhash_candidates): the batch (doc_id % 10 = 0, the "
+    "deterministic 'today's ingest') is MinHash-sketched and band-joined "
+    "against the existing corpus' band index; corpus x corpus pairs — "
+    "the quadratic bulk the full-dedup entries spend their banding and "
+    "df caps on — are never formed, so ingest cost scales with |batch| "
+    "(here the corpus band table is recomputed in-query for oracle "
+    "determinism; production maintains it as a table, append-only "
+    "because MinHash state min-merges, b13_minhash_shard_merge). Output "
+    "is one row per batch doc: candidate count, best corpus match, "
+    "is_dup. Portable hash family (polynomial shingle hash + affine "
+    "permutations mod 1e9+7) makes sketch, band keys, join and "
+    "aggregation value-checkable end-to-end — the same 4-band/2-row "
+    "geometry as the production xxhash64 path. Planted pytest pins a "
+    "cross-split near-dup pair (is_dup with the right best_match) and a "
+    "unique batch doc (no candidates).",
+)
+def b13_incremental_ingest_dedup(spark, sf_dir):
+    from ..operators.dedup import incremental_minhash_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_candidates(
+        d, lambda c: (c % 10) == 0, n=3, num_hashes=8, bands=4
+    )

@@ -668,3 +668,74 @@ def test_kmv_difference_error_within_theta_budget(spark):
         assert abs(r.est_diff_b - r.exact_diff_b) <= bound, (r.year_a, "b")
         # the union-sketch partition identity
         assert r.only_a_c + r.only_b_c + r.common_c == r.n_u
+
+
+def test_mips_planted_winner_differs_from_cosine(spark):
+    """r14: MIPS is not cosine — plant a corpus where the two winners
+    differ: u is perfectly aligned with the query (cosine 1.0, ip 1.0),
+    v points 45 degrees off but is 5x longer (cosine ~0.707, ip 5.0).
+    The norm-augmentation reduction (mips_topk) must rank v first while
+    topk_cosine ranks u first; and the augmented-cosine order must equal
+    the raw inner-product order over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from dataselector_spark.operators.similarity import mips_topk, topk_cosine
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # u: aligned unit vector
+        (1, [5.0, 5.0, 0.0, 0.0]),   # v: long, 45 degrees off
+        (2, [0.0, 0.5, 0.0, 0.0]),   # orthogonal filler
+        (3, [0.2, 0.0, 0.2, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # anti-aligned
+    ]
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    mips = mips_topk(e, q, k=5).collect()
+    cos = topk_cosine(e, q, k=5).collect()
+    assert mips[0].vec_id == 1, mips      # MIPS winner: the long vector
+    assert cos[0].vec_id == 0, cos        # cosine winner: the aligned one
+    # exact scores of the planted winner
+    assert abs(mips[0].ip - 5.0) < 1e-12
+    # monotone equivalence: aug_cos order == ip order (vec_id tiebreak)
+    by_ip = sorted(mips, key=lambda r: (-r.ip, r.vec_id))
+    assert [r.vec_id for r in mips] == [r.vec_id for r in by_ip]
+    # aug_cos is ip / (M * ||q||) with M = 5*sqrt(2), ||q|| = 1
+    m = max((sum(x * x for x in v)) ** 0.5 for _, v in rows)
+    for r in mips:
+        assert abs(r.aug_cos - r.ip / m) < 1e-12, r
+
+
+def test_incremental_dedup_planted_cross_split_pair(spark):
+    """r14: plant a batch document (id % 10 == 0) that is an exact copy of
+    a corpus document and one that shares no shingles with anything: the
+    copy MUST surface with the right best_match (identical text =>
+    identical signature => every band matches, a guarantee, not a
+    probability), the unique one MUST report zero candidates."""
+    from dataselector_spark.operators.dedup import incremental_minhash_candidates
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, dup_text),                                     # corpus
+            (3, "completely unrelated corpus text about ships at sea"),
+            (7, "another corpus document regarding mountain weather data"),
+            (10, dup_text),                                    # batch: exact copy
+            (20, "a unique batch arrival sharing nothing with the corpus"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_minhash_candidates(
+            docs, lambda c: (c % 10) == 0, n=3, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert set(out) == {10, 20}
+    assert out[10].is_dup and out[10].best_match == 1, out[10]
+    assert out[10].n_candidates == 1
+    assert not out[20].is_dup and out[20].best_match is None, out[20]
+    assert out[20].n_candidates == 0

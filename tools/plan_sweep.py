@@ -73,6 +73,9 @@ BOUNDED_BNLJ_OK = {
     "b15_bm25_topk": "single-row corpus stats (n_docs, tot_len)",
     "b26_modularity": "single-row edge-total scalar",
     "b26_link_prediction_capped": "single-row p99 degree-cap scalar",
+    # r14
+    "b14_mips_topk": "single-row corpus max-norm scalar (the MIPS"
+    " norm-augmentation constant)",
     "b13_leakage_safe_split": "single-row split-fraction scalars",
     "b22_budgeted_split": "single-row Hamilton floor-sum scalar",
     "b15_surprisal_tertiles": "single-row corpus total + 2-value cutoffs",
