@@ -305,6 +305,9 @@ HEADLINE_V11 = [
 HEADLINE_V12 = [
     "b14_mips_topk",  # B14 MIPS via norm-augmentation reduction
     "b13_incremental_ingest_dedup",  # B13 batch-vs-corpus band join
+    # extended same-session, before v12's first recorded artifact (the
+    # freeze starts with the first cross-round artifact that carries it)
+    "b14_mips_lsh",  # B14 asymmetric-LSH MIPS (plane-replay oracle)
 ]
 
 # The frozen versioned sets, addressable for per-set isolated re-runs.

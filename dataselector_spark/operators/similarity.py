@@ -381,6 +381,72 @@ def mips_topk(
     return scored.orderBy(F.col("aug_cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def mips_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 43,
+) -> DataFrame:
+    """MIPS ANN — the `mips_topk` docstring's claim ("every sphere index
+    now serves MIPS unchanged") EXECUTED: sign-LSH bucketing over the
+    norm-AUGMENTED vectors (asymmetric LSH, Shrivastava & Li NIPS'14 /
+    Bachrach et al. RecSys'14), exact inner-product re-rank inside the
+    query's bucket.
+
+    Asymmetry is the point: the data-side map is
+    x -> [x, sqrt(M^2 - ||x||^2)] (the UNIT augmentation scaled by M,
+    which flips no signs, so the squared-norm form avoids any
+    sqrt-of-max association hazard), while the query-side map is
+    q -> [q, 0] — computed driver-side with the identical left-fold
+    arithmetic. Candidates = corpus rows whose (dim+1)-plane sign
+    signature equals the query's; recall < 1 by construction (pinned
+    against the exact `mips_topk` in tests). At scale the signature is a
+    partition key: bucketed storage prunes the scan to one bucket, and
+    the scalar max-squared-norm M^2 is corpus metadata (max-monotone,
+    maintained incrementally like the KMV sketches).
+    """
+    dim = len(query_vec)
+    planes = _pseudo_planes(dim + 1, num_planes, seed)
+    # query-side signature: extra component is 0, so only p[:dim] matters;
+    # explicit left fold matches the executor/SQL association order
+    q_sig = 0
+    for h, p in enumerate(planes):
+        acc = 0.0
+        for i in range(dim):
+            acc += float(query_vec[i]) * p[i]
+        if acc >= 0:
+            q_sig += 1 << h
+    sumsq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    msq = embeddings.agg(F.max(sumsq).alias("msq"))
+    extra = F.sqrt(F.greatest(F.lit(0.0), F.col("msq") - sumsq))
+    bits = [
+        F.when(
+            dot_product(F.col(vec_col), _query_vec_lit(p[:dim]))
+            + extra * F.lit(p[dim])
+            >= 0,
+            F.lit(1 << h),
+        ).otherwise(F.lit(0))
+        for h, p in enumerate(planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    q = _query_vec_lit(query_vec)
+    cand = (
+        embeddings.crossJoin(F.broadcast(msq))
+        .filter(sig == F.lit(q_sig))
+        .select(F.col(id_col), dot_product(F.col(vec_col), q).alias("ip"))
+    )
+    return cand.orderBy(F.col("ip").desc(), F.col(id_col).asc()).limit(k)
+
+
 def pq_codebooks(
     dim: int, m: int = 8, k: int = 8, seed: int = 100
 ) -> list[list[list[float]]]:

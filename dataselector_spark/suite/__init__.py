@@ -634,12 +634,13 @@ _R14_WINDOW = [
     "b13_prefix_filter_pairs",
     "b21_map_in_arrow",
     "b13_repeated_span_dedup",
-    "b06_nested_lineitems",
     # --- new in r14, never checked (displaced the two r9-latest
     # re-confirm slots b20_state_store_read / b01_python_stream_source
-    # back to the r15 queue — never-checked outranks re-confirm) ---
+    # AND the last r8 re-confirm b06_nested_lineitems back to the r15
+    # queue — never-checked outranks re-confirm) ---
     "b14_mips_topk",
     "b13_incremental_ingest_dedup",
+    "b14_mips_lsh",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 

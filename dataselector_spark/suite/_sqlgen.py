@@ -65,3 +65,34 @@ def sql_centroid_values(centroids: list[list[float]]) -> str:
         f"({i}, {sql_vec_literal(c)})" for i, c in enumerate(centroids)
     )
     return f"(VALUES {rows}) AS cents(cell, c)"
+
+
+def sql_sumsq(expr: str) -> str:
+    """Sum of squared components (sql_norm without the sqrt) — the scaled
+    MIPS augmentation works in squared-norm space to avoid a sqrt-of-max
+    vs max-of-sqrt association mismatch."""
+    return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform({expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (x, y) -> x + y)"""
+
+
+def sql_mips_signature(
+    vec_expr: str, planes: list[list[float]], msq_expr: str
+) -> str:
+    """H-bit sign-LSH signature of the SCALED-AUGMENTED vector
+    [x, sqrt(M^2 - ||x||^2)] against (dim+1)-component planes — the
+    asymmetric-LSH MIPS data-side map, mirroring
+    operators/similarity.py mips_topk_lsh: bit h =
+    [dot(x, p_h[:dim]) + sqrt(max(0, msq - ||x||^2)) * p_h[dim] >= 0]
+    (scaling the unit augmentation by M flips no signs)."""
+    terms = []
+    for h, p in enumerate(planes):
+        body = p[:-1]
+        last = sql_double_literal(p[-1])
+        terms.append(
+            f"(CASE WHEN ({sql_dot(vec_expr, sql_vec_literal(body), len(body))}"
+            f" + sqrt(greatest(CAST(0 AS DOUBLE), {msq_expr}"
+            f" - {sql_sumsq(vec_expr)})) * {last}) >= 0"
+            f" THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -13389,3 +13389,52 @@ def b13_incremental_ingest_dedup(spark, sf_dir):
     return incremental_minhash_candidates(
         d, lambda c: (c % 10) == 0, n=3, num_hashes=8, bands=4
     )
+
+
+def _mips_lsh_oracle() -> str:
+    from ._sqlgen import (
+        sql_dot,
+        sql_mips_signature,
+        sql_signature,
+        sql_sumsq,
+    )
+
+    planes = _pseudo_planes(65, 8, seed=43)
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    m AS (SELECT max({sql_sumsq('embedding')}) AS msq FROM embeddings)
+    SELECT e.vec_id, {sql_dot('e.embedding', 'q.qv')} AS ip
+    FROM embeddings e, q, m
+    WHERE {sql_mips_signature('e.embedding', planes, 'm.msq')}
+          = (SELECT {sql_signature('qv', [p[:64] for p in planes])} FROM q)
+    ORDER BY ip DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query(
+    "b14_mips_lsh",
+    oracle=_mips_lsh_oracle(),
+    doc="B14 (r14): MIPS ANN via ASYMMETRIC sign-LSH — b14_mips_topk's "
+    "closing claim ('every sphere index now serves MIPS unchanged') "
+    "executed, not asserted (operators/similarity.py mips_topk_lsh; "
+    "Shrivastava & Li NIPS'14). Data-side map [x, sqrt(M^2 - ||x||^2)] "
+    "vs query-side map [q, 0] — DIFFERENT hash functions for the two "
+    "roles, which is what makes sublinear MIPS possible at all; the "
+    "squared-norm form of the scaled augmentation avoids any "
+    "sqrt-of-max association hazard. Candidates = the query's 8-plane "
+    "bucket over 65-component planes, exact inner-product re-rank "
+    "inside it; the oracle replays signature, bucket filter and fold "
+    "arithmetic literally (the b14_ann_lsh plane-replay contract), so "
+    "an APPROXIMATE index is still value-checked exactly. Recall vs "
+    "the exact b14_mips_topk is pinned in pytest (bucketing trades "
+    "recall for a ~2^-H scan fraction; nprobe-style multi-bucket "
+    "probing is the recall dial, as in the cosine twin). At 100 TB: "
+    "the signature is a partition key (scan prunes to one bucket) and "
+    "M^2 is max-monotone corpus metadata maintained on ingest.",
+)
+def b14_mips_lsh(spark, sf_dir):
+    from ..operators.similarity import mips_topk_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    return mips_topk_lsh(e, [float(x) for x in row[0]], k=10, num_planes=8, seed=43)

