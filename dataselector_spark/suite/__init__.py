@@ -574,15 +574,19 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 #   * 1 entry REWRITTEN in r14 after its r13 row (REWRITTEN_IN_ROUND):
 #     b06_equidepth_histogram (ADVICE r13 — the guarded ntile divisor);
 #   * b15_text_stats, the single r7-latest holdover, heads the queue;
-#   * all 46 r8-latest oracle-bearing entries (ledger recomputed from the
-#     CORRECTNESS_r*.json artifacts this round — matches the verdict's
-#     own recount);
-#   * 2 remaining slots: the first two r9-latest entries in registration
-#     order (b20_state_store_read, b01_python_stream_source) — displaced
-#     automatically if new r14 entries land (never-checked outranks
-#     re-confirm; the tripwire enforces the swap).
-# After a green r14 the oracle-bearing freshness floor rises to r8 (44
-# r9-latest entries minus the two seated here queue for r15).
+#   * 45 of the 46 r8-latest oracle-bearing entries (ledger recomputed
+#     from the CORRECTNESS_r*.json artifacts this round — matches the
+#     verdict's own recount);
+#   * 3 entries NEW in r14, never driver-checked (outrank everything):
+#     b14_mips_topk (MIPS via norm augmentation), b13_incremental_ingest_dedup
+#     (batch-vs-corpus band join), b14_mips_lsh (asymmetric-LSH MIPS).
+#     They took the two flex slots originally drafted for the first two
+#     r9-latest re-confirms (b20_state_store_read,
+#     b01_python_stream_source) plus the slot of the last r8 re-confirm
+#     (b06_nested_lineitems) — all three displaced entries HEAD the r15
+#     queue, ahead of the remaining 42 r9-latest entries.
+# After a green r14 the oracle-bearing freshness floor rises to r8
+# except the one displaced r8 holdover.
 _R14_WINDOW = [
     # --- rewritten in r14 (REWRITTEN_IN_ROUND) ---
     "b06_equidepth_histogram",
