@@ -300,8 +300,8 @@ HEADLINE_V11 = [
     "b06_kmv_difference",  # B6 KMV set-difference (churn) sketch
 ]
 
-# HEADLINE_V12: the round-14 additions, FROZEN the same way (reported as
-# `headline_v12_wall`, excluded from `value`).
+# HEADLINE_V12: the round-14 additions, FROZEN the same way (timed in the
+# session pass and reported as `headline_v12_wall`, excluded from `value`).
 HEADLINE_V12 = [
     "b14_mips_topk",  # B14 MIPS via norm-augmentation reduction
     "b13_incremental_ingest_dedup",  # B13 batch-vs-corpus band join
@@ -411,6 +411,63 @@ def _isolated_set_runs(reps: int, n_runs: int) -> dict[str, dict]:
     return out
 
 
+# Round label stamped on new bench records; bump alongside the driver-window
+# rotation in suite/__init__.py (it only labels provenance — adjudication is
+# by wall value, never by round).
+BENCH_ROUND = "r15"
+
+# Keep at most this many readings per set in BENCH_RECORDS.json (ring
+# buffer, newest last) — enough for several min-of-N batches of context
+# around any record without unbounded growth.
+_RECORD_RING = 60
+
+
+def _record_reading(
+    set_key: str,
+    wall: float,
+    probe,
+    multi_probe,
+    reps: int,
+    sf: float,
+    path: str | None = None,
+) -> None:
+    """VERDICT r14 "Next round" #3: every fresh-JVM frozen-set reading at
+    the graded scale factor is appended to the committed BENCH_RECORDS.json
+    (and `record_wall` lowered when beaten), so min-of-N record
+    adjudication is replayable from an artifact instead of COVERAGE.md
+    prose.  Child mode is the single chokepoint — both the full run's
+    isolated pass and manual quiet-host batches go through it.
+    Timestamp-free by design (records must be byte-stable under replay);
+    provenance is the BENCH_ROUND label plus the reading's own probes."""
+    if abs(sf - 0.1) > 1e-9:  # records are sf0.1 numbers only
+        return
+    path = path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RECORDS.json"
+    )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return  # never let bookkeeping break a bench run
+    entry = data.setdefault("sets", {}).setdefault(
+        set_key, {"record_wall": None, "readings": []}
+    )
+    reading = {"wall": wall, "source": f"child_{BENCH_ROUND}", "reps": reps}
+    if probe is not None:
+        reading["cpu_probe_s"] = probe
+    if multi_probe is not None:
+        reading["cpu_probe_multi_s"] = multi_probe
+    entry["readings"] = (entry.get("readings", []) + [reading])[-_RECORD_RING:]
+    if entry.get("record_wall") is None or wall < entry["record_wall"]:
+        entry["record_wall"] = wall
+        entry["record_round"] = BENCH_ROUND
+    try:
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+    except OSError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -426,13 +483,17 @@ def main() -> None:
         )
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         timings = _time_queries(spark, SETS[set_key], sf_dir, reps)
+        wall = round(sum(timings.values()), 3)
+        probe = _cpu_probe()
+        multi_probe = _cpu_probe_multi()
+        _record_reading(set_key, wall, probe, multi_probe, reps, sf)
         print(
             json.dumps(
                 {
                     "set": set_key,
-                    "wall": round(sum(timings.values()), 3),
-                    "cpu_probe_s": _cpu_probe(),
-                    "cpu_probe_multi_s": _cpu_probe_multi(),
+                    "wall": wall,
+                    "cpu_probe_s": probe,
+                    "cpu_probe_multi_s": multi_probe,
                     "queries": timings,
                 }
             )
@@ -459,7 +520,8 @@ def main() -> None:
         + HEADLINE_V8
         + HEADLINE_V9
         + HEADLINE_V10
-        + HEADLINE_V11,
+        + HEADLINE_V11
+        + HEADLINE_V12,
         sf_dir,
         reps,
     )
@@ -475,6 +537,7 @@ def main() -> None:
     extra9 = round(sum(timings[n] for n in HEADLINE_V9), 3)
     extra10 = round(sum(timings[n] for n in HEADLINE_V10), 3)
     extra11 = round(sum(timings[n] for n in HEADLINE_V11), 3)
+    extra12 = round(sum(timings[n] for n in HEADLINE_V12), 3)
     probe = _cpu_probe()
     multi_probe = _cpu_probe_multi()
     scale = CPU_PROBE_REF / probe if probe > 0 else 1.0
@@ -606,6 +669,8 @@ def main() -> None:
                 "headline_v10_n": len(HEADLINE_V10),
                 "headline_v11_wall": extra11,
                 "headline_v11_n": len(HEADLINE_V11),
+                "headline_v12_wall": extra12,
+                "headline_v12_n": len(HEADLINE_V12),
                 # legacy key (r6 reports): same value as headline_v2_wall
                 "extra_r6_wall": extra,
                 # methodology stamp (ADVICE r3 #3): r1/r2 were best-of-2,

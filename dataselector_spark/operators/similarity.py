@@ -352,25 +352,43 @@ def mips_topk(
     the result. Plan: one scalar max-norm aggregate broadcast (a bounded
     1-row BNLJ), one corpus pass with fold expressions, TakeOrdered heap —
     identical cost profile to `topk_cosine` at any scale.
+
+    Edge cases (ADVICE r14): a zero-norm ``query_vec`` raises ValueError —
+    the q/||q|| augmentation is undefined and every inner product is 0, so
+    no ranking exists. An all-zero CORPUS (max norm M = 0) is well-defined:
+    the M divisor is floored at the smallest positive double, which is
+    exact for any M > 0 and maps every zero vector to augmented [0..0, 1]
+    — ip = 0, aug_cos = 0 for all rows, ties broken on id.
     """
     acc = 0.0
     for x in query_vec:  # explicit left fold: bitwise-matches the SQL fold
         acc += float(x) * float(x)
     q_nrm = acc**0.5
+    if q_nrm == 0.0:
+        raise ValueError(
+            "mips_topk: query_vec has zero norm — inner-product ranking "
+            "is degenerate (every <x,q> = 0) and the q/||q|| "
+            "augmentation is undefined"
+        )
     q = _query_vec_lit(query_vec)
     q_aug = F.array(
         *([F.lit(float(x) / q_nrm) for x in query_vec] + [F.lit(0.0)])
     )
     mx = embeddings.agg(F.max(l2_norm(F.col(vec_col))).alias("m_nrm"))
+    # Floor the divisor at the smallest positive double: identity for any
+    # real corpus (greatest(M, 5e-324) == M whenever M > 0, so oracle
+    # bit-parity is untouched) and turns the all-zero-corpus 0/0 NaN into
+    # the documented aug_cos = 0 (ADVICE r14).
+    m_div = F.greatest(F.col("m_nrm"), F.lit(5e-324))
     nx = l2_norm(F.col(vec_col))
     extra = F.sqrt(
         F.greatest(
             F.lit(0.0),
-            F.lit(1.0) - (nx / F.col("m_nrm")) * (nx / F.col("m_nrm")),
+            F.lit(1.0) - (nx / m_div) * (nx / m_div),
         )
     )
     x_aug = F.concat(
-        F.transform(F.col(vec_col), lambda e: e.cast("double") / F.col("m_nrm")),
+        F.transform(F.col(vec_col), lambda e: e.cast("double") / m_div),
         F.array(extra),
     )
     scored = embeddings.crossJoin(F.broadcast(mx)).select(

@@ -314,23 +314,31 @@ BOUNDED_WINDOW_AGG_OK = {
     },
 }
 
-# fn() runs a real stream / writes tables / reads checkpoints: plan audits
-# skip these (execution cost dominates; their plans are pinned by dedicated
-# streaming/bucketing tests instead).
-EFFECTFUL_ENTRIES = {
-    "b17_stream_tumbling", "b17_stream_sliding", "b18_stream_session",
-    "b19_stream_watermark", "b20_stream_dedup", "b20_stream_toggle",
-    "b20_stream_stream_join", "b17_stream_static_enrich",
-    "b23_streaming_upsert_sink", "b20_state_store_read",
-    "b01_python_stream_source", "b01_python_stream_source_parallel",
-    "b01_python_stream_sink", "b17_stream_quantile_sketch",
+# Batch entries whose fn() has REAL side effects — writes tables to the
+# fixed scratch dirs (roundtrips, bucketed/zorder writes) or must execute
+# an action to produce its result (observe-metrics readback).  Plan audits
+# skip these (execution cost dominates; their plans are pinned by
+# dedicated bucketing/layout tests instead).  A pure-plan batch entry does
+# NOT belong here: misclassification silently exempts it from the batch
+# window-boundedness and plan sweeps (ADVICE r14 — b19_lateness_profile
+# sat here since the gate landed despite being a pure partitioned-window
+# query; evicted r15).
+BATCH_EFFECTFUL_ENTRIES = {
     "b02_bucketed_join",
     "b04_interval_join_colocated", "b02_bloom_filter_join",
     "b22_zorder_write_readback", "b22_compaction_readback",
     "b16_binary_ingest", "b01_parquet_roundtrip", "b01_csv_roundtrip",
     "b01_json_roundtrip", "b01_orc_roundtrip", "b01_text_roundtrip",
     "b01_orc_roundtrip_lineitem", "b01_xml_roundtrip",
-    "b01_partitioned_write_pruning", "b01_merge_schema",
+    # (named b01_merge_schema until r15 — the stale alias meant the real
+    # entry was never skipped; the stale-name assert now guards this)
+    "b01_partitioned_write_pruning", "b01_parquet_merge_schema",
     "b01_ignore_corrupt_files", "b22_observe_metrics",
-    "b20_stream_stream_left_outer", "b19_lateness_profile",
 }
+
+# fn() runs a real stream / writes tables / reads checkpoints: plan audits
+# skip these.  Derived as a UNION so a streaming entry cannot be added to
+# the skip set without also joining STREAMING_QUERY_ENTRIES (and thus the
+# micro-batch window audit) — the classification is the single source of
+# truth (ADVICE r14, replacing the 'stream'-substring cross-check).
+EFFECTFUL_ENTRIES = STREAMING_QUERY_ENTRIES | BATCH_EFFECTFUL_ENTRIES

@@ -592,7 +592,9 @@ _R14_WINDOW = [
     "b06_equidepth_histogram",
     # --- the r7-latest holdover ---
     "b15_text_stats",
-    # --- all 46 r8-latest oracle-bearing entries ---
+    # --- 45 of the 46 r8-latest oracle-bearing entries (the 46th,
+    # b06_nested_lineitems, was displaced to the r15 queue by the
+    # r14-new trio below — ADVICE r14 header fix) ---
     "b15_lang_summary",
     "b15_sequence_packing",
     "q3_shipping_priority",
@@ -647,6 +649,82 @@ _R14_WINDOW = [
     "b14_mips_lsh",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+
+# The round-15 window (VERDICT r14 "Next round" #1, freshness hygiene).
+# CORRECTNESS_r14 was 50/50 green, so the recomputed ledger (latest driver
+# row per entry across CORRECTNESS_r*.json) shows: the 6 rows-only-by-
+# design entries at r4/r7 (excluded from oracle freshness — each has a
+# green exact twin), ONE r8-latest oracle-bearing entry
+# (b06_nested_lineitems, displaced from the r14 window by the r14-new
+# trio) and a 44-entry r9-latest cohort.  Slots, priority order:
+#   * the 3 r14-displaced re-confirms HEAD the queue per the standing
+#     rule (displaced re-confirm outranks ordinary re-confirm):
+#     b20_state_store_read, b01_python_stream_source (both r9-latest)
+#     and b06_nested_lineitems (the lone r8-latest holdover);
+#   * the remaining 42 r9-latest oracle-bearing entries, in their
+#     CORRECTNESS_r9.json order;
+#   * 5 flex slots to the oldest r10-latest re-confirms (first five in
+#     CORRECTNESS_r10.json order).  Any entry NEW in r15 takes these
+#     flex slots first (never-checked outranks re-confirm) — displaced
+#     names then head the r16 queue.
+# After a green r15 the oracle-bearing freshness floor rises to r10
+# except the 5 flex-seated r10 entries' cohort-mates.
+_R15_WINDOW = [
+    # --- the 3 r14-displaced re-confirms ---
+    "b20_state_store_read",
+    "b01_python_stream_source",
+    "b06_nested_lineitems",
+    # --- the remaining 42 r9-latest oracle-bearing entries ---
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "b08_sessionize",
+    "b23_merge_upsert",
+    "b23_apply_changelog",
+    "b02_bloom_filter_join",
+    "b02_aqe_skew_join",
+    "b15_pmi_collocations",
+    "b15_pmi_planted",
+    "b06_heavy_hitters_planted",
+    "b11_variant_extract",
+    "b01_python_datasource",
+    "b21_polymorphic_udtf",
+    "b21_udtf_partitioned",
+    "b26_recursive_hierarchy",
+    "b11_collated_group",
+    "b24_scripting_lang_coverage",
+    "b11_parameterized_sql",
+    "b06_approx_top_k_exact",
+    "b06_hll_registers",
+    "b09_skyline",
+    "b25_max_concurrency",
+    "b06_bitmap_distinct",
+    "b25_interval_merge",
+    "b13_record_linkage",
+    "b25_ewma_dyadic",
+    "b26_attribution_last_touch",
+    "b15_phrase_search",
+    "b16_scene_cuts",
+    "b25_cusum_drift",
+    "b04_range_anti_join",
+    "b26_top_paths",
+    "b22_kanonymity",
+    "b13_source_overlap",
+    "b25_autocorr",
+    "b22_proportional_allocation",
+    "b19_lateness_profile",
+    "b20_stream_stream_left_outer",
+    "b06_gini",
+    "b16_silence_runs",
+    "b14_knn_accuracy",
+    # --- 5 flex slots: oldest r10-latest re-confirms ---
+    "a04_derived_timestamp",
+    "a05_range_filter",
+    "a07_extents",
+    "a15_composite_key",
+    "a13_selection_toggle",
+]
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 
 # r12 window, kept for the ledger (superseded by _R13_WINDOW above):
 _R12_WINDOW = [
@@ -817,8 +895,8 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
-_rest = [n for n in QUERIES if n not in _R14_WINDOW]
-_order = _R14_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R15_WINDOW]
+_order = _R15_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -790,3 +790,39 @@ def test_mips_lsh_subset_and_recall_on_corpus(spark):
     # measured recall@10 at sf0.001 with 8 planes/seed 43: see entry doc;
     # bucket must contribute at least one true top-10 hit
     assert len(hits) >= 1, (hits, [r.vec_id for r in lsh])
+
+
+def test_mips_zero_norm_query_raises(spark):
+    """ADVICE r14: a zero-norm query makes MIPS degenerate (every
+    <x,q> = 0) and the q/||q|| augmentation undefined — library callers
+    must get a clear ValueError, not a driver-side ZeroDivisionError."""
+    import pytest as _pytest
+
+    from dataselector_spark.operators.similarity import mips_topk
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="zero norm"):
+        mips_topk(e, [0.0, 0.0], k=1)
+
+
+def test_mips_all_zero_corpus_is_defined(spark):
+    """ADVICE r14: an all-zero corpus (max norm M = 0) must yield the
+    documented ip = 0 / aug_cos = 0 rows (id-ordered), not NaN from the
+    0/0 augmentation — and the 5e-324 divisor floor must leave a normal
+    corpus's scores bit-identical (checked implicitly by the oracle
+    differential; here we pin the degenerate case)."""
+    import math
+
+    from dataselector_spark.operators.similarity import mips_topk
+
+    e = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = mips_topk(e, [1.0, 2.0, 3.0], k=3).collect()
+    assert [r.vec_id for r in rows] == [0, 1, 2]  # ties broken on id
+    for r in rows:
+        assert r.ip == 0.0 and r.aug_cos == 0.0
+        assert not math.isnan(r.aug_cos)

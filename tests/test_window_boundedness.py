@@ -121,19 +121,37 @@ def test_streaming_micro_batch_windows_bounded(spark):
 
 
 def test_streaming_entry_set_tracks_effectful_names():
-    """A new streaming entry added to EFFECTFUL_ENTRIES but not to
-    STREAMING_QUERY_ENTRIES would silently dodge the micro-batch audit —
-    cross-check by name."""
+    """ADVICE r14 (strengthened from the 'stream'-substring heuristic,
+    which a name like b20_state_store_read dodges): EFFECTFUL_ENTRIES is
+    now DERIVED as STREAMING_QUERY_ENTRIES | BATCH_EFFECTFUL_ENTRIES, so
+    an entry cannot reach the audit-skip set without being classified —
+    this test pins the partition's hygiene."""
     from dataselector_spark.plans import (
+        BATCH_EFFECTFUL_ENTRIES,
         EFFECTFUL_ENTRIES,
         STREAMING_QUERY_ENTRIES,
     )
 
-    missing = {
-        n for n in EFFECTFUL_ENTRIES if "stream" in n
-    } - STREAMING_QUERY_ENTRIES
-    assert not missing, missing
-    stale = STREAMING_QUERY_ENTRIES - set(QUERIES)
+    # the union IS the skip set (structural, but assert against drift back
+    # to a hand-maintained literal)
+    assert EFFECTFUL_ENTRIES == STREAMING_QUERY_ENTRIES | BATCH_EFFECTFUL_ENTRIES
+    # disjoint: a streaming entry classified as batch-effectful would skip
+    # the micro-batch window audit
+    overlap = STREAMING_QUERY_ENTRIES & BATCH_EFFECTFUL_ENTRIES
+    assert not overlap, overlap
+    # name tripwire: batch-effectful names that LOOK streaming/stateful
+    # are the likely misclassification — force an explicit excuse here
+    suspicious = {
+        n
+        for n in BATCH_EFFECTFUL_ENTRIES
+        if "stream" in n or "state" in n
+    }
+    assert not suspicious, (
+        f"{suspicious} classified batch-effectful but named like streaming "
+        "entries — move to STREAMING_QUERY_ENTRIES or excuse here"
+    )
+    # no rot: both sets must name real suite entries
+    stale = EFFECTFUL_ENTRIES - set(QUERIES)
     assert not stale, stale
 
 
