@@ -21,6 +21,24 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def array_lit_d(values) -> Column:
+    """array<double> literal built as ONE JVM-parsed SQL expression.
+
+    `F.array(*[F.lit(float(x)) for x in vs])` costs a Py4J round-trip per
+    element — ~65 driver calls for one 64-dim query vector, repeated per
+    plane/centroid; profiled at >1 s of pure driver chatter per ANN entry
+    build (r15). This helper emits `array(<v>D, ...)` as a single string:
+    repr() of a Python float is the shortest decimal that round-trips, and
+    Spark's `D`-suffixed literal parses via Double.parseDouble back to the
+    identical IEEE double — BIT-EQUIVALENT to the F.lit path (verified for
+    denormals, -0.0, and exponent forms), at ~1/65th the construction
+    cost. Finite values only (inf/nan have no D-literal form; the callers
+    build planes/centroids/query vectors, all finite by construction)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+    )
+
+
 def dot_product(a: Column | str, b: Column | str) -> Column:
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)

@@ -29,11 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import array_lit_d, cosine_similarity, dot_product, l2_norm
 
 
 def _query_vec_lit(query_vec: list[float]):
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    # one parsed SQL literal, not |dim| Py4J calls (bit-equivalent —
+    # see array_lit_d)
+    return array_lit_d(query_vec)
 
 
 def topk_cosine(
@@ -234,9 +236,7 @@ def ivf_assignments(
     # zip_with/aggregate reproduce the sql_cosine fold order, and array_max
     # over (s, cell) structs still breaks score ties toward the HIGHER
     # cell, which the oracle mirrors (rn ... ORDER BY cos DESC, cell DESC).
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = F.array(*[array_lit_d(c) for c in centroids])
     v = F.col(vec_col)
     vnorm = F.sqrt(
         F.aggregate(
@@ -371,9 +371,7 @@ def mips_topk(
             "augmentation is undefined"
         )
     q = _query_vec_lit(query_vec)
-    q_aug = F.array(
-        *([F.lit(float(x) / q_nrm) for x in query_vec] + [F.lit(0.0)])
-    )
+    q_aug = array_lit_d([float(x) / q_nrm for x in query_vec] + [0.0])
     mx = embeddings.agg(F.max(l2_norm(F.col(vec_col))).alias("m_nrm"))
     # Floor the divisor at the smallest positive double: identity for any
     # real corpus (greatest(M, 5e-324) == M whenever M > 0, so oracle
@@ -512,9 +510,7 @@ def pq_codes(
     # explicit (t0 + t1 + ...) chains still hash-match bit-for-bit.
     cols = []
     for s, book in enumerate(books):
-        cents = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-        )
+        cents = F.array(*[array_lit_d(c) for c in book])
         subvec = F.slice(v, s * sub + 1, sub)
         dists = F.transform(
             cents,

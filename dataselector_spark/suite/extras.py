@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.text import word_ngrams
+from ..functions.vectors import array_lit_d
 from ..operators.similarity import _pseudo_planes, neardup_pairs_cosine
 from .base import dec2, query
 
@@ -4213,7 +4214,7 @@ def b14_pq_adc_topk(spark, sf_dir):
     adc = None
     for s, lut in enumerate(luts):
         term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]),
+            array_lit_d(lut),
             (F.col(f"c{s}") + 1).cast("int"),
         )
         adc = term if adc is None else adc + term
@@ -4333,7 +4334,7 @@ def b14_ivfpq_topk(spark, sf_dir):
     adc = None
     for s, lut in enumerate(luts):
         term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]),
+            array_lit_d(lut),
             (F.col(f"c{s}") + 1).cast("int"),
         )
         adc = term if adc is None else adc + term
@@ -4871,9 +4872,7 @@ def b14_ivf_recall_clustered(spark, sf_dir):
     from ..operators.similarity import _pseudo_centroids, ivf_assignments
 
     cents = _pseudo_centroids(64, 8, seed=21)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    cents_lit = F.array(*[array_lit_d(c) for c in cents])
     emb = load_table(spark, sf_dir, "embeddings")
     center = F.element_at(cents_lit, ((F.col("vec_id") % 8) + 1).cast("int"))
     cvec = F.zip_with(
@@ -9412,9 +9411,7 @@ def b14_knn_accuracy_clustered(spark, sf_dir):
     from ..operators.similarity import _pseudo_centroids
 
     cents = _pseudo_centroids(64, 10, seed=33)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    cents_lit = F.array(*[array_lit_d(c) for c in cents])
     emb = load_table(spark, sf_dir, "embeddings")
     center = F.element_at(cents_lit, (F.col("label") + 1).cast("int"))
     cvec = F.zip_with(
@@ -12736,7 +12733,7 @@ def b14_rrf_fusion_gain(spark, sf_dir):
         .select("doc_id", F.row_number().over(lw).alias("r_lex"))
     )
     qv = _query_vector(spark, sf_dir)
-    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    qv_lit = array_lit_d(qv)
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     e2 = e.select(
         "vec_id",

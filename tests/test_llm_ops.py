@@ -2101,3 +2101,31 @@ def test_record_linkage_planted_guards_pad_overflow(spark, tmp_path):
     ).write.parquet(str(tmp_path / "customer.parquet"))
     with pytest.raises(ValueError, match="c_custkey < 10\\^5"):
         QUERIES["b13_record_linkage_planted"].fn(spark, sf_dir)
+
+
+def test_array_lit_d_bitwise_matches_f_lit(spark):
+    """r15: array_lit_d builds the literal as one parsed SQL string (the
+    Py4J-chatter fix for ANN entry builds); it must be BIT-equivalent to
+    the F.array(*[F.lit(...)]) path across the hard cases — denormals,
+    -0.0, exponent forms, long mantissas — since the suite's oracles
+    value-hash these doubles via repr."""
+    import random
+    import struct
+
+    from dataselector_spark.functions.vectors import array_lit_d
+
+    rng = random.Random(7)
+    vals = (
+        [rng.uniform(-1e6, 1e6) for _ in range(64)]
+        + [1e-305, 5e-324, -2.5e10, 0.015625, 3.141592653589793, -0.0, 0.0]
+    )
+    lit_path = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("a")
+    )
+    expr_path = spark.range(1).select(array_lit_d(vals).alias("a"))
+    assert expr_path.schema["a"].dataType.simpleString() == "array<double>"
+    a = lit_path.first()[0]
+    b = expr_path.first()[0]
+    assert len(a) == len(b) == len(vals)
+    for x, y in zip(a, b):
+        assert struct.pack("d", x) == struct.pack("d", y), (x, y)
