@@ -895,6 +895,11 @@ from .base import check_oracle_tables as _check_oracle_tables  # noqa: E402
 
 _check_oracle_tables(QUERIES, set(_SCHEMAS))
 
+# The round whose window is active below; bench.BENCH_ROUND (the label
+# stamped on new BENCH_RECORDS readings) must match — tripwire in
+# tests/test_bench_records.py keeps the two bumps atomic.
+WINDOW_ROUND = 15
+
 _rest = [n for n in QUERIES if n not in _R15_WINDOW]
 _order = _R15_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}

@@ -90,3 +90,15 @@ def test_committed_seed_covers_every_frozen_set():
     for k, entry in data["sets"].items():
         assert isinstance(entry["record_wall"], (int, float)), k
         assert entry["record_wall"] > 0, k
+
+
+def test_bench_round_matches_active_window():
+    """BENCH_ROUND labels new record readings; the driver-window rotation
+    defines what round it IS. The two live in different files and must be
+    bumped together — this pins them atomically."""
+    from dataselector_spark.suite import WINDOW_ROUND
+
+    assert BENCH_ROUND == f"r{WINDOW_ROUND}", (
+        f"bench.BENCH_ROUND={BENCH_ROUND!r} but the active suite window is "
+        f"r{WINDOW_ROUND} — bump them in the same commit"
+    )
