@@ -473,38 +473,49 @@ def connected_components(
     crawl text don't produce."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # Pre-partition edges on the join key ONCE: the materialized DataFrame
-    # keeps its outputPartitioning, so every round's edges⋈labels join
-    # shuffles only the (much smaller) labels side, not the edge list.
-    edges = _materialize(edges.repartition("b"), materialize)
-    labels = _materialize(
-        edges.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("comp")),
+    nodes = edges.select("a").distinct()
+    # r15 (guide §2.4): append one SELF-LOOP row per node to the edge list,
+    # so each round is ONE equi-join + ONE aggregation: min(comp) over a
+    # node's (neighbors ∪ self) is exactly least(own, min(neighbors)) —
+    # the old shape needed a second labels join per round (3 exchanges,
+    # 2 joins) just to carry the node's own label and read convergence;
+    # the self row carries both (its joined comp IS the previous label,
+    # recovered as min(comp) over a==b rows — exactly one per node).
+    # Pre-partition the augmented edges on the join key ONCE: the
+    # materialized DataFrame keeps its outputPartitioning, so every
+    # round's edges⋈labels join shuffles only the (much smaller) labels
+    # side, not the edge list.
+    adj = _materialize(
+        edges.union(nodes.select(F.col("a"), F.col("a").alias("b")))
+        .repartition("b"),
         materialize,
+    )
+    # Init labels = the self rows read back OUT of the materialized adj
+    # (exactly one a==b row per node): a cheap filter over the checkpoint,
+    # never a recompute of the pair-generation lineage, and no second
+    # materialization job.
+    labels = adj.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("a").alias("comp")
     )
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        nbr = (
-            edges.join(labels, edges.b == labels.id)
+        # Convergence is read off the SAME materialized result — no second
+        # labels-vs-labels join (which would add a shuffle per round just
+        # to count changes).
+        new = _materialize(
+            adj.join(labels, adj.b == labels.id)
             .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(
+                    F.when(F.col("a") == F.col("b"), F.col("comp"))
+                ).alias("__prev"),
+            ),
+            materialize,
         )
-        # Carry the previous label through the update so convergence is read
-        # off the SAME materialized result — no second labels-vs-labels join
-        # (which would add a shuffle per round just to count changes).
-        new = (
-            labels.join(nbr, labels.id == nbr.a, "left")
-            .select(
-                labels["id"],
-                labels["comp"].alias("__prev"),
-                F.least(
-                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
-                ).alias("comp"),
-            )
-        )
-        new = _materialize(new, materialize)
         changed = new.filter(F.col("comp") != F.col("__prev")).count()
-        labels = new.drop("__prev")
+        labels = new.select(F.col("a").alias("id"), "comp")
         if changed == 0:
             break
     if stats is not None:

@@ -5820,22 +5820,26 @@ def b26_triangle_count(spark, sf_dir):
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("ua") < F.col("ub"))
     )
+    # r15 (guide §1.2 "per-task work"): the wedge join evaluates its
+    # non-equi condition ~29M times (sum of per-src out-degree squares at
+    # sf0.1); the 4-branch (deg, id) lexicographic boolean was ~37% of the
+    # entry's exec. Emit the order as ONE struct column instead — struct
+    # `<` IS lexicographic compare, so `ordk < ordk` is the identical
+    # total order in a single comparison. Scale-safe for any id type (no
+    # 32-bit packing assumption); measured 3.89 -> 2.44 s isolated-min.
     oriented = ek.select(
         F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
         F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
-        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
+        F.struct(
+            F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("d"),
+            F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("i"),
+        ).alias("ordk"),
     ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
         (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
-            | (
-                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
-            )
-        ),
+        & (F.col("o1.ordk") < F.col("o2.ordk")),
     ).select(
         F.col("o1.src").alias("x"),
         F.col("o1.dst").alias("y"),
@@ -8792,12 +8796,17 @@ def b26_clustering_coeff(spark, sf_dir):
     wedge_pairs = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(
         F.col("o1.dst") < F.col("o2.dst")
     )
-    # a wedge closes iff (dst1, dst2) is an edge in EITHER orientation
-    closer = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("y")
-    ).unionAll(
-        oriented.select(F.col("dst").alias("x"), F.col("src").alias("y"))
-    ).filter(F.col("x") < F.col("y")).distinct()
+    # a wedge closes iff (dst1, dst2) is an edge in EITHER orientation.
+    # r15 (guide §2.4 "remove shuffles outright"): the old form re-derived
+    # the undirected edge set from `oriented` (union of both orientations
+    # -> filter x < y -> distinct: one full exchange + dedup of 2|E| rows
+    # per run). But `oriented` is a bijective re-orientation of `e`, and
+    # `e` is ALREADY that canonical (ua < ub, distinct, checkpointed) set
+    # — {(min(src,dst), max(src,dst))} over oriented == e exactly. Use it
+    # directly: the union/filter/distinct exchange disappears from the
+    # plan (14 -> fewer Exchange nodes) and the result is provably
+    # identical (oracle unchanged, re-verified at 3 SFs).
+    closer = e.select(F.col("ua").alias("x"), F.col("ub").alias("y"))
     tri = (
         wedge_pairs.join(
             closer,
@@ -10284,6 +10293,13 @@ def _lpa_core(spark, sf_dir, rounds=4):
         cooccurrence_pairs(g, directed=True)
         .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
         .distinct()
+        # r15 (guide §2.4): pre-partition on the per-round join key ONCE —
+        # distinct() leaves the checkpoint hash-partitioned on (src, dst),
+        # which does NOT satisfy the src equi-join, so every LPA round
+        # (and the modularity audit's la-join) was re-shuffling the FULL
+        # edge list; after repartition("src") only the much smaller labels
+        # side moves each round (same pattern as connected_components).
+        .repartition("src")
         # consumed once per LPA round (+3x by the modularity audit) —
         # truncate the self-join lineage
         .localCheckpoint()
@@ -10299,15 +10315,17 @@ def _lpa_core(spark, sf_dir, rounds=4):
             .groupBy(F.col("dst").alias("vnode"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("vnode")
-        arg = (
-            votes.withColumn("mx", F.max("c").over(w))
-            .groupBy("vnode")
-            .agg(
-                F.min(
-                    F.when(F.col("c") == F.col("mx"), F.col("label"))
-                ).alias("vlabel")
-            )
+        # r15 (guide §2.4 "window keyed like a preceding aggregation"):
+        # the max-count-then-min-label argmax was a max() window over
+        # vnode plus a second groupBy — an extra exchange AND a sort per
+        # round. One aggregation computes the identical tie-broken vote:
+        # min(struct(-c, label)) is (max count, then min label) — c >= 1
+        # so the negation cannot overflow. Bit-identical labels (the
+        # 4-round _LPA_CTE oracle re-verified at 3 SFs).
+        arg = votes.groupBy("vnode").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label")))
+            .getField("label")
+            .alias("vlabel")
         )
         labels = (
             labels.join(arg, labels["node"] == arg["vnode"], "left")

@@ -375,22 +375,34 @@ def b01_python_stream_source(spark, sf_dir):
     spark.dataSource.register(LedgerSource)
     sdf = spark.readStream.format("dsspark_synth_stream").load()
     name = f"pyds_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.groupBy("tag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("val").alias("val_sum"),
-        )
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # r15: size the stateful agg's shuffle partitions for THIS query (one
+    # state-store instance per partition, committed per micro-batch — the
+    # count is pinned into the checkpoint at first start, so per-query
+    # sizing is the real-world posture; same pattern as
+    # run_stream_to_table and b20_state_store_read). 32 session
+    # partitions meant 32 state commits x 4 micro-batches for a 7-key
+    # aggregate; 8 measured ~1.9 s faster, identical result.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        q.processAllAvailable()
-        audit_streaming_query(q, "b01_python_stream_source")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            sdf.groupBy("tag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("val_sum"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            audit_streaming_query(q, "b01_python_stream_source")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -595,19 +607,27 @@ def b01_python_stream_source_parallel(spark, sf_dir):
     spark.dataSource.register(LedgerParallelSource)
     sdf = spark.readStream.format("dsspark_synth_stream_parallel").load()
     name = f"pyds_pstream_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.groupBy("tag", "pid")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("val_sum"))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # r15: per-query state-store sizing, exactly as b01_python_stream_source
+    # (8 partitions for a 7x16-key complete-mode agg; 32 session partitions
+    # cost ~1.8 s/run in per-micro-batch state commits).
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        q.processAllAvailable()
-        audit_streaming_query(q, "b01_python_stream_source_parallel")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            sdf.groupBy("tag", "pid")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("val_sum"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            audit_streaming_query(q, "b01_python_stream_source_parallel")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return (
         spark.table(name)
         .groupBy("tag")
