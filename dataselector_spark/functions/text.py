@@ -52,7 +52,15 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     lambda: referencing the split expression directly inside the
     per-position lambda makes codegen re-run the regex split for EVERY
     n-gram position — O(tokens²) splits per document, measured 2.6× slower
-    on the sf0.1 corpus (1.60 s → 0.61 s for the 3-gram pass)."""
+    on the sf0.1 corpus (1.60 s → 0.61 s for the 3-gram pass).
+
+    r15 (the Py4J expression law, docs/SCALE.md): for plain column names
+    the whole expression is parsed from ONE SQL string — the DataFrame-API
+    nested-lambda build cost ~170 bridge commands (~40 ms of driver
+    latency) per call; the parsed tree is the identical expression."""
+    if isinstance(col, str):
+        ident = "`" + col.replace("`", "``") + "`"
+        return F.expr(word_ngrams_sql(ident, n))
     return F.transform(
         F.array(tokens(col)),
         lambda tk: F.when(
@@ -63,6 +71,18 @@ def word_ngrams(col: Column | str, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )[0]
+
+
+def word_ngrams_sql(col_sql: str, n: int) -> str:
+    """SQL text of `word_ngrams` over an arbitrary string fragment — for
+    composing into larger single-parse expressions (the Py4J law)."""
+    return (
+        f"transform(array(split({col_sql}, '{TOKEN_SEP}')), "
+        f"tk -> CASE WHEN size(tk) >= {n} "
+        f"THEN transform(sequence(1, size(tk) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(tk, i, {n}))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)[0]"
+    )
 
 
 def char_ngrams(col: Column | str, k: int) -> Column:

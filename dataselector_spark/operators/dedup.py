@@ -170,14 +170,20 @@ def minhash_signatures(
     # ~k× cheaper than k independent string hashes. Duplicate shingles are
     # NOT removed: min() is duplicate-insensitive, so array_distinct would be
     # pure overhead.
+    # r15: shingle hash explode and the k min-aggregates are parsed SQL
+    # strings (the Py4J expression law, docs/SCALE.md) — identical trees,
+    # ~10x fewer bridge commands per build.
+    from ..functions.text import word_ngrams_sql
+
+    ti = "`" + text_col.replace("`", "``") + "`"
     shingles = _fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id",
-        F.explode(
-            F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
+        F.expr(
+            f"explode(transform({word_ngrams_sql(ti, n)}, s -> xxhash64(s)))"
         ).alias("h"),
     )
     mins = [
-        F.min(F.col("h") * F.lit(_MIX_A[i]) + F.lit(_MIX_B[i])).alias(f"h{i}")
+        F.expr(f"min(h * {_MIX_A[i]} + {_MIX_B[i]})").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = shingles.groupBy("id").agg(*mins)
@@ -208,25 +214,27 @@ def minhash_signatures_portable(
     are Spark-specific). Same plan shape as `minhash_signatures`: one
     explode + one groupBy. Emits scalar columns (not an array) so downstream
     tooling that can't canonicalize arrays can hash the result."""
-    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD, word_ngrams_sql
 
-    def poly_hash(s):
-        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
-        return F.aggregate(
-            codes,
-            F.lit(0).cast("bigint"),
-            lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
-        )
-
+    # r15: one parsed expression for the shingle->poly-hash explode and one
+    # per min-aggregate (the Py4J expression law, docs/SCALE.md).
+    poly_sql = (
+        "aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)), "
+        "CAST(0 AS BIGINT), "
+        f"(h, code) -> (h * {FINGERPRINT_BASE} + code) % {FINGERPRINT_MOD})"
+    )
+    ti = "`" + text_col.replace("`", "``") + "`"
     shingles = _fan_out(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(
         "id",
-        F.explode(F.transform(word_ngrams(text_col, n), poly_hash)).alias("h"),
+        F.expr(
+            f"explode(transform({word_ngrams_sql(ti, n)}, s -> {poly_sql}))"
+        ).alias("h"),
     )
     mins = [
-        F.min(
-            (F.col("h") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(MINHASH_MOD)
+        F.expr(
+            f"min((h * {_PORT_A[i]} + {_PORT_B[i]}) % {MINHASH_MOD})"
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -251,39 +259,31 @@ def simhash_portable(
 
     half = MINHASH_MOD // 2
 
-    def poly_hash(s):
-        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
-        return F.aggregate(
-            codes,
-            F.lit(0).cast("bigint"),
-            lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
-        )
-
+    # r15: parsed SQL strings per the Py4J expression law (docs/SCALE.md).
+    poly_sql = (
+        "aggregate(transform(split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT)), "
+        "CAST(0 AS BIGINT), "
+        f"(h, code) -> (h * {FINGERPRINT_BASE} + code) % {FINGERPRINT_MOD})"
+    )
     toks = _fan_out(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(
         "id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("th", poly_hash(F.col("tok")))
+    ).withColumn("th", F.expr(poly_sql))
     bit_sums = [
-        F.sum(
-            F.when(
-                (F.col("th") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i]))
-                % F.lit(MINHASH_MOD)
-                > half,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (th * {_PORT_A[i]} + {_PORT_B[i]}) % {MINHASH_MOD} "
+            f"> {half} THEN 1 ELSE -1 END)"
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy("id").agg(*bit_sums)
-    fp = sum(
-        [
-            F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(
-                F.lit(0).cast("bigint")
-            )
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE CAST(0 AS BIGINT) END)"
             for i in range(bits)
-        ],
-        F.lit(0).cast("bigint"),
+        )
     )
     return agg.select("id", fp.alias("simhash"))
 
@@ -371,22 +371,26 @@ def simhash64(
     toks = _fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
+    # r15: the 64 conditional sums and the 64-term recombination are parsed
+    # SQL strings (the Py4J expression law, docs/SCALE.md) — the element-wise
+    # Column build was ~900 bridge commands per call. Bit 63's two's-
+    # complement weight is written (-9223372036854775807 - 1): bigint-exact
+    # and parser-safe (a bare -2^63 token would parse as DECIMAL), constant-
+    # folded to the identical Literal the F.lit path produced.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"b{i}")
         for i in range(64)
     ]
     agg = toks.groupBy("id").agg(*bit_sums)
-    # Recombine sign bits into one int64. Bit weights are Python-side literals
-    # (bit 63 is the sign bit: -2^63 in two's complement).
-    weights = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
-    fp = sum(
-        [
-            F.when(F.col(f"b{i}") > 0, F.lit(weights[i])).otherwise(F.lit(0).cast("bigint"))
+    weights = ["(-9223372036854775807 - 1)" if i == 63 else str(1 << i) for i in range(64)]
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN {weights[i]} ELSE CAST(0 AS BIGINT) END)"
             for i in range(64)
-        ],
-        F.lit(0).cast("bigint"),
+        )
     )
     return agg.select("id", fp.alias("simhash"))
 
@@ -623,28 +627,30 @@ def minhash_signatures_portable_sharded(
     than assumed.  Same portable hash family (polynomial shingle hash +
     affine permutations mod 1e9+7), so the whole two-phase dataflow is
     value-checkable by an external SQL engine."""
-    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+    from ..functions.text import FINGERPRINT_BASE, FINGERPRINT_MOD, word_ngrams_sql
 
-    def poly_hash(s):
-        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
-        return F.aggregate(
-            codes,
-            F.lit(0).cast("bigint"),
-            lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
-        )
-
+    # r15: parsed SQL strings per the Py4J expression law (docs/SCALE.md) —
+    # same composition as minhash_signatures_portable.
+    poly_sql = (
+        "aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)), "
+        "CAST(0 AS BIGINT), "
+        f"(h, code) -> (h * {FINGERPRINT_BASE} + code) % {FINGERPRINT_MOD})"
+    )
+    ti = "`" + text_col.replace("`", "``") + "`"
     shingles = _fan_out(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(
         "id",
-        F.explode(F.transform(word_ngrams(text_col, n), poly_hash)).alias("h"),
+        F.expr(
+            f"explode(transform({word_ngrams_sql(ti, n)}, s -> {poly_sql}))"
+        ).alias("h"),
     )
     batched = shingles.withColumn(
         "shard", F.pmod(F.col("h"), F.lit(shards)).cast("bigint")
     )
     mins = [
-        F.min(
-            (F.col("h") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(MINHASH_MOD)
+        F.expr(
+            f"min((h * {_PORT_A[i]} + {_PORT_B[i]}) % {MINHASH_MOD})"
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]

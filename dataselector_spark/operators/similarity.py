@@ -29,7 +29,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import array_lit_d, cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import (
+    _ident,
+    array_lit_d,
+    array_lit_sql,
+    cosine_similarity,
+    cosine_similarity_sql,
+    dot_product,
+    dot_product_sql,
+    l2_norm,
+    l2_norm_sql,
+)
+
+# r15: every expression builder here is assembled as ONE parsed SQL string
+# (the Py4J expression law, docs/SCALE.md) — the DataFrame-API forms cost
+# ~110-170 bridge commands per dot-product/lambda chain, which dominated
+# these entries' BUILD time (~0.3-0.9 s each at 8 planes / 8x8 codebooks).
+# The parsed trees are the identical Catalyst expressions (same fold order,
+# same casts, same tie semantics); bit-parity is held by the unchanged
+# DuckDB oracles.
 
 
 def _query_vec_lit(query_vec: list[float]):
@@ -47,15 +65,32 @@ def topk_cosine(
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector; deterministic
     tiebreak on id. Plans as scan → project → TakeOrderedAndProject."""
-    q = _query_vec_lit(query_vec)
     scored = embeddings.select(
-        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+        F.col(id_col),
+        F.expr(
+            cosine_similarity_sql(_ident(vec_col), array_lit_sql(query_vec))
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def sign_lsh_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of the H-bit sign signature: bit h = [vec · plane_h >= 0].
+    One parsed expression; left-associated + chain matches the old
+    Column-sum form."""
+    return " + ".join(
+        f"(CASE WHEN {dot_product_sql(vec_sql, array_lit_sql(p))} >= 0 "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h, p in enumerate(planes)
+    )
+
+
 def sign_lsh_signature(vec_col, planes: list[list[float]]):
-    """H-bit sign signature: bit h = [vec · plane_h >= 0]."""
+    """H-bit sign signature: bit h = [vec · plane_h >= 0]. ``vec_col`` as a
+    plain column NAME takes the single-parse path; Column inputs keep the
+    (bit-identical, slower-to-build) API form."""
+    if isinstance(vec_col, str):
+        return F.expr(sign_lsh_signature_sql(_ident(vec_col), planes))
     bits = [
         F.when(dot_product(vec_col, _query_vec_lit(p)) >= 0, F.lit(1 << h)).otherwise(
             F.lit(0)
@@ -96,16 +131,20 @@ def topk_cosine_lsh(
     force); at scale the bucket column becomes a partition key so the scan
     prunes to matching buckets."""
     planes = _pseudo_planes(len(query_vec), num_planes, seed)
-    bucketed = embeddings.withColumn("__sig", sign_lsh_signature(F.col(vec_col), planes))
+    bucketed = embeddings.withColumn("__sig", sign_lsh_signature(vec_col, planes))
     # Query signature computed driver-side with identical arithmetic.
     qsig = 0
     for h, p in enumerate(planes):
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, p))
         if dot >= 0:
             qsig |= 1 << h
-    q = _query_vec_lit(query_vec)
     cand = bucketed.filter(F.col("__sig") == qsig)
-    scored = cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+    scored = cand.select(
+        F.col(id_col),
+        F.expr(
+            cosine_similarity_sql(_ident(vec_col), array_lit_sql(query_vec))
+        ).alias("cosine"),
+    )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -137,14 +176,14 @@ def neardup_pairs_cosine(
         if dim is None:
             raise ValueError("neardup_pairs_cosine: dim is required for LSH blocking")
         planes = _pseudo_planes(dim, num_planes, seed)
-        blk = sign_lsh_signature(F.col(vec_col), planes)
+        blk = sign_lsh_signature(vec_col, planes)
     else:
         blk = F.col(block_col)
     base = embeddings.select(
         F.col(id_col).alias("id"),
         blk.alias("blk"),
         F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        l2_norm(vec_col).alias("nrm"),
     )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
@@ -236,44 +275,27 @@ def ivf_assignments(
     # zip_with/aggregate reproduce the sql_cosine fold order, and array_max
     # over (s, cell) structs still breaks score ties toward the HIGHER
     # cell, which the oracle mirrors (rn ... ORDER BY cos DESC, cell DESC).
-    cents = F.array(*[array_lit_d(c) for c in centroids])
-    v = F.col(vec_col)
-    vnorm = F.sqrt(
-        F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, t: a + t,
-        )
+    # r15: the whole assignment is ONE parsed SQL expression (Py4J law).
+    cents_sql = "array(" + ",".join(array_lit_sql(c) for c in centroids) + ")"
+    vi = _ident(vec_col)
+    vnorm_sql = (
+        f"sqrt(aggregate(transform({vi}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (a, t) -> a + t))"
     )
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            (
-                F.aggregate(
-                    F.zip_with(
-                        v, c, lambda a, b: a.cast("double") * b.cast("double")
-                    ),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                )
-                / (
-                    vnorm
-                    * F.sqrt(
-                        F.aggregate(
-                            F.transform(c, lambda x: x * x),
-                            F.lit(0.0),
-                            lambda a, t: a + t,
-                        )
-                    )
-                )
-            ).alias("s"),
-            i.alias("cell"),
-        ),
+    scored_sql = (
+        f"transform({cents_sql}, (c, i) -> struct("
+        f"aggregate(zip_with({vi}, c, "
+        "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+        "0.0D, (acc, t) -> acc + t)"
+        f" / ({vnorm_sql} * sqrt(aggregate(transform(c, x -> x * x), "
+        "0.0D, (a, t) -> a + t))) AS s, "
+        "i AS cell))"
     )
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.array_max(scored)["cell"].cast("int").alias("cell"),
+        F.expr(f"CAST(array_max({scored_sql}).cell AS INT)").alias("cell"),
     )
 
 
@@ -316,9 +338,11 @@ def topk_cosine_ivf(
 
     assigned = ivf_assignments(embeddings, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("cell").isin(probe))
-    q = _query_vec_lit(query_vec)
     scored = cand.select(
-        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+        F.col(id_col),
+        F.expr(
+            cosine_similarity_sql(_ident(vec_col), array_lit_sql(query_vec))
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
@@ -370,29 +394,28 @@ def mips_topk(
             "is degenerate (every <x,q> = 0) and the q/||q|| "
             "augmentation is undefined"
         )
-    q = _query_vec_lit(query_vec)
-    q_aug = array_lit_d([float(x) / q_nrm for x in query_vec] + [0.0])
-    mx = embeddings.agg(F.max(l2_norm(F.col(vec_col))).alias("m_nrm"))
+    q_sql = array_lit_sql(query_vec)
+    q_aug_sql = array_lit_sql([float(x) / q_nrm for x in query_vec] + [0.0])
+    mx = embeddings.agg(F.max(l2_norm(vec_col)).alias("m_nrm"))
+    vi = _ident(vec_col)
     # Floor the divisor at the smallest positive double: identity for any
     # real corpus (greatest(M, 5e-324) == M whenever M > 0, so oracle
     # bit-parity is untouched) and turns the all-zero-corpus 0/0 NaN into
     # the documented aug_cos = 0 (ADVICE r14).
-    m_div = F.greatest(F.col("m_nrm"), F.lit(5e-324))
-    nx = l2_norm(F.col(vec_col))
-    extra = F.sqrt(
-        F.greatest(
-            F.lit(0.0),
-            F.lit(1.0) - (nx / m_div) * (nx / m_div),
-        )
+    m_div_sql = "greatest(m_nrm, 5e-324D)"
+    nx_sql = l2_norm_sql(vi)
+    extra_sql = (
+        f"sqrt(greatest(0.0D, 1.0D - ({nx_sql} / {m_div_sql}) "
+        f"* ({nx_sql} / {m_div_sql})))"
     )
-    x_aug = F.concat(
-        F.transform(F.col(vec_col), lambda e: e.cast("double") / m_div),
-        F.array(extra),
+    x_aug_sql = (
+        f"concat(transform({vi}, e -> CAST(e AS DOUBLE) / {m_div_sql}), "
+        f"array({extra_sql}))"
     )
     scored = embeddings.crossJoin(F.broadcast(mx)).select(
         F.col(id_col),
-        dot_product(F.col(vec_col), q).alias("ip"),
-        dot_product(x_aug, q_aug).alias("aug_cos"),
+        F.expr(dot_product_sql(vi, q_sql)).alias("ip"),
+        F.expr(dot_product_sql(x_aug_sql, q_aug_sql)).alias("aug_cos"),
     )
     return scored.orderBy(F.col("aug_cos").desc(), F.col(id_col).asc()).limit(k)
 
@@ -435,30 +458,27 @@ def mips_topk_lsh(
             acc += float(query_vec[i]) * p[i]
         if acc >= 0:
             q_sig += 1 << h
-    sumsq = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
+    vi = _ident(vec_col)
+    sumsq_sql = (
+        f"aggregate(transform({vi}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (a, v) -> a + v)"
     )
-    msq = embeddings.agg(F.max(sumsq).alias("msq"))
-    extra = F.sqrt(F.greatest(F.lit(0.0), F.col("msq") - sumsq))
-    bits = [
-        F.when(
-            dot_product(F.col(vec_col), _query_vec_lit(p[:dim]))
-            + extra * F.lit(p[dim])
-            >= 0,
-            F.lit(1 << h),
-        ).otherwise(F.lit(0))
+    msq = embeddings.agg(F.expr(f"max({sumsq_sql})").alias("msq"))
+    extra_sql = f"sqrt(greatest(0.0D, msq - {sumsq_sql}))"
+    sig_sql = " + ".join(
+        f"(CASE WHEN {dot_product_sql(vi, array_lit_sql(p[:dim]))} "
+        f"+ {extra_sql} * {repr(float(p[dim]))}D >= 0 "
+        f"THEN {1 << h} ELSE 0 END)"
         for h, p in enumerate(planes)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    q = _query_vec_lit(query_vec)
+    )
     cand = (
         embeddings.crossJoin(F.broadcast(msq))
-        .filter(sig == F.lit(q_sig))
-        .select(F.col(id_col), dot_product(F.col(vec_col), q).alias("ip"))
+        .filter(F.expr(f"({sig_sql}) = {q_sig}"))
+        .select(
+            F.col(id_col),
+            F.expr(dot_product_sql(vi, array_lit_sql(query_vec))).alias("ip"),
+        )
     )
     return cand.orderBy(F.col("ip").desc(), F.col(id_col).asc()).limit(k)
 
@@ -498,7 +518,7 @@ def pq_codes(
     zero shuffles at any scale."""
     books = codebooks if codebooks is not None else pq_codebooks(dim, m, k, seed)
     sub = dim // m
-    v = F.col(vec_col)
+    vi = _ident(vec_col)
 
     # Distances via higher-order functions over centroid ARRAY LITERALS, not
     # k*sub expanded scalar expressions: the expanded form compiled a ~4k-node
@@ -508,24 +528,20 @@ def pq_codes(
     # IEEE order: zip_with preserves index order and aggregate folds left
     # with a 0.0 seed — and 0.0 + t0 == t0 exactly, so the SQL oracle's
     # explicit (t0 + t1 + ...) chains still hash-match bit-for-bit.
+    # r15: each subspace's code is ONE parsed SQL expression (Py4J law).
     cols = []
     for s, book in enumerate(books):
-        cents = F.array(*[array_lit_d(c) for c in book])
-        subvec = F.slice(v, s * sub + 1, sub)
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    subvec,
-                    c,
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        cents_sql = "array(" + ",".join(array_lit_sql(c) for c in book) + ")"
+        dists_sql = (
+            f"transform({cents_sql}, c -> aggregate(zip_with("
+            f"slice({vi}, {s * sub + 1}, {sub}), c, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (acc, x) -> acc + x))"
         )
         cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).alias(f"c{s}")
+            F.expr(
+                f"array_position({dists_sql}, array_min({dists_sql})) - 1"
+            ).alias(f"c{s}")
         )
     return embeddings.select(F.col(id_col), *cols)
 

@@ -3528,7 +3528,7 @@ def b14_ann_recall_report(spark, sf_dir):
     base = emb.select(
         "vec_id",
         "embedding",
-        sign_lsh_signature(F.col("embedding"), planes).alias("sig"),
+        sign_lsh_signature("embedding", planes).alias("sig"),
         l2_norm("embedding").alias("nrm"),
     )
     q = base.filter(F.col("vec_id") % 101 == 0).select(
@@ -5249,32 +5249,30 @@ def _phash_band_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     hs = phash256(synthesize_bitmaps_paired(d))
     hcols = [f"h{k}" for k in range(8)]
+    # r15: band explode + hamming sum as parsed SQL strings (Py4J law) —
+    # identical trees to the element-wise Column build.
     bands = hs.select(
         "doc_id",
         *hcols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col(f"h{i // 2}"), 16 * (i % 2))
-                        .bitwiseAND(F.lit(65535))
-                        .alias("val"),
-                    )
-                    for i in range(16)
-                ]
+        F.expr(
+            "explode(array("
+            + ",".join(
+                f"struct({i} AS band, "
+                f"shiftright(h{i // 2}, {16 * (i % 2)}) & 65535 AS val)"
+                for i in range(16)
             )
+            + "))"
         ).alias("b"),
     ).select(
         "doc_id", *hcols, F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    ham = None
-    for k in range(8):
-        term = F.bit_count(F.col(f"a.h{k}").bitwiseXOR(F.col(f"b.h{k}")))
-        ham = term if ham is None else ham + term
-    ham = ham.cast("int")
+    ham = F.expr(
+        "CAST("
+        + " + ".join(f"bit_count(a.h{k} ^ b.h{k})" for k in range(8))
+        + " AS INT)"
+    )
     return (
         a.join(
             b,
