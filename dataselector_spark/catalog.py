@@ -116,23 +116,47 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         )
 
 
+# Session-scoped TABLE-PLAN cache (r15): resolving a parquet relation costs
+# ~20 ms of driver/JVM work per call (DataSource.resolveRelation + file
+# listing), paid 2-3x per suite entry BUILD. Real engines answer this with
+# a catalog/metastore; here the unexecuted DataFrame (a pure plan — every
+# execution still scans the parquet files) is cached per live SparkSession,
+# keyed on the file set's (relpath, mtime_ns, size) fingerprint so a
+# testdata regen re-resolves instead of serving a stale relation — the same
+# invalidation rule as _TS_UNIT_CACHE above (ADVICE r5 #2). WeakKeyDictionary
+# so a stopped/dropped session releases its plans.
+from weakref import WeakKeyDictionary
+
+_TABLE_PLAN_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema (no inference pass)."""
     ensure_session_defaults(spark)
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLE_SCHEMAS)}")
     path = table_path(sf_dir, name)
+    from .operators.layout import dir_fingerprint
+
+    key = (sf_dir, name, tuple(dir_fingerprint(path)))
+    per_session = _TABLE_PLAN_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events" and events_ts_unit(path) == "ns":
         # ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader; take
         # the raw int64 and truncate ns -> µs exactly as DuckDB does.
         raw = spark.read.schema(EVENTS_PHYSICAL).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
             *[f.name for f in TABLE_SCHEMAS[name].fields]
         )
-    # timestamp[us] (possibly NTZ) reads natively with the declared
-    # TimestampType schema: under the UTC session pin this is the same
-    # wall-clock DuckDB sees, microsecond-exact.
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    else:
+        # timestamp[us] (possibly NTZ) reads natively with the declared
+        # TimestampType schema: under the UTC session pin this is the same
+        # wall-clock DuckDB sees, microsecond-exact.
+        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

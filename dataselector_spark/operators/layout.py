@@ -22,12 +22,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
     """Interleave the low ``bits`` bits of each (already-normalized,
     non-negative integer) column into one Morton key: bit ``b`` of column
     ``i`` lands at position ``b * len(cols) + i``. Caller normalizes each
     dimension into ``[0, 2**bits)`` (modulo a hash, a range bucket, …);
-    the interleave itself is exact and engine-portable."""
+    the interleave itself is exact and engine-portable.
+
+    r15 (the Py4J expression law, docs/SCALE.md): dims given as SQL TEXT
+    build the whole interleave as one parsed expression (the Column path
+    cost ~6 bridge commands per bit per dim); identical tree, pinned
+    bit-equal in tests/test_expr_sql_equivalence.py."""
+    if all(isinstance(c, str) for c in cols):
+        n = len(cols)
+        terms = [
+            f"shiftleft(shiftright(CAST({c} AS BIGINT), {b}) & 1, {b * n + i})"
+            for b in range(bits)
+            for i, c in enumerate(cols)
+        ]
+        return F.expr("CAST(0 AS BIGINT) | " + " | ".join(terms))
     key = F.lit(0).cast("long")
     n = len(cols)
     for b in range(bits):

@@ -2677,9 +2677,7 @@ def b22_zorder_key(spark, sf_dir):
         "event_id",
         ux,
         ex,
-        zorder_key([F.col("user_id") % 256, F.col("event_id") % 256]).alias(
-            "zkey"
-        ),
+        zorder_key(["user_id % 256", "event_id % 256"]).alias("zkey"),
     )
 
 
@@ -2915,9 +2913,9 @@ def b22_zorder_key_3d(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     dims = [
-        F.col("user_id") % 64,
-        F.col("event_id") % 64,
-        F.minute("ts").cast("long"),
+        "user_id % 64",
+        "event_id % 64",
+        "CAST(minute(ts) AS BIGINT)",
     ]
     return e.select(
         "event_id",
@@ -2953,7 +2951,7 @@ def b22_zorder_write_readback(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    zk = zorder_key([F.col("user_id") % 256, F.col("event_id") % 256], bits=8)
+    zk = zorder_key(["user_id % 256", "event_id % 256"], bits=8)
     out = f"/tmp/dsspark_zrb_{os.path.basename(sf_dir.rstrip('/'))}"
     cluster_by_zorder(e, zk, partitions=8).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)

@@ -69,6 +69,22 @@ def test_sign_lsh_signature_sql_path_identical(vec_df):
     )
 
 
+def test_zorder_key_sql_path_identical(spark):
+    from dataselector_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (255, 1), (63, 255), (170, 85), (256, 300)],
+        "a bigint, b bigint",
+    )
+    _assert_all(
+        df,
+        (
+            zorder_key(["a % 256", "b % 256"], bits=8),
+            zorder_key([F.col("a") % 256, F.col("b") % 256], bits=8),
+        ),
+    )
+
+
 def test_minhash_and_simhash_sql_builds_match_reference(spark):
     """The minhash/simhash builders no longer keep a lambda twin, so pin
     them against a pure-Python replay of the portable arithmetic."""
