@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r15 (guide §4.2): cap Arrow batches by BYTES, not the 10k-row /
+        # 64 MB defaults — the multimodal mapInPandas passes carry multi-KB
+        # binary cells per row, and 64 MB pandas frames cost allocation
+        # churn and JVM->Python pipelining stalls. 1 MB batches measured
+        # 25-40% faster on every Arrow entry (b16_image_dedup 4.65->2.76 s,
+        # b16_phash256 2.90->1.86, b21_pandas_udaf 0.90->0.56) with no
+        # regression on narrow-row entries (still thousands of rows per
+        # batch). Data-shape-dependent, not cluster-size-dependent; env
+        # knob for hosts where a different shape dominates.
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # ANSI off: the engine follows permissive SQL semantics (sentinel data
