@@ -97,7 +97,18 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     * ANSI off — the engine declares permissive SQL semantics: hash mixing
       (operators/dedup.py) uses wrapping int64 arithmetic, which Spark 4's
       default ANSI mode would reject with ARITHMETIC_OVERFLOW.
+
+    r16 (the Py4J law applied to session plumbing): each conf.get is a
+    bridge round-trip and this runs on EVERY load_table call (~2-3 per
+    entry build, ~1k commands per suite sweep) — once the settings are
+    pinned for a session they stay pinned (nothing in the engine unsets
+    them), so remember that on the session object and return in pure
+    Python afterwards. Anyone flipping the confs mid-session owns the
+    breakage, exactly as before (the old probe only re-pinned on the NEXT
+    load_table anyway).
     """
+    if getattr(spark, "_dataselector_defaults_ok", False):
+        return
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.ansi.enabled") != "false":
@@ -114,6 +125,7 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
+    spark._dataselector_defaults_ok = True
 
 
 # Session-scoped TABLE-PLAN cache (r15): resolving a parquet relation costs
@@ -123,11 +135,24 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 # execution still scans the parquet files) is cached per live SparkSession,
 # keyed on the file set's (relpath, mtime_ns, size) fingerprint so a
 # testdata regen re-resolves instead of serving a stale relation — the same
-# invalidation rule as _TS_UNIT_CACHE above (ADVICE r5 #2). WeakKeyDictionary
-# so a stopped/dropped session releases its plans.
-from weakref import WeakKeyDictionary
+# invalidation rule as _TS_UNIT_CACHE above (ADVICE r5 #2).
+#
+# ADVICE r15 #1: the r15 WeakKeyDictionary could never actually release an
+# entry — the cached DataFrames strongly reference their SparkSession, so
+# the value kept its own weak key alive for process lifetime. The dict now
+# lives ON the session object itself: its lifetime is exactly the session
+# object's, the cycle (session -> dict -> DataFrame -> session) is ordinary
+# garbage-collectable Python, and a stopped/dropped session takes its plans
+# with it.
+_PLAN_CACHE_ATTR = "_dataselector_table_plan_cache"
 
-_TABLE_PLAN_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+def _table_plan_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _PLAN_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _PLAN_CACHE_ATTR, cache)
+    return cache
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -139,10 +164,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .operators.layout import dir_fingerprint
 
     key = (sf_dir, name, tuple(dir_fingerprint(path)))
-    per_session = _TABLE_PLAN_CACHE.setdefault(spark, {})
+    per_session = _table_plan_cache(spark)
     cached = per_session.get(key)
     if cached is not None:
-        return cached
+        # ADVICE r15 #2: never hand the IDENTICAL DataFrame object to two
+        # callers — a caller joining two load_table results of the same
+        # table would trip Spark's ambiguous-self-join detection (fresh
+        # reads used to produce distinct dataset ids). One .alias() per hit
+        # is a single bridge call (~0.2 ms vs the ~20 ms resolve it saves)
+        # and gives every caller its own dataset id; the SubqueryAlias is
+        # erased by the optimizer, so physical plans are unchanged.
+        return cached.alias(name)
     if name == "events" and events_ts_unit(path) == "ns":
         # ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader; take
         # the raw int64 and truncate ns -> µs exactly as DuckDB does.

@@ -76,6 +76,15 @@ def word_ngrams(col: Column | str, n: int) -> Column:
 def word_ngrams_sql(col_sql: str, n: int) -> str:
     """SQL text of `word_ngrams` over an arbitrary string fragment — for
     composing into larger single-parse expressions (the Py4J law)."""
+    # ADVICE r15 #3: TOKEN_SEP is interpolated into a single-quoted SQL
+    # literal below; a separator containing quote/backslash metacharacters
+    # would silently diverge from the Column path (Spark SQL literal
+    # escaping differs from F.split's Python-side argument). Fail loudly
+    # instead if anyone swaps in such a separator.
+    assert "'" not in TOKEN_SEP and "\\" not in TOKEN_SEP, (
+        "TOKEN_SEP contains SQL string-literal metacharacters; escape it in "
+        "word_ngrams_sql before embedding"
+    )
     return (
         f"transform(array(split({col_sql}, '{TOKEN_SEP}')), "
         f"tk -> CASE WHEN size(tk) >= {n} "
@@ -83,6 +92,20 @@ def word_ngrams_sql(col_sql: str, n: int) -> str:
         f"i -> concat_ws(' ', slice(tk, i, {n}))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END)[0]"
     )
+
+
+def word_ngram_hashes_sql(col_sql: str, n: int, distinct: bool = True) -> str:
+    """SQL text of the xxhash64-hashed word-n-gram array — the shingle
+    IDENTITY (not the text) for joins/grouping/DF-counting where no output
+    ever emits the n-gram string itself. Hashing before the first exchange
+    makes every downstream shuffle move 8-byte int64 keys instead of n-word
+    strings (optimization guide §2.3 "shuffle fewer bytes"; r16). Exact set
+    semantics up to 64-bit collisions across the corpus shingle universe
+    (P ≈ u²/2⁶⁵ — ~3e-8 at the sf0.1 universe of ~1e6 shingles); the DuckDB
+    differentials replay every consumer on STRING shingles, so a collision
+    at the checked SFs fails loudly rather than passing silently."""
+    inner = f"transform({word_ngrams_sql(col_sql, n)}, s -> xxhash64(s))"
+    return f"array_distinct({inner})" if distinct else inner
 
 
 def char_ngrams(col: Column | str, k: int) -> Column:

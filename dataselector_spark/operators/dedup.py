@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams
-
 
 def _materialize(df: DataFrame, mode: str | bool) -> DataFrame:
     """Cut lineage / force one computation of a reused subplan.
@@ -106,9 +104,18 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    # r16 (guide §2.3 — shuffle fewer bytes): shingles are hashed to int64
+    # (xxhash64) BEFORE any exchange, so the DF-cap window, the sizes groupBy
+    # and the inverted-index self-join all shuffle 8-byte keys instead of
+    # n-word strings (the n-gram text never reaches any output — every
+    # consumer emits ids/counts/ratios only). Collision math and the oracle
+    # argument live on `word_ngram_hashes_sql`.
+    from ..functions.text import word_ngram_hashes_sql
+
+    ti = "`" + text_col.replace("`", "``") + "`"
     shingles = _fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id",
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
+        F.expr(f"explode({word_ngram_hashes_sql(ti, n)})").alias("sh"),
     )
     if df_cap is not None:
         # Pre-aggregate document frequency per shingle (map-side combine makes

@@ -33,7 +33,19 @@ def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
     build the whole interleave as one parsed expression (the Column path
     cost ~6 bridge commands per bit per dim); identical tree, pinned
     bit-equal in tests/test_expr_sql_equivalence.py."""
-    if all(isinstance(c, str) for c in cols):
+    # ADVICE r15 #4: an empty cols list would satisfy all(isinstance(..)) and
+    # emit malformed SQL ('CAST(0 AS BIGINT) | '), and a MIXED str/Column
+    # list would silently fall into the Column path and die with a confusing
+    # AttributeError on str.cast — reject both loudly instead.
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    n_str = sum(isinstance(c, str) for c in cols)
+    if 0 < n_str < len(cols):
+        raise TypeError(
+            "zorder_key cols must be all-str (SQL text) or all-Column, "
+            f"got a mix: {[type(c).__name__ for c in cols]}"
+        )
+    if n_str == len(cols):
         n = len(cols)
         terms = [
             f"shiftleft(shiftright(CAST({c} AS BIGINT), {b}) & 1, {b * n + i})"

@@ -68,19 +68,54 @@ def zscore_outliers(
     df: DataFrame, group: list[str], value: str, z_thresh: float = 2.0
 ) -> DataFrame:
     """Per-group mean/stddev (decimal-exact sums, sample variance) and an
-    |z| > threshold outlier flag — the reference's QC purpose as one batch
-    window pass. Groups of size 1 get null z (no dispersion)."""
-    w = Window.partitionBy(*group)
-    n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(dec2(value)).over(w).cast("double")
-    # value is 2-dp → value² is exactly 4-dp; decimal(22,4) sums stay exact.
-    s2 = F.sum((dec2(value) * dec2(value)).cast("decimal(22,4)")).over(w).cast("double")
+    |z| > threshold outlier flag — the reference's QC purpose. Groups of
+    size 1 get null z (no dispersion).
+
+    r16 (guide §2.4): the whole-partition window became a groupBy +
+    broadcast join-back. The window form shuffled EVERY row to
+    hash(group) — with a handful of QC series that collapses parallelism
+    to |groups| tasks and moves the full table — where the groupBy's
+    partial aggregation ships |groups|×|map tasks| tiny partial rows and
+    the join back is map-side. Values are identical: the decimal sums are
+    exact (order-independent), and the per-row arithmetic is the same
+    IEEE expression over the same exact inputs. Contract: ``group`` is a
+    QC series key of broadcastable cardinality (per-series stats must fit
+    one node in ANY formulation that attaches them back to rows)."""
+    # stats' key columns are RENAMED (__g_i) so the join back to df — a
+    # self-join by lineage — is unambiguous without dataset aliases.
+    stats = (
+        df.groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec2(value)).cast("double").alias("__s1"),
+            # value is 2-dp → value² is exactly 4-dp; decimal(22,4) sums
+            # stay exact.
+            F.sum((dec2(value) * dec2(value)).cast("decimal(22,4)"))
+            .cast("double")
+            .alias("__s2"),
+        )
+        .select(
+            *[F.col(g).alias(f"__g_{i}") for i, g in enumerate(group)],
+            "__n",
+            "__s1",
+            "__s2",
+        )
+    )
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
     mean = s1 / n
     var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - F.lit(1)))
     std = F.sqrt(var)
     z = (F.col(value) - mean) / std
-    return df.select(
-        "*",
+    # eqNullSafe, not the on=[...] equi-join: a NULL group key forms a
+    # window partition (and a groupBy group) but a plain join key drops
+    # its rows — null-safe equality keeps the window form's semantics
+    # exactly, and EqualNullSafe is still a hash-join key.
+    cond = None
+    for i, g in enumerate(group):
+        c = F.col(g).eqNullSafe(F.col(f"__g_{i}"))
+        cond = c if cond is None else cond & c
+    return df.join(F.broadcast(stats), cond).select(
+        *df.columns,
         mean.alias("g_mean"),
         std.alias("g_std"),
         z.alias("z"),

@@ -157,6 +157,61 @@ REWRITTEN_IN_ROUND = {
     # latent 0-divisor ANSI mode would trip; the generated expression
     # changed, so the entry re-enters the driver window.
     "b06_equidepth_histogram": 14,
+    # r15 (optimization round 1 — VERDICT r15 #4 asked for exactly this
+    # back-fill): the b26 graph rewrites (triangle struct order key,
+    # clustering closer=e, LPA edge pre-partition + min(struct) argmax),
+    # the connected_components self-loop rewrite (7 consumers), the b14
+    # single-parse expression builds, the b13 minhash/simhash single-parse
+    # builders, the b16 phash-banding single-parse, the zorder Morton
+    # single-parse, and the stream-source state-partition pins.
+    "b26_triangle_count": 15,
+    "b26_clustering_coeff": 15,
+    "b26_communities_lpa": 15,
+    "b26_modularity": 15,
+    "b13_dedup_clusters": 15,
+    "b13_dedup_survivors": 15,
+    "b13_dedup_survivors_quality": 15,
+    "b13_leakage_safe_split": 15,
+    "b14_embedding_dedup_survivors": 15,
+    "b16_image_dedup_survivors": 15,
+    "b14_topk_cosine": 15,
+    "b14_pq_codes": 15,
+    "b14_pq_adc_topk": 15,
+    "b14_ivfpq_topk": 15,
+    "b14_mips_lsh": 15,
+    "b14_mips_topk": 15,
+    "b14_ann_recall_report": 15,
+    "b14_ivf_recall_clustered": 15,
+    "b14_knn_accuracy_clustered": 15,
+    "b13_minhash_shard_merge": 15,
+    "b13_incremental_ingest_dedup": 15,
+    "b16_ahash_neardup": 15,
+    "b16_phash256_neardup": 15,
+    "b22_zorder_key": 15,
+    "b22_zorder_key_3d": 15,
+    "b22_zorder_write_readback": 15,
+    "b01_python_stream_source_parallel": 15,
+    # r16 (optimization round 2): the int64 shingle-identity batch
+    # (ngram_jaccard_pairs + the span/prefix/containment/decontaminate/
+    # source-overlap family), the kmv-source audit-on-hashes rewrite, the
+    # zscore groupBy+broadcast-join rewrite, the single-parse SQL rewrites
+    # (BM25 scorer, KMV trio), and the b20 state-partition re-sizing.
+    "b13_ngram_jaccard": 16,
+    "b13_containment_pairs": 16,
+    "b13_repeated_span_coverage": 16,
+    "b13_repeated_span_dedup": 16,
+    "b13_prefix_filter_pairs": 16,
+    "b15_decontaminate": 16,
+    "b13_source_overlap": 16,
+    "b13_kmv_source_similarity": 16,
+    "b13_dedup_pipeline_verified": 16,
+    "b08_outlier_zscore": 16,
+    "b14_rrf_hybrid": 16,
+    "b14_rrf_fusion_gain": 16,
+    "b06_kmv_intersect": 16,
+    "b06_kmv_difference": 16,
+    "b06_kmv_merge": 16,
+    "b20_stream_stream_left_outer": 16,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -726,6 +781,75 @@ _R15_WINDOW = [
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 
+# The round-16 window (VERDICT r15 "Next round" #4): CORRECTNESS_r15 was
+# 50/50 green, so freshness slots go to the REWRITTEN_IN_ROUND backlog
+# first — none of the r15 optimization rewrites (b26 graph family, the 7
+# CC consumers, the b14 single-parse family) landed in the r15 sample, and
+# this round's own rewrites (the b13 int64-shingle batch, the zscore
+# join-back, the single-parse SQL entries) join them. Slots, priority
+# order:
+#   * all 43 oracle-bearing entries rewritten in r15/r16
+#     (REWRITTEN_IN_ROUND == 15 or 16; b13_minhash_lsh and b13_simhash
+#     are rows-only-by-design and stay excluded from oracle freshness);
+#   * 7 flex slots to the oldest (r10-latest) oracle-bearing re-confirms
+#     not already seated above, in their CORRECTNESS_r10.json order.
+_R16_WINDOW = [
+    # --- rewritten in r15, never driver-checked since (27) ---
+    "b26_triangle_count",
+    "b26_clustering_coeff",
+    "b26_communities_lpa",
+    "b26_modularity",
+    "b13_dedup_clusters",
+    "b13_dedup_survivors",
+    "b13_dedup_survivors_quality",
+    "b13_leakage_safe_split",
+    "b14_embedding_dedup_survivors",
+    "b16_image_dedup_survivors",
+    "b14_topk_cosine",
+    "b14_pq_codes",
+    "b14_pq_adc_topk",
+    "b14_ivfpq_topk",
+    "b14_mips_lsh",
+    "b14_mips_topk",
+    "b14_ann_recall_report",
+    "b14_ivf_recall_clustered",
+    "b14_knn_accuracy_clustered",
+    "b13_minhash_shard_merge",
+    "b13_incremental_ingest_dedup",
+    "b16_ahash_neardup",
+    "b16_phash256_neardup",
+    "b22_zorder_key",
+    "b22_zorder_key_3d",
+    "b22_zorder_write_readback",
+    "b01_python_stream_source_parallel",
+    # --- rewritten in r16 (16) ---
+    "b13_ngram_jaccard",
+    "b13_containment_pairs",
+    "b13_repeated_span_coverage",
+    "b13_repeated_span_dedup",
+    "b13_prefix_filter_pairs",
+    "b15_decontaminate",
+    "b13_source_overlap",
+    "b13_kmv_source_similarity",
+    "b13_dedup_pipeline_verified",
+    "b08_outlier_zscore",
+    "b14_rrf_hybrid",
+    "b14_rrf_fusion_gain",
+    "b06_kmv_intersect",
+    "b06_kmv_difference",
+    "b06_kmv_merge",
+    "b20_stream_stream_left_outer",
+    # --- 7 flex slots: oldest r10-latest re-confirms, r10 order ---
+    "b06_quantile_histogram",
+    "b17_stream_quantile_sketch",
+    "b22_benford_digits",
+    "b26_cooccurrence_skew_guard",
+    "b26_pagerank_fixedpoint",
+    "b26_bfs_levels",
+    "b26_kcore",
+]
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+
 # r12 window, kept for the ledger (superseded by _R13_WINDOW above):
 _R12_WINDOW = [
     # --- new in r12, never checked (the session-2 trio displaced
@@ -898,10 +1022,10 @@ _check_oracle_tables(QUERIES, set(_SCHEMAS))
 # The round whose window is active below; bench.BENCH_ROUND (the label
 # stamped on new BENCH_RECORDS readings) must match — tripwire in
 # tests/test_bench_records.py keeps the two bumps atomic.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
-_rest = [n for n in QUERIES if n not in _R15_WINDOW]
-_order = _R15_WINDOW + _rest
+_rest = [n for n in QUERIES if n not in _R16_WINDOW]
+_order = _R16_WINDOW + _rest
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import word_ngrams
+from ..functions.text import word_ngram_hashes_sql, word_ngrams
 from ..functions.vectors import array_lit_d
 from ..operators.similarity import _pseudo_planes, neardup_pairs_cosine
 from .base import dec2, query
@@ -123,8 +123,13 @@ def b14_embedding_neardup_lsh(spark, sf_dir):
 )
 def b15_decontaminate(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3): the broadcast eval-shingle set and the probe key are
+    # the xxhash64 int64 identity, not the 3-gram string — an ~8-byte-per-key
+    # broadcast hash relation and int equality probes; no output emits the
+    # shingle. See word_ngram_hashes_sql.
     sh = d.select(
-        "doc_id", F.explode(F.array_distinct(word_ngrams("text", 3))).alias("sh")
+        "doc_id",
+        F.expr(f"explode({word_ngram_hashes_sql('`text`', 3)})").alias("sh"),
     )
     eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
     shared = (
@@ -1700,10 +1705,14 @@ def b13_dedup_pipeline_verified(spark, sf_dir):
     )
     # Shingle sets feed both sides of the verify join and the size agg —
     # materialize once so the explode pass over the corpus runs once.
+    # r16 (guide §2.3): the verify join carries the xxhash64 shingle identity
+    # (8 bytes) instead of the 3-gram string — smaller checkpoint blocks and
+    # a narrower (id_b, s) join key; no output emits the shingle. See
+    # word_ngram_hashes_sql for the collision/oracle argument.
     shd = _materialize(
         _fan_out(d.select(F.col("doc_id").alias("id"), "text"), "id").select(
             "id",
-            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("s"),
+            F.expr(f"explode({word_ngram_hashes_sql('`text`', 3)})").alias("s"),
         ),
         "local",
     )
@@ -2278,9 +2287,11 @@ def b16_binary_ingest(spark, sf_dir):
 )
 def b13_containment_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3): int64 shingle identity — the inverted-index self-join
+    # shuffles 8-byte keys; see word_ngram_hashes_sql.
     sh = d.select(
         F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("sh"),
+        F.expr(f"explode({word_ngram_hashes_sql('`text`', 3)})").alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -5501,8 +5512,15 @@ _SPAN_FRAC = 0.10  # flag documents with >= 10% of tokens inside repeated spans
 def b13_repeated_span_coverage(spark, sf_dir):
     n = _SPAN_N
     d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3): positional shingles carry the xxhash64 IDENTITY, not
+    # the 5-gram text — the rep groupBy and the coverage join shuffle 8-byte
+    # keys instead of 5-word strings; no output emits the shingle. See
+    # word_ngram_hashes_sql for the collision/oracle argument.
     pos_sh = d.select(
-        "doc_id", F.posexplode(word_ngrams("text", n)).alias("pos", "sh")
+        "doc_id",
+        F.posexplode(
+            F.expr(word_ngram_hashes_sql("`text`", n, distinct=False))
+        ).alias("pos", "sh"),
     )
     rep = (
         pos_sh.select("doc_id", "sh")
@@ -5590,9 +5608,17 @@ def b13_repeated_span_coverage(spark, sf_dir):
 def b13_prefix_filter_pairs(spark, sf_dir):
     num, den = 7, 10  # t = 7/10, kept as exact integers (see doc)
     d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3): shingles enter as their xxhash64 int64 identity — the
+    # df groupBy, the per-doc collect_list, the prefix-token join key and the
+    # verify array_intersect all operate on 8-byte values instead of 3-word
+    # strings. The prefix-filter losslessness proof only needs ONE canonical
+    # total order shared by all documents; (df, hash) is exactly as canonical
+    # as (df, string), and the oracle computes UNFILTERED all-pairs Jaccard,
+    # so the differential remains a proof of losslessness under the new
+    # order. Collision/oracle argument: word_ngram_hashes_sql.
     sh = d.select(
         F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("sh"),
+        F.expr(f"explode({word_ngram_hashes_sql('`text`', 3)})").alias("sh"),
     )
     df_rank = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     keyed = sh.join(df_rank, "sh").select("id", "df", "sh")
@@ -5997,8 +6023,14 @@ def b13_repeated_span_dedup(spark, sf_dir):
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("tpos", "tok")
     )
+    # r16 (guide §2.3): same int64 shingle identity as the coverage entry —
+    # ownership/coverage shuffles move 8-byte keys; only `tok` (needed for
+    # the rebuilt text) stays a string.
     pos_sh = d.select(
-        "doc_id", F.posexplode(word_ngrams("text", n)).alias("pos", "sh")
+        "doc_id",
+        F.posexplode(
+            F.expr(word_ngram_hashes_sql("`text`", n, distinct=False))
+        ).alias("pos", "sh"),
     )
     own = (
         pos_sh.select("doc_id", "sh")
@@ -8480,13 +8512,19 @@ def b13_source_overlap(spark, sf_dir):
     positions = F.when(
         F.size("tk") >= 5, F.sequence(F.lit(1), F.size("tk") - 4)
     ).otherwise(F.array().cast("array<int>"))
+    # r16 (guide §2.3): the (source, shingle)-distinct exchange and the
+    # shingle-keyed self-join move the xxhash64 int64 identity, not the
+    # 5-gram string — no output emits the shingle; collision/oracle
+    # argument on functions.text.word_ngram_hashes_sql.
     sh = (
         toks.select(
             "source",
             F.explode(
                 F.transform(
                     positions,
-                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(F.col("tk"), i, 5), " ")
+                    ),
                 )
             ).alias("s"),
         )
@@ -10815,6 +10853,45 @@ def b26_link_prediction_capped(spark, sf_dir):
     )
 
 
+def _kmv_du_sk(spark, sf_dir, tag):
+    """Checkpointed (yr, o_custkey)-distinct relation and its per-yr k=128
+    KMV sketch, registered as temp views — the shared build of the
+    single-parse KMV entries (intersect / difference / merge).
+
+    r16 (the Py4J law applied to multi-relation dataflows): each segment
+    is ONE spark.sql parse (the Column chains cost ~2000 bridge commands
+    + one JVM analysis per intermediate Dataset per entry build); the
+    localCheckpoints between segments are the same materialization points
+    the Column form had (du consumed 2-3x, sk 2-3x), and the SQL is a
+    verbatim transcription of `kmv_sketch` (kept below — the plan test
+    pins its WindowGroupLimit), so plans and values are unchanged —
+    proven by the unchanged hash-checked oracles. spark.sql analyzes
+    eagerly, so each returned plan INLINES the view it read — later
+    overwrites of these view names cannot retarget it."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        f"__r16_{tag}_orders"
+    )
+    du = spark.sql(
+        "SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey "
+        f"FROM __r16_{tag}_orders"
+    ).localCheckpoint()
+    du.createOrReplaceTempView(f"__r16_{tag}_du")
+    sk = spark.sql(f"""
+        SELECT yr, h FROM (
+            SELECT yr, h,
+                   row_number() OVER (PARTITION BY yr ORDER BY h) AS rn
+            FROM (
+                SELECT yr,
+                       CAST(conv(substring(md5(CAST(o_custkey AS STRING)),
+                                           1, 15), 16, 10) AS LONG) AS h
+                FROM __r16_{tag}_du
+            )
+        ) WHERE rn <= 128
+    """).localCheckpoint()
+    sk.createOrReplaceTempView(f"__r16_{tag}_sk")
+    return f"__r16_{tag}_du", f"__r16_{tag}_sk"
+
+
 def kmv_sketch(du, k):
     """The k-minimum-values sketch of each ``yr`` scope in ``du``: the k
     smallest distinct 60-bit md5 hashes of o_custkey (portable idiom).
@@ -10961,121 +11038,86 @@ def kmv_sketch(du, k):
     "100 TB only the sketch side runs.",
 )
 def b06_kmv_intersect(spark, sf_dir):
-    K = 128
-    M = 1152921504606846976.0  # 2^60, exact double
-    du = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("yr"),
-            "o_custkey",
+    # r16: single-parse SQL over the shared checkpointed du/sk views (see
+    # _kmv_du_sk) — a verbatim transcription of the former Column chain
+    # (~2300 bridge commands, ~0.5 s of build chatter per rep).
+    du_v, sk_v = _kmv_du_sk(spark, sf_dir, "kmvi")
+    return spark.sql(f"""
+        WITH skagg AS (
+            SELECT yr, CAST(count(1) AS BIGINT) AS n_sk,
+                   CAST(max(h) AS BIGINT) AS hk
+            FROM {sk_v} GROUP BY yr
+        ),
+        pairs AS (
+            SELECT a.year_a, b.year_b
+            FROM (SELECT yr AS year_a FROM skagg) a
+            JOIN (SELECT yr - 1 AS year_a, yr AS year_b FROM skagg) b
+              ON a.year_a = b.year_a
+        ),
+        m0 AS (
+            SELECT p.year_a, p.year_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN {sk_v} s ON s.yr = p.year_a
+            UNION ALL
+            SELECT p.year_a, p.year_b, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN {sk_v} s ON s.yr = p.year_b
+        ),
+        merged AS (
+            SELECT year_a, year_b, h,
+                   CAST(max(in_a) AS BIGINT) AS in_a,
+                   CAST(max(in_b) AS BIGINT) AS in_b
+            FROM m0 GROUP BY year_a, year_b, h
+        ),
+        usk AS (
+            SELECT year_a, year_b,
+                   CAST(count(1) AS BIGINT) AS n_u,
+                   CAST(max(h) AS BIGINT) AS theta,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS common_c
+            FROM (
+                SELECT year_a, year_b, h, in_a, in_b,
+                       row_number() OVER (
+                           PARTITION BY year_a, year_b ORDER BY h) AS rn
+                FROM merged
+            ) WHERE rn <= 128
+            GROUP BY year_a, year_b
+        ),
+        ex AS (
+            SELECT yr, CAST(count(1) AS BIGINT) AS exact_n
+            FROM {du_v} GROUP BY yr
+        ),
+        exi AS (
+            SELECT a.year_a,
+                   CAST(count(1) AS BIGINT) AS exact_intersect
+            FROM (SELECT yr AS year_a, o_custkey FROM {du_v}) a
+            JOIN (SELECT yr - 1 AS year_a, o_custkey FROM {du_v}) b
+              ON a.year_a = b.year_a AND a.o_custkey = b.o_custkey
+            GROUP BY a.year_a
         )
-        .distinct()
-        # consumed 3x (sketch build, exact counts, exact intersection)
-        .localCheckpoint()
-    )
-    # <=k*|scopes| rows, consumed 3x (per-scope agg, both pair sides)
-    sk = kmv_sketch(du, K).localCheckpoint()
-    skagg = sk.groupBy("yr").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
-        F.max("h").cast("bigint").alias("hk"),
-    )
-    pairs = (
-        skagg.select(F.col("yr").alias("year_a"))
-        .join(
-            skagg.select((F.col("yr") - 1).alias("year_a"), F.col("yr").alias("year_b")),
-            "year_a",
-        )
-    )
-    m0 = pairs.join(sk, sk["yr"] == pairs["year_a"]).select(
-        "year_a", "year_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    ).unionAll(
-        pairs.join(sk, sk["yr"] == pairs["year_b"]).select(
-            "year_a", "year_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
-        )
-    )
-    merged = m0.groupBy("year_a", "year_b", "h").agg(
-        F.max("in_a").cast("bigint").alias("in_a"),
-        F.max("in_b").cast("bigint").alias("in_b"),
-    )
-    urw = Window.partitionBy("year_a", "year_b").orderBy("h")
-    usk = (
-        merged.withColumn("rn", F.row_number().over(urw))
-        .filter(F.col("rn") <= K)
-        .groupBy("year_a", "year_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_u"),
-            F.max("h").cast("bigint").alias("theta"),
-            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("common_c"),
-        )
-    )
-    ex = du.groupBy("yr").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-    exi = (
-        du.select(F.col("yr").alias("year_a"), "o_custkey")
-        .join(
-            du.select((F.col("yr") - 1).alias("year_a"), "o_custkey"),
-            ["year_a", "o_custkey"],
-        )
-        .groupBy("year_a")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
-    )
-    kmv_est = lambda n, hk: F.when(  # noqa: E731
-        F.col(n) < K, F.col(n).cast("double")
-    ).otherwise(F.lit(127.0) * F.lit(M) / F.col(hk))
-    est_union = F.when(F.col("n_u") < K, F.col("n_u").cast("double")).otherwise(
-        F.lit(127.0) * F.lit(M) / F.col("theta")
-    )
-    est_int = F.when(F.col("n_u") < K, F.col("common_c").cast("double")).otherwise(
-        (
-            F.col("common_c").cast("double")
-            * (F.lit(127.0) * F.lit(M) / F.col("theta"))
-        )
-        / F.lit(128)
-    )
-    return (
-        usk.join(
-            skagg.select(
-                F.col("yr").alias("year_a"),
-                F.col("n_sk").alias("n_sk_a"),
-                F.col("hk").alias("hk_a"),
-            ),
-            "year_a",
-        )
-        .join(
-            skagg.select(
-                F.col("yr").alias("year_b"),
-                F.col("n_sk").alias("n_sk_b"),
-                F.col("hk").alias("hk_b"),
-            ),
-            "year_b",
-        )
-        .join(
-            ex.select(F.col("yr").alias("year_a"), F.col("exact_n").alias("exact_a")),
-            "year_a",
-        )
-        .join(
-            ex.select(F.col("yr").alias("year_b"), F.col("exact_n").alias("exact_b")),
-            "year_b",
-        )
-        .join(exi, "year_a", "left")
-        .select(
-            "year_a",
-            "year_b",
-            "n_sk_a",
-            "n_sk_b",
-            "n_u",
-            "theta",
-            "common_c",
-            kmv_est("n_sk_a", "hk_a").alias("est_a"),
-            kmv_est("n_sk_b", "hk_b").alias("est_b"),
-            est_union.alias("est_union"),
-            est_int.alias("est_intersect"),
-            "exact_a",
-            "exact_b",
-            F.coalesce(F.col("exact_intersect"), F.lit(0))
-            .cast("bigint")
-            .alias("exact_intersect"),
-        )
-    )
+        SELECT u.year_a, u.year_b, sa.n_sk AS n_sk_a, sb.n_sk AS n_sk_b,
+               u.n_u, u.theta, u.common_c,
+               CASE WHEN sa.n_sk < 128 THEN CAST(sa.n_sk AS DOUBLE)
+                    ELSE 127.0D * 1152921504606846976.0D / sa.hk
+               END AS est_a,
+               CASE WHEN sb.n_sk < 128 THEN CAST(sb.n_sk AS DOUBLE)
+                    ELSE 127.0D * 1152921504606846976.0D / sb.hk
+               END AS est_b,
+               CASE WHEN u.n_u < 128 THEN CAST(u.n_u AS DOUBLE)
+                    ELSE 127.0D * 1152921504606846976.0D / u.theta
+               END AS est_union,
+               CASE WHEN u.n_u < 128 THEN CAST(u.common_c AS DOUBLE)
+                    ELSE (CAST(u.common_c AS DOUBLE)
+                          * (127.0D * 1152921504606846976.0D / u.theta))
+                         / 128
+               END AS est_intersect,
+               xa.exact_n AS exact_a, xb.exact_n AS exact_b,
+               CAST(coalesce(xi.exact_intersect, 0) AS BIGINT)
+                   AS exact_intersect
+        FROM usk u
+        JOIN skagg sa ON sa.yr = u.year_a
+        JOIN skagg sb ON sb.yr = u.year_b
+        JOIN ex xa ON xa.yr = u.year_a
+        JOIN ex xb ON xb.yr = u.year_b
+        LEFT JOIN exi xi ON xi.year_a = u.year_a
+    """)
 
 
 @query(
@@ -11456,50 +11498,43 @@ def b22_budgeted_split(spark, sf_dir):
     "unpartitioned window, the standard idiom).",
 )
 def b06_kmv_merge(spark, sf_dir):
-    K = 128
-    M = 1152921504606846976.0  # 2^60, exact double
-    o = load_table(spark, sf_dir, "orders")
-    du = (
-        o.select(
-            F.year("o_orderdate").cast("bigint").alias("yr"),
-            "o_custkey",
+    # r16: single-parse SQL over the shared checkpointed du/sk views (see
+    # _kmv_du_sk) — a verbatim transcription of the former Column chain
+    # (~1150 bridge commands per rep).
+    du_v, sk_v = _kmv_du_sk(spark, sf_dir, "kmvm")
+    return spark.sql(f"""
+        WITH allsk AS (
+            SELECT '__ALL__' AS scope, h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM {sk_v})
+            ) WHERE rn <= 128
+        ),
+        united AS (
+            SELECT CAST(yr AS STRING) AS scope, h FROM {sk_v}
+            UNION ALL
+            SELECT scope, h FROM allsk
+        ),
+        agg AS (
+            SELECT scope, CAST(count(1) AS BIGINT) AS n_sk,
+                   CAST(max(h) AS BIGINT) AS hk
+            FROM united GROUP BY scope
+        ),
+        ex AS (
+            SELECT CAST(yr AS STRING) AS scope,
+                   CAST(count(1) AS BIGINT) AS exact_n
+            FROM {du_v} GROUP BY CAST(yr AS STRING)
+            UNION ALL
+            SELECT '__ALL__' AS scope,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_n
+            FROM __r16_kmvm_orders
         )
-        .distinct()
-        # consumed twice (sketch build + per-scope exact audit)
-        .localCheckpoint()
-    )
-    # consumed twice (per-scope rows + the min-merge union)
-    sk = kmv_sketch(du, K).localCheckpoint()
-    merged = sk.select("h").distinct()
-    # <=k*|scopes| rows: the unpartitioned window is bounded
-    allw = Window.orderBy("h")
-    allsk = (
-        merged.withColumn("rn", F.row_number().over(allw))
-        .filter(F.col("rn") <= K)
-        .select(F.lit("__ALL__").alias("scope"), "h")
-    )
-    united = sk.select(
-        F.col("yr").cast("string").alias("scope"), "h"
-    ).unionAll(allsk)
-    agg = united.groupBy("scope").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
-        F.max("h").cast("bigint").alias("hk"),
-    )
-    ex = (
-        du.groupBy(F.col("yr").cast("string").alias("scope"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .unionAll(
-            o.agg(
-                F.countDistinct("o_custkey").cast("bigint").alias("exact_n")
-            ).select(F.lit("__ALL__").alias("scope"), "exact_n")
-        )
-    )
-    est = F.when(F.col("n_sk") < K, F.col("n_sk").cast("double")).otherwise(
-        F.lit(127.0) * F.lit(M) / F.col("hk")
-    )
-    return agg.join(ex, "scope").select(
-        "scope", "n_sk", "hk", est.alias("est"), "exact_n"
-    )
+        SELECT agg.scope, agg.n_sk, agg.hk,
+               CASE WHEN agg.n_sk < 128 THEN CAST(agg.n_sk AS DOUBLE)
+                    ELSE 127.0D * 1152921504606846976.0D / agg.hk
+               END AS est,
+               ex.exact_n
+        FROM agg JOIN ex ON agg.scope = ex.scope
+    """)
 
 
 def _surprisal_doc_scores(d):
@@ -11697,49 +11732,64 @@ _RRF_COSINE_FOLD = """
 """
 
 
-def _rrf_bm25_scores(spark, d, weights):
+def _rrf_bm25_scores(spark, d, weights, view="__r16_rrf_docs"):
     """(doc_id, score_milli): the exact-rational BM25 scorer shared by
     b14_rrf_hybrid (raw corpus, corpus query terms) and
     b14_rrf_fusion_gain (planted corpus, novel zq_ query terms) — k1=6/5,
     b=3/4 folded to the all-integer saturation quotient, computed in
     DECIMAL(38,0) per the ADVICE r12 contract (DuckDB replays it with
     HUGEINT //). ``d`` needs (doc_id, text); ``weights`` is the
-    term -> idf-milli dictionary."""
-    from ..functions.text import tokens
+    term -> idf-milli dictionary.
 
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
+    r16 (the Py4J law applied to multi-relation dataflows): the whole
+    scorer is ONE spark.sql call over a temp view — the Column-API chain
+    cost ~340 bridge commands plus one JVM analysis per intermediate
+    Dataset (~0.3 s warm per build); the SQL text is analyzed once. The
+    weights relation is an inline VALUES table (the 3-row createDataFrame
+    alone was ~35 commands + an RDD). Dataflow, hints and the DECIMAL
+    quotient are verbatim transcriptions, so the physical plan and every
+    value are unchanged — proven by the unchanged hash-checked oracles.
+    spark.sql analyzes eagerly, so the returned plan has the view INLINED
+    — later createOrReplaceTempView calls on the same name cannot
+    retarget it."""
+    d.createOrReplaceTempView(view)
+    vals = ", ".join(
+        f"('{t}', CAST({int(m)} AS BIGINT))" for t, m in weights.items()
     )
-    corp = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("tot_len"),
-    )
-    w = F.broadcast(
-        spark.createDataFrame(
-            list(weights.items()), "term string, w_milli bigint"
+    return spark.sql(f"""
+        WITH tok AS (
+            SELECT doc_id, explode(split(text, ' ')) AS term FROM {view}
+        ),
+        dl AS (
+            SELECT doc_id, CAST(count(1) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        corp AS (
+            SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS tot_len
+            FROM dl
+        ),
+        w AS (SELECT * FROM VALUES {vals} AS w(term, w_milli)),
+        tfq AS (
+            SELECT /*+ BROADCAST(w) */ tok.doc_id, tok.term,
+                   CAST(count(1) AS BIGINT) AS tf
+            FROM tok JOIN w ON tok.term = w.term
+            GROUP BY tok.doc_id, tok.term
         )
-    )
-    tfq = (
-        tok.join(w.select("term"), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    return (
-        tfq.join(w, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corp))
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST((CAST(w_milli AS DECIMAL(38,0)) * 44 * tot_len * tf)"
-                " DIV (CAST(20 AS DECIMAL(38,0)) * tot_len * tf"
-                " + 6 * tot_len + 18 * dl * n_docs) AS BIGINT)"
-            ).alias("part_milli"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part_milli").cast("bigint").alias("score_milli"))
-    )
+        SELECT /*+ BROADCAST(w, corp) */ tfq.doc_id,
+               CAST(sum(
+                   CAST((CAST(w.w_milli AS DECIMAL(38,0)) * 44
+                         * corp.tot_len * tfq.tf)
+                        DIV (CAST(20 AS DECIMAL(38,0)) * corp.tot_len
+                             * tfq.tf + 6 * corp.tot_len
+                             + 18 * dl.dl * corp.n_docs) AS BIGINT)
+               ) AS BIGINT) AS score_milli
+        FROM tfq
+        JOIN w ON tfq.term = w.term
+        JOIN dl ON tfq.doc_id = dl.doc_id
+        CROSS JOIN corp
+        GROUP BY tfq.doc_id
+    """)
 
 
 @query(
@@ -12738,7 +12788,10 @@ def b14_rrf_fusion_gain(spark, sf_dir):
     ).otherwise(F.col("text"))
     pd_corpus = d.select("doc_id", planted_text.alias("text"))
     scored = _rrf_bm25_scores(
-        spark, pd_corpus, {"zq_alpha": 2900, "zq_beta": 700, "zq_gamma": 600}
+        spark,
+        pd_corpus,
+        {"zq_alpha": 2900, "zq_beta": 700, "zq_gamma": 600},
+        view="__r16_rrf_fusion_docs",
     )
     lw = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
     lex = (
@@ -12859,14 +12912,21 @@ def _kmv_jaccard_matrix(sh, k=128):
         F.col("n_u") < K,
         F.col("common_c").cast("double") / F.col("n_u"),
     ).otherwise(F.col("common_c").cast("double") / F.lit(K))
-    # exact audit (the b13_source_overlap computation, test harness only)
-    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # exact audit (the b13_source_overlap computation, test harness only).
+    # r16 (guide §2.3/§2.4): the audit consumes the distinct (source, h)
+    # relation `hs` — the exchange the sketch build already pays (runtime
+    # ReusedExchange shares it) — instead of re-deduplicating the 5-gram
+    # STRING relation and self-joining on strings. n_a/inter equal the
+    # string-relation counts up to 60-bit hash collisions; the oracle
+    # replays the audit from strings, so a collision at the checked SFs
+    # fails loudly rather than passing silently.
+    sz = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = hs.alias("sa")
+    sb = hs.alias("sb")
     inter = (
         sa.join(
             sb,
-            (F.col("sa.s") == F.col("sb.s"))
+            (F.col("sa.h") == F.col("sb.h"))
             & (F.col("sa.source") < F.col("sb.source")),
         )
         .groupBy(
@@ -13019,17 +13079,21 @@ def b13_kmv_source_similarity(spark, sf_dir):
     positions = F.when(
         F.size("tk") >= 5, F.sequence(F.lit(1), F.size("tk") - 4)
     ).otherwise(F.array().cast("array<int>"))
-    sh = (
-        toks.select(
-            "source",
-            F.explode(
-                F.transform(
-                    positions,
-                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
-                )
-            ).alias("s"),
-        )
-        .distinct()
+    # r16 (guide §2.4 — remove shuffles outright): NO string-keyed distinct
+    # here. _kmv_jaccard_matrix hashes s -> 60-bit h and distincts on
+    # (source, h) itself, and distinct(source, md5(s)) over a multiset is
+    # IDENTICAL to distinct(source, md5(distinct s)) — the md5 map is
+    # per-row. The removed distinct was a full exchange of every
+    # positional 5-gram STRING with multiplicity; what remains shuffles
+    # one (source, int64) row per distinct hash.
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+            )
+        ).alias("s"),
     )
     return _kmv_jaccard_matrix(sh)
 
@@ -13141,100 +13205,88 @@ def b13_kmv_source_similarity(spark, sf_dir):
     "test harness, not the serving path.",
 )
 def b06_kmv_difference(spark, sf_dir):
-    K = 128
-    M = 1152921504606846976.0  # 2^60, exact double
-    du = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("yr"),
-            "o_custkey",
+    # r16: single-parse SQL over the shared checkpointed du/sk views (see
+    # _kmv_du_sk) — a verbatim transcription of the former Column chain
+    # (~2000 bridge commands per rep).
+    du_v, sk_v = _kmv_du_sk(spark, sf_dir, "kmvd")
+    return spark.sql(f"""
+        WITH years AS (SELECT DISTINCT yr FROM {sk_v}),
+        pairs AS (
+            SELECT a.year_a, b.year_b
+            FROM (SELECT yr AS year_a FROM years) a
+            JOIN (SELECT yr - 1 AS year_a, yr AS year_b FROM years) b
+              ON a.year_a = b.year_a
+        ),
+        m0 AS (
+            SELECT p.year_a, p.year_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN {sk_v} s ON s.yr = p.year_a
+            UNION ALL
+            SELECT p.year_a, p.year_b, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN {sk_v} s ON s.yr = p.year_b
+        ),
+        merged AS (
+            SELECT year_a, year_b, h,
+                   CAST(max(in_a) AS BIGINT) AS in_a,
+                   CAST(max(in_b) AS BIGINT) AS in_b
+            FROM m0 GROUP BY year_a, year_b, h
+        ),
+        usk AS (
+            SELECT year_a, year_b,
+                   CAST(count(1) AS BIGINT) AS n_u,
+                   CAST(max(h) AS BIGINT) AS theta,
+                   CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS only_a_c,
+                   CAST(sum((1 - in_a) * in_b) AS BIGINT) AS only_b_c,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS common_c
+            FROM (
+                SELECT year_a, year_b, h, in_a, in_b,
+                       row_number() OVER (
+                           PARTITION BY year_a, year_b ORDER BY h) AS rn
+                FROM merged
+            ) WHERE rn <= 128
+            GROUP BY year_a, year_b
+        ),
+        exda AS (
+            SELECT a.year_a, CAST(count(1) AS BIGINT) AS exact_diff_a
+            FROM (SELECT yr AS year_a, o_custkey FROM {du_v}) a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (SELECT yr - 1 AS year_a, o_custkey
+                               FROM {du_v}) b
+                WHERE b.year_a = a.year_a AND b.o_custkey = a.o_custkey
+            )
+            GROUP BY a.year_a
+        ),
+        exdb AS (
+            SELECT a.year_a, CAST(count(1) AS BIGINT) AS exact_diff_b
+            FROM (SELECT yr - 1 AS year_a, o_custkey FROM {du_v}) a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (SELECT yr AS year_a, o_custkey
+                               FROM {du_v}) b
+                WHERE b.year_a = a.year_a AND b.o_custkey = a.o_custkey
+            )
+            GROUP BY a.year_a
         )
-        .distinct()
-        # consumed 3x (sketch build + both exact anti-join audits)
-        .localCheckpoint()
-    )
-    # <=k*|scopes| rows, consumed 2x (both pair sides)
-    sk = kmv_sketch(du, K).localCheckpoint()
-    years = sk.select("yr").distinct()
-    pairs = years.select(F.col("yr").alias("year_a")).join(
-        years.select((F.col("yr") - 1).alias("year_a"), F.col("yr").alias("year_b")),
-        "year_a",
-    )
-    m0 = pairs.join(sk, sk["yr"] == pairs["year_a"]).select(
-        "year_a", "year_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    ).unionAll(
-        pairs.join(sk, sk["yr"] == pairs["year_b"]).select(
-            "year_a", "year_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
-        )
-    )
-    merged = m0.groupBy("year_a", "year_b", "h").agg(
-        F.max("in_a").cast("bigint").alias("in_a"),
-        F.max("in_b").cast("bigint").alias("in_b"),
-    )
-    urw = Window.partitionBy("year_a", "year_b").orderBy("h")
-    usk = (
-        merged.withColumn("rn", F.row_number().over(urw))
-        .filter(F.col("rn") <= K)
-        .groupBy("year_a", "year_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_u"),
-            F.max("h").cast("bigint").alias("theta"),
-            F.sum(F.col("in_a") * (1 - F.col("in_b")))
-            .cast("bigint")
-            .alias("only_a_c"),
-            F.sum((1 - F.col("in_a")) * F.col("in_b"))
-            .cast("bigint")
-            .alias("only_b_c"),
-            F.sum(F.col("in_a") * F.col("in_b"))
-            .cast("bigint")
-            .alias("common_c"),
-        )
-    )
-    union_hat = F.lit(127.0) * F.lit(M) / F.col("theta")
-    est = lambda c: F.when(  # noqa: E731
-        F.col("n_u") < K, F.col(c).cast("double")
-    ).otherwise((F.col(c).cast("double") * union_hat) / F.lit(128))
-    exda = (
-        du.select(F.col("yr").alias("year_a"), "o_custkey")
-        .join(
-            du.select((F.col("yr") - 1).alias("year_a"), "o_custkey"),
-            ["year_a", "o_custkey"],
-            "left_anti",
-        )
-        .groupBy("year_a")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff_a"))
-    )
-    exdb = (
-        du.select((F.col("yr") - 1).alias("year_a"), "o_custkey")
-        .join(
-            du.select(F.col("yr").alias("year_a"), "o_custkey"),
-            ["year_a", "o_custkey"],
-            "left_anti",
-        )
-        .groupBy("year_a")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff_b"))
-    )
-    return (
-        usk.join(F.broadcast(exda), "year_a", "left")
-        .join(F.broadcast(exdb), "year_a", "left")
-        .select(
-            "year_a",
-            "year_b",
-            "n_u",
-            "only_a_c",
-            "only_b_c",
-            "common_c",
-            est("only_a_c").alias("est_diff_a"),
-            est("only_b_c").alias("est_diff_b"),
-            F.coalesce(F.col("exact_diff_a"), F.lit(0))
-            .cast("bigint")
-            .alias("exact_diff_a"),
-            F.coalesce(F.col("exact_diff_b"), F.lit(0))
-            .cast("bigint")
-            .alias("exact_diff_b"),
-        )
-        .orderBy("year_a")
-    )
+        SELECT /*+ BROADCAST(xa, xb) */
+               u.year_a, u.year_b, u.n_u, u.only_a_c, u.only_b_c,
+               u.common_c,
+               CASE WHEN u.n_u < 128 THEN CAST(u.only_a_c AS DOUBLE)
+                    ELSE (CAST(u.only_a_c AS DOUBLE)
+                          * (127.0D * 1152921504606846976.0D / u.theta))
+                         / 128
+               END AS est_diff_a,
+               CASE WHEN u.n_u < 128 THEN CAST(u.only_b_c AS DOUBLE)
+                    ELSE (CAST(u.only_b_c AS DOUBLE)
+                          * (127.0D * 1152921504606846976.0D / u.theta))
+                         / 128
+               END AS est_diff_b,
+               CAST(coalesce(xa.exact_diff_a, 0) AS BIGINT)
+                   AS exact_diff_a,
+               CAST(coalesce(xb.exact_diff_b, 0) AS BIGINT)
+                   AS exact_diff_b
+        FROM usk u
+        LEFT JOIN exda xa ON xa.year_a = u.year_a
+        LEFT JOIN exdb xb ON xb.year_a = u.year_a
+        ORDER BY u.year_a
+    """)
 
 
 # --- r14: MIPS via norm augmentation + incremental-ingest dedup -------------

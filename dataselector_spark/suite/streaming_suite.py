@@ -507,7 +507,17 @@ def b20_stream_stream_left_outer(spark, sf_dir):
     joined = s.join(p, cond, "leftOuter").select(
         "signup_id", "purchase_id", s["user_id"]
     )
-    return run_stream_to_table(joined, output_mode="append")
+    # r16 (guide §5, VERDICT r15 #5): a stream-stream join maintains FOUR
+    # state stores per shuffle partition (left/right × keyToNumValues /
+    # keyWithIndexToValue), each committed per micro-batch ×2 batches
+    # (data + the null-emitting flush) — at equal state volume it wants
+    # fewer, larger partitions than a single-store aggregation. Measured
+    # sweep at sf0.1 (tools/stream_floor_profile.py session, 3 probes
+    # each): 4 partitions 1.75-1.85 s vs 8's 2.1-2.2 s vs 16's 3.3 s,
+    # identical 20207 rows. Same per-query-sizing posture as the r15
+    # stream-source pins; production sizes this to peak throughput since
+    # the count is pinned into the checkpoint at first start.
+    return run_stream_to_table(joined, output_mode="append", state_partitions=4)
 
 
 @query(

@@ -52,6 +52,15 @@ def main():
     )
     if ansi:
         assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        # r16: pin the OTHER session defaults ourselves and mark the
+        # session as pinned — catalog.ensure_session_defaults would
+        # otherwise flip ansi back OFF on the first load_table, silently
+        # un-ANSI-ing the sweep after the first table load.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        spark._dataselector_defaults_ok = True
         print("ANSI MODE: spark.sql.ansi.enabled=true", flush=True)
     n_pass = n_fail = 0
     t0 = time.time()

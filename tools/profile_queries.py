@@ -24,11 +24,24 @@ import bench  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # ADVICE r15 #5: accept both '--reps N' and '--reps=N' (the docstring
+    # advertises the space form; it used to IndexError and leak 'N' into
+    # the set names).
+    argv = sys.argv[1:]
     reps = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reps":
+            reps = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     sets = args or ["all"]
     if sets == ["all"]:
         names = [n for key in bench.SETS for n in bench.SETS[key]]
