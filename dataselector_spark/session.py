@@ -64,6 +64,14 @@ def get_spark(
         # Streaming tests use small deterministic micro-batches.
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    # r16: env-driven conf overrides for A/B experiments and per-host
+    # tuning without code edits — semicolon-separated k=v pairs. Applied
+    # BEFORE the caller's extra_conf so explicit code wins.
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in env_extra.split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

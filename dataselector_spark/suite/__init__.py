@@ -212,6 +212,8 @@ REWRITTEN_IN_ROUND = {
     "b06_kmv_difference": 16,
     "b06_kmv_merge": 16,
     "b20_stream_stream_left_outer": 16,
+    "b15_surprisal_tertiles": 16,
+    "b15_surprisal_planted": 16,
 }
 
 # The round-9 window (VERDICT r8 "Next round" #1-2, freshness hygiene):
@@ -788,10 +790,10 @@ assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 # this round's own rewrites (the b13 int64-shingle batch, the zscore
 # join-back, the single-parse SQL entries) join them. Slots, priority
 # order:
-#   * all 43 oracle-bearing entries rewritten in r15/r16
+#   * all 45 oracle-bearing entries rewritten in r15/r16
 #     (REWRITTEN_IN_ROUND == 15 or 16; b13_minhash_lsh and b13_simhash
 #     are rows-only-by-design and stay excluded from oracle freshness);
-#   * 7 flex slots to the oldest (r10-latest) oracle-bearing re-confirms
+#   * 5 flex slots to the oldest (r10-latest) oracle-bearing re-confirms
 #     not already seated above, in their CORRECTNESS_r10.json order.
 _R16_WINDOW = [
     # --- rewritten in r15, never driver-checked since (27) ---
@@ -822,7 +824,7 @@ _R16_WINDOW = [
     "b22_zorder_key_3d",
     "b22_zorder_write_readback",
     "b01_python_stream_source_parallel",
-    # --- rewritten in r16 (16) ---
+    # --- rewritten in r16 (18) ---
     "b13_ngram_jaccard",
     "b13_containment_pairs",
     "b13_repeated_span_coverage",
@@ -839,14 +841,16 @@ _R16_WINDOW = [
     "b06_kmv_difference",
     "b06_kmv_merge",
     "b20_stream_stream_left_outer",
-    # --- 7 flex slots: oldest r10-latest re-confirms, r10 order ---
+    "b15_surprisal_tertiles",
+    "b15_surprisal_planted",
+    # --- 5 flex slots: oldest r10-latest re-confirms, r10 order (the
+    # last two, b26_bfs_levels / b26_kcore, displaced to the r17 queue by
+    # the late-r16 surprisal rewrites — rewritten outranks re-confirm) ---
     "b06_quantile_histogram",
     "b17_stream_quantile_sketch",
     "b22_benford_digits",
     "b26_cooccurrence_skew_guard",
     "b26_pagerank_fixedpoint",
-    "b26_bfs_levels",
-    "b26_kcore",
 ]
 assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
 

@@ -11537,41 +11537,47 @@ def b06_kmv_merge(spark, sf_dir):
     """)
 
 
-def _surprisal_doc_scores(d):
+def _surprisal_doc_scores(d, view="__r16_surprisal_docs"):
     """(doc_id, score_milli): whole-bit unigram surprisal per document —
     the shared scorer of b15_surprisal_tertiles (raw corpus) and
     b15_surprisal_planted (planted heavy-tail corpus), split out r13 per
     the _pmi_top20 twin rule. ``d`` needs (doc_id, text). The (doc,term)
     tf relation is consumed twice (vocab counts + doc scoring) and
-    localCheckpointed here."""
-    from ..functions.text import tokens
+    localCheckpointed here.
 
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
-    )
-    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
-    corp = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
-    bits = vocab.crossJoin(F.broadcast(corp)).select(
-        "term",
-        F.expr("CAST(length(bin(total DIV cnt)) - 1 AS BIGINT)").alias("bits"),
-    )
-    return (
-        tf.join(bits, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("tf") * F.col("bits")).cast("bigint").alias("sum_bits"),
-            F.sum("tf").cast("bigint").alias("dl"),
+    r16: two spark.sql parses (tf segment, scoring segment) around the
+    same localCheckpoint the Column chain had — verbatim transcription,
+    ~1200 bridge commands removed per build; plans/values unchanged
+    (hash-checked oracles)."""
+    d.createOrReplaceTempView(view)
+    tf = d.sparkSession.sql(f"""
+        SELECT doc_id, term, CAST(count(1) AS BIGINT) AS tf
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS term FROM {view})
+        GROUP BY doc_id, term
+    """).localCheckpoint()
+    tf.createOrReplaceTempView(f"{view}_tf")
+    return d.sparkSession.sql(f"""
+        WITH vocab AS (
+            SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+            FROM {view}_tf GROUP BY term
+        ),
+        corp AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        bits AS (
+            SELECT /*+ BROADCAST(corp) */ term,
+                   CAST(length(bin(total DIV cnt)) - 1 AS BIGINT) AS bits
+            FROM vocab CROSS JOIN corp
         )
-        .select(
-            "doc_id",
-            F.expr("CAST((1000 * sum_bits) DIV dl AS BIGINT)").alias(
-                "score_milli"
-            ),
+        SELECT doc_id,
+               CAST((1000 * sum_bits) DIV dl AS BIGINT) AS score_milli
+        FROM (
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf * bits.bits) AS BIGINT) AS sum_bits,
+                   CAST(sum(tf.tf) AS BIGINT) AS dl
+            FROM {view}_tf tf
+            JOIN bits ON tf.term = bits.term
+            GROUP BY tf.doc_id
         )
-    )
+    """)
 
 
 
@@ -12602,7 +12608,9 @@ def b15_surprisal_planted(spark, sf_dir):
     )
     pd_corpus = d.select("doc_id", planted_text.alias("text"))
     # |docs| rows, consumed twice (histogram for cutoffs + class join)
-    docsc = _surprisal_doc_scores(pd_corpus).localCheckpoint()
+    docsc = _surprisal_doc_scores(
+        pd_corpus, view="__r16_surprisal_planted_docs"
+    ).localCheckpoint()
     hist = (
         docsc.groupBy("score_milli")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
